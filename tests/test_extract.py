@@ -1,0 +1,150 @@
+"""Extraction (C2/C3/C4) + filter (P2/P3/P5) tests.
+
+Golden assertions ported from reference semantics:
+- acronym merge first-wins + flip (ref tests/test_acronyms.py:66-77)
+- uppercase-ratio acronym filter (ref tests/test_acronyms.py:80-88)
+- excluded entity labels dropped (ref tests/test_ner.py:89-107)
+- SPARQL sanitize chain (ref src/utils.py:4-42)
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from wbkg.extract import (
+    AhoCorasick,
+    clean_acronyms_py,
+    extract_acronyms,
+    extract_glossary_acronyms_py,
+    extract_inline_acronyms_py,
+    extract_mentions,
+    flip_acronyms_py,
+    merge_acronym_dicts_py,
+    sanitize_for_sparql,
+)
+
+
+# ---- pure function tests -----------------------------------------------------
+
+
+def test_aho_corasick_basic():
+    ac = AhoCorasick([("world bank", "ORG", "Q7164"), ("bank", "ORG", "B"), ("kenya", "GPE", "Q114")])
+    matches = ac.find("The World Bank and Kenya signed.")
+    surfaces = [("the world bank and kenya signed."[b:e], lab) for b, e, lab, _ in matches]
+    assert ("world bank", "ORG") in surfaces
+    assert ("kenya", "GPE") in surfaces
+    # longest-match wins: 'bank' inside 'world bank' must not double-report
+    assert ("bank", "ORG") not in surfaces
+
+
+def test_aho_corasick_word_boundaries():
+    ac = AhoCorasick([("un", "ORG", "Q1065")])
+    assert ac.find("the UN met.") != []
+    assert ac.find("under the bridge") == []
+    assert ac.find("fun times") == []
+
+
+def test_aho_corasick_case_and_accent_insensitive():
+    ac = AhoCorasick([("méxico", "GPE", "Q96")])
+    assert ac.find("MEXICO is participating") != []
+    assert ac.find("in Mexico today") != []
+
+
+def test_schwartz_hearst_inline():
+    text = "The Systematic Tracking of Exchanges in Procurement (STEP) applies here."
+    found = extract_inline_acronyms_py(text)
+    assert found == {"STEP": "Systematic Tracking of Exchanges in Procurement"}
+
+
+def test_schwartz_hearst_rejects_non_acronym_parens():
+    assert extract_inline_acronyms_py("The budget (see annex 4 for details) grew.") == {}
+    assert extract_inline_acronyms_py("growth (7) continued") == {}
+
+
+def test_glossary_parsing():
+    text = "STEP — Systematic Tracking of Exchanges in Procurement\nPAD — Project Appraisal Document"
+    out = extract_glossary_acronyms_py("/Abbreviations/", text)
+    assert out["STEP"].startswith("Systematic")
+    assert out["PAD"] == "Project Appraisal Document"
+    # non-glossary sections yield nothing
+    assert extract_glossary_acronyms_py("/Introduction/", text) == {}
+
+
+def test_clean_acronyms_uppercase_ratio():
+    # ref tests/test_acronyms.py:80-88 semantics incl. html unescape
+    out = clean_acronyms_py({"GDP": "gross &amp; domestic", "notup": "x", "A": "too short", "MoF": "Ministry of Finance"})
+    assert out["GDP"] == "gross & domestic"
+    assert "notup" not in out
+    assert "A" not in out
+    assert "MoF" in out  # 2/3 uppercase >= 0.5
+
+
+def test_merge_first_wins_and_flip():
+    # ref tests/test_acronyms.py:66-77
+    primary = {"WB": "World Bank"}
+    detected = {"WB": "Whole Bean", "UN": "United Nations"}
+    merged = merge_acronym_dicts_py(primary, detected)
+    assert merged == {"WB": "World Bank", "UN": "United Nations"}
+    flipped = flip_acronyms_py(primary, detected)
+    assert flipped["World Bank"] == "WB"
+    assert flipped["United Nations"] == "UN"
+    assert flipped["Whole Bean"] == "WB"
+
+
+def test_sanitize_for_sparql_rules():
+    # ref src/utils.py:4-42
+    assert sanitize_for_sparql("  World   Bank ") == "World Bank"
+    assert sanitize_for_sparql("a{b}c\\d") == "abcd"
+    assert sanitize_for_sparql("<div>html</div>") is None
+    assert sanitize_for_sparql("12345") is None
+    assert sanitize_for_sparql("a") is None
+    assert sanitize_for_sparql("???") is None
+    assert sanitize_for_sparql("x" * 201) is None
+    assert sanitize_for_sparql('say "hi"') == 'say \\"hi\\"'
+
+
+# ---- Spark operator tests ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chunks_df(spark):
+    rows = [
+        ("D1", "D1_chunk_0", 0, "STEP — Systematic Tracking of Exchanges in Procurement", "/Abbreviations/", None, "D1_chunk_1"),
+        ("D1", "D1_chunk_1", 1, "The World Bank supports Kenya. The Environmental and Social Management Framework (ESMF) applies. STEP milestones reached in January 2020.", "/Body/", "D1_chunk_0", None),
+        ("D2", "D2_chunk_0", 0, "México and the UN discussed sustainable development.", "/", None, None),
+    ]
+    return spark.createDataFrame(
+        rows, schema="doc_id string, chunk_id string, chunk_idx int, text string, header_path string, prev_id string, next_id string"
+    )
+
+
+def test_extract_acronyms_spark(spark, chunks_df):
+    out = extract_acronyms(chunks_df).toPandas()
+    d1 = out[out.doc_id == "D1"].set_index("abbr")
+    assert d1.loc["STEP", "expansion"].startswith("Systematic Tracking")
+    assert d1.loc["STEP", "source"] == "glossary"  # glossary beats inline
+    assert d1.loc["ESMF", "expansion"] == "Environmental and Social Management Framework"
+    assert d1.loc["ESMF", "source"] == "inline"
+
+
+def test_extract_mentions_spark(spark, chunks_df):
+    from wbkg.extract import build_pattern_rows
+    from wbkg.synth import build_entity_dict_rows, build_unbis_rows
+
+    acros = extract_acronyms(chunks_df)
+    pats = build_pattern_rows(build_entity_dict_rows(20), build_unbis_rows())
+    # add a decoy pattern with an excluded label to exercise P2
+    pats.append(("january 2020", "DATE", "decoy"))
+    m = extract_mentions(chunks_df, acros, pats).toPandas()
+
+    d1 = m[m.doc_id == "D1"]
+    assert "world bank" in set(d1.surface)
+    assert "kenya" in set(d1.surface)
+    assert "step" in set(d1.surface)  # ACRONYM pattern from doc's own glossary
+    assert "DATE" not in set(m.label)  # P2 excluded
+    d2 = m[m.doc_id == "D2"]
+    assert "mexico" in set(d2.surface)  # accent-folded
+    assert "un" in set(d2.surface)
+    assert "sustainable development" in set(d2.surface)  # UNBIS term
+    # ESMF expansion matched as ACRONYM_EXPANDED (longest match over sector overlap)
+    assert "ACRONYM_EXPANDED" in set(d1.label) or "environmental and social management framework" in set(d1.surface)

@@ -1,0 +1,88 @@
+"""The triple-fidelity gate: Spark pipeline vs pure-Python oracle.
+
+BASELINE.md: precision >= 0.95 AND recall >= 0.95 on the deterministic
+synthetic interleaved corpus (seed=42). We assert exact-match (P=R=1.0) —
+stricter than the gate — because both sides implement the same deterministic
+semantics; any gap is a real plumbing bug.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wbkg.extract import build_pattern_rows
+from wbkg.oracle import oracle_pipeline
+from wbkg.pipeline import run_pipeline
+from wbkg.synth import (
+    build_entity_dict_rows,
+    build_unbis_rows,
+    entity_dict_df,
+    gen_documents_df,
+    gen_metadata_df,
+    unbis_df,
+)
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    docs = gen_documents_df(spark, N_DOCS)
+    edict = entity_dict_df(spark, N_DOCS)
+    meta = gen_metadata_df(spark, N_DOCS)
+    pats = build_pattern_rows(build_entity_dict_rows(N_DOCS), build_unbis_rows())
+    return run_pipeline(spark, docs, edict, pats, metadata_df=meta)
+
+
+def _spark_triples(result):
+    return {
+        (r["subj"], r["pred"], r["obj"])
+        for r in result["edges"].select("subj", "pred", "obj").collect()
+    }
+
+
+def test_triple_precision_recall(result):
+    got = _spark_triples(result)
+    want = oracle_pipeline(N_DOCS)
+    assert got, "pipeline produced no triples"
+    inter = got & want
+    precision = len(inter) / len(got)
+    recall = len(inter) / len(want)
+    if precision < 1.0 or recall < 1.0:
+        extra = sorted(got - want)[:10]
+        missing = sorted(want - got)[:10]
+        raise AssertionError(
+            f"P={precision:.4f} R={recall:.4f}\nextra(sample)={extra}\nmissing(sample)={missing}"
+        )
+
+
+def test_salted_strategy_equivalent(spark):
+    """The salted shuffle join must produce byte-identical links."""
+    docs = gen_documents_df(spark, 15)
+    edict = entity_dict_df(spark, 15)
+    pats = build_pattern_rows(build_entity_dict_rows(15), build_unbis_rows())
+    res_b = run_pipeline(spark, docs, edict, pats, link_strategy="broadcast", cache=False)
+    res_s = run_pipeline(spark, docs, edict, pats, link_strategy="salted", cache=False)
+    tb = {tuple(r) for r in res_b["edges"].select("subj", "pred", "obj").collect()}
+    ts = {tuple(r) for r in res_s["edges"].select("subj", "pred", "obj").collect()}
+    assert tb == ts
+
+
+def test_union_distinct_set_semantics(result):
+    edges = result["edges"]
+    assert edges.count() == edges.dropDuplicates(["subj", "pred", "obj"]).count()
+
+
+def test_nodes_table(result):
+    nodes = result["nodes"].toPandas()
+    assert (nodes["type"] != "").all()
+    wd_nodes = nodes[nodes.uri.str.startswith("http://www.wikidata.org/")]
+    assert (wd_nodes["qid"].str.len() > 0).all()
+    assert len(wd_nodes) > 0
+
+
+def test_url_lookup_j9(result):
+    from wbkg.materialize import get_url_by_id
+
+    got = get_url_by_id(result["edges"]).toPandas()
+    assert len(got) == N_DOCS
+    assert (got["url"].str.contains("documents.example.org")).all()

@@ -1,0 +1,135 @@
+"""Stage 4 — alias canonicalization via connected components (G4).
+
+The reference canonicalizes implicitly: any mention that resolves to the same
+QID gets the same URI (src/graph.py:681), and acronym<->expansion equivalence
+flows through EntityRuler pattern ids (src/ner.py:64-79). We make that
+explicit and transitive (north_rule: "connected-components-based
+canonicalization collapses alias clusters"):
+
+alias edges:
+  - dictionary alias rows: alias entity_id <-> alias_of       (FIXTURES.md §2)
+  - per-doc acronyms: entity-key(abbr) <-> entity-key(expansion)
+  - linked mentions: entity-key(surface) <-> qid
+
+Connected components run as an iterative DataFrame hash-to-min ("CC on
+MapReduce", Rastogi et al.'s large-star/small-star family): every node adopts
+the minimum id in its neighborhood until a fixed point. Each iteration
+localCheckpoints to truncate lineage; alias clusters are tiny (2-5 nodes) so
+convergence is fast, and the loop is bounded.
+
+canonical_map: (member, canonical_id) where canonical_id = lexicographic min
+of the component — deterministic, cluster-stable, and QIDs sort before
+surface keys on the 'Q' prefix only coincidentally, so we explicitly prefer
+QID members when one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITER = 20
+
+
+def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+    """edges (src, dst) -> (member, component) via iterative min-label
+    propagation. Deterministic; component = min member id."""
+    nodes = (
+        edges.select(F.col("src").alias("member"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+        .withColumn("component", F.col("member"))
+    )
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src"))).distinct()
+    sym = sym.localCheckpoint()
+    labels = nodes.localCheckpoint()
+
+    for _ in range(max_iter):
+        # candidate label for each node: min over (own, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("member", "dst"), "dst")
+            .groupBy(F.col("src").alias("member"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "member", "left")
+            .select(
+                "member",
+                F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "member")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def build_alias_edges(
+    entity_dict: DataFrame, acronyms: DataFrame, linked: DataFrame
+) -> DataFrame:
+    """Assemble the alias graph. Node ids are canonicalization keys:
+    'qid::<id>' for dictionary entities, 'surf::<normalized surface>' for
+    unlinked surfaces."""
+    qid = lambda c: F.concat(F.lit("qid::"), F.col(c))
+    surf = lambda c: F.concat(F.lit("surf::"), F.lower(F.col(c)))
+
+    dict_edges = (
+        entity_dict.filter("is_alias")
+        .select(qid("entity_id").alias("src"), qid("alias_of").alias("dst"))
+    )
+    acro_edges = acronyms.select(
+        surf("abbr").alias("src"), surf("expansion").alias("dst")
+    )
+    link_edges = (
+        linked.filter(F.col("qid").isNotNull())
+        .select(surf("surface_norm").alias("src"), qid("qid").alias("dst"))
+        .distinct()
+    )
+    return dict_edges.unionByName(acro_edges).unionByName(link_edges)
+
+
+def canonical_map(
+    entity_dict: DataFrame, acronyms: DataFrame, linked: DataFrame
+) -> DataFrame:
+    """-> (member, canonical_id): every alias-graph member mapped to the
+    component representative. QID members win over surface members; ties
+    break on the lexicographic min (deterministic)."""
+    edges = build_alias_edges(entity_dict, acronyms, linked)
+    comp = connected_components(edges)
+    # representative: min qid:: member if any, else min member
+    rep = comp.groupBy("component").agg(
+        F.min(F.when(F.col("member").startswith("qid::"), F.col("member"))).alias("q_rep"),
+        F.min("member").alias("any_rep"),
+    )
+    return (
+        comp.join(rep, "component")
+        .select("member", F.coalesce("q_rep", "any_rep").alias("canonical_id"))
+    )
+
+
+def apply_canonicalization(linked: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Re-key linked mentions: a mention whose surface belongs to a component
+    containing a QID inherits that QID (e.g. unlinked 'STEP' joins its
+    expansion's entity). Adds canonical qid_c / rdf_safe_c columns."""
+    surf_key = F.concat(F.lit("surf::"), F.lower(F.col("surface_norm")))
+    out = (
+        linked.withColumn("_key", surf_key)
+        .join(F.broadcast(cmap).withColumnRenamed("member", "_key"), "_key", "left")
+    )
+    canon_qid = F.when(
+        F.col("canonical_id").startswith("qid::"),
+        F.expr("substring(canonical_id, 6, 1000)"),
+    )
+    return (
+        out.withColumn("qid_c", F.coalesce("qid", canon_qid))
+        .withColumn("rdf_safe_c", F.coalesce(F.col("qid_c"), F.col("rdf_safe")))
+        .drop("_key", "canonical_id")
+    )

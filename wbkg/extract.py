@@ -1,0 +1,428 @@
+"""Stage 2 — mention + acronym extraction (C2/C3/C4, P2/P3/P5).
+
+Replaces the reference's spaCy EntityRuler + scispacy AbbreviationDetector +
+LLM glossary parse (src/ner.py, src/acronyms.py, src/pipeline.py:57-95) with
+deterministic, Arrow-batched pandas UDFs:
+
+- C4 dictionary NER: an Aho-Corasick automaton over the broadcast pattern
+  dictionary (entity dict surfaces + per-doc acronym short/long forms + UNBIS
+  terms), case-insensitive with word boundaries, leftmost-longest
+  non-overlapping match — reproducing the spaCy EntityRuler's phrase-matcher
+  overwrite semantics (ref src/ner.py:57-99). Linear in text length, unlike
+  the reference's O(chunks x entities) containment scan (src/storage.py:201-210).
+- C2 inline acronyms: the Schwartz-Hearst algorithm (the same published
+  algorithm scispacy's AbbreviationDetector implements; ref
+  src/acronyms.py:111-122 harvests its output).
+- C3 glossary acronyms: deterministic surrogate for the LLM parse — detect
+  glossary chunks via header_path (ref src/acronyms.py:29-33 retrieves
+  'Abbreviations'-like sections) and regex-parse 'ABBR <sep> Definition'
+  lines.
+- A2 merge (primary=glossary wins, ref src/acronyms.py:125-147),
+  P5 clean (len>=2 + >=50% uppercase + html.unescape; reproduces the
+  reference's `11 > len(abbr) < 2` chained-comparison bug, which only
+  enforces the lower bound — src/acronyms.py:176),
+  P2 excluded-label filter (src/ner.py:20-22),
+  P3 SPARQL sanitize filter chain (src/utils.py:4-42).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import unicodedata
+from collections.abc import Iterator
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wbkg.schemas import ACRONYMS, MENTIONS
+
+EXCLUDED_ENTS = [  # ref src/ner.py:20-22
+    "DATE", "TIME", "PERCENT", "MONEY", "QUANTITY", "ORDINAL", "CARDINAL", "PERSON",
+]
+
+GLOSSARY_HEADER_RE = re.compile(r"(?i)abbreviation|acronym")
+# 'ABBR — Definition' | 'ABBR - Definition' | 'ABBR: Definition' | 'ABBR<TAB>Definition'
+GLOSSARY_LINE_RE = re.compile(
+    r"^\s*([A-Z][A-Za-z0-9&./-]{1,15})\s*(?:—|–|-{1,2}|:|\t)\s+(.+?)\s*$"
+)
+
+_WORD_CHAR_RE = re.compile(r"[\w]")
+
+
+def normalize_surface(s: str) -> str:
+    """lower + accent-fold + whitespace collapse (join key; cf. ref
+    src/graph.py:141-149 unidecode sanitize + src/linker.py:86 lowering)."""
+    s = unicodedata.normalize("NFKD", s)
+    s = "".join(c for c in s if not unicodedata.combining(c))
+    return " ".join(s.lower().split())
+
+
+def sanitize_for_sparql(entity: str) -> Optional[str]:
+    """Port of ref src/utils.py:4-42 (P3 filter chain), rule for rule."""
+    if not entity:
+        return None
+    entity = entity.strip()
+    entity = re.sub(r"[{}\\\\]", "", entity)
+    entity = re.sub(r"\s+", " ", entity)
+    if re.search(r"</?\w+>", entity):
+        return None
+    if re.fullmatch(r"[\d\W]+", entity):
+        return None
+    if len(re.sub(r"[^A-Za-z0-9]", "", entity)) < 2:
+        return None
+    if not any(ch.isalpha() for ch in entity):
+        return None
+    if len(entity) < 2 or len(entity) > 200:
+        return None
+    return entity.replace('"', '\\"')
+
+
+# --------------------------------------------------------------------------- #
+# Aho-Corasick automaton (C4)                                                  #
+# --------------------------------------------------------------------------- #
+
+
+class AhoCorasick:
+    """Case-insensitive multi-pattern matcher with word boundaries and
+    leftmost-longest non-overlapping selection.
+
+    Standard Aho-Corasick (public algorithm); built once per executor from the
+    broadcast pattern dict, reused across Arrow batches.
+    """
+
+    def __init__(self, patterns: Iterable[Tuple[str, str, str]]):
+        """patterns: (phrase, label, rule_id). Matching is on lowercase text."""
+        self.goto: List[Dict[str, int]] = [{}]
+        self.out: List[List[Tuple[int, str, str]]] = [[]]  # (pattern_len, label, rule_id)
+        self.fail: List[int] = [0]
+        seen = set()
+        for phrase, label, rule_id in patterns:
+            p = normalize_surface(phrase)
+            if not p or (p, label) in seen:
+                continue
+            seen.add((p, label))
+            node = 0
+            for ch in p:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    nxt = len(self.goto)
+                    self.goto[node][ch] = nxt
+                    self.goto.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                node = nxt
+            self.out[node].append((len(p), label, rule_id))
+        self._build_failure()
+
+    def _build_failure(self):
+        from collections import deque
+
+        q = deque()
+        for ch, nxt in self.goto[0].items():
+            self.fail[nxt] = 0
+            q.append(nxt)
+        while q:
+            r = q.popleft()
+            for ch, nxt in self.goto[r].items():
+                q.append(nxt)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0)
+                self.out[nxt] = self.out[nxt] + self.out[self.fail[nxt]]
+
+    def _raw_matches(self, text_lower: str) -> List[Tuple[int, int, str, str]]:
+        node = 0
+        matches = []
+        for i, ch in enumerate(text_lower):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for plen, label, rule_id in self.out[node]:
+                matches.append((i - plen + 1, i + 1, label, rule_id))
+        return matches
+
+    def find(self, text: str) -> List[Tuple[int, int, str, str]]:
+        """Boundary-checked, leftmost-longest, non-overlapping matches on the
+        normalized text. Returns (begin, end, label, rule_id) offsets into the
+        NORMALIZED text; callers slice the normalized text for surfaces."""
+        t = normalize_surface(text)
+        raw = self._raw_matches(t)
+        ok = []
+        n = len(t)
+        for b, e, label, rule_id in raw:
+            if b > 0 and _WORD_CHAR_RE.match(t[b - 1]) and _WORD_CHAR_RE.match(t[b]):
+                continue
+            if e < n and _WORD_CHAR_RE.match(t[e - 1]) and _WORD_CHAR_RE.match(t[e]):
+                continue
+            ok.append((b, e, label, rule_id))
+        # leftmost-longest non-overlapping (spaCy ents are non-overlapping;
+        # ruler longest-match wins)
+        ok.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+        selected = []
+        last_end = -1
+        for m in ok:
+            if m[0] >= last_end:
+                selected.append(m)
+                last_end = m[1]
+        return selected
+
+
+# --------------------------------------------------------------------------- #
+# Schwartz-Hearst inline acronym detection (C2)                                #
+# --------------------------------------------------------------------------- #
+
+_PAREN_RE = re.compile(r"\(([^()]{1,60})\)")
+
+
+def _valid_short_form(sf: str) -> bool:
+    sf = sf.strip()
+    if not (2 <= len(sf) <= 10):
+        return False
+    if not any(c.isalpha() for c in sf):
+        return False
+    if not (sf[0].isalnum()):
+        return False
+    if " " in sf and len(sf.split()) > 2:
+        return False
+    return True
+
+
+def _best_long_form(sf: str, preceding: str) -> Optional[str]:
+    """Schwartz & Hearst (PSB 2003) backward character-matching search."""
+    tokens = preceding.split()
+    max_words = min(len(sf) + 5, len(sf) * 2, len(tokens))
+    candidate_tokens = tokens[len(tokens) - max_words :]
+    long_form = " ".join(candidate_tokens)
+    s_idx = len(sf) - 1
+    l_idx = len(long_form) - 1
+    while s_idx >= 0:
+        c = sf[s_idx].lower()
+        if not c.isalnum():
+            s_idx -= 1
+            continue
+        while l_idx >= 0 and (
+            long_form[l_idx].lower() != c or (s_idx == 0 and l_idx > 0 and long_form[l_idx - 1].isalnum())
+        ):
+            l_idx -= 1
+        if l_idx < 0:
+            return None
+        l_idx -= 1
+        s_idx -= 1
+    # trim to token boundary
+    start = long_form.rfind(" ", 0, l_idx + 2) + 1
+    result = long_form[start:].strip()
+    if not result:
+        return None
+    if len(result.split()) > min(len(sf) + 5, len(sf) * 2):
+        return None
+    if result.lower() == sf.lower():
+        return None
+    return result
+
+
+def extract_inline_acronyms_py(text: str) -> Dict[str, str]:
+    """Find 'Long Form (SF)' patterns; returns {abbr: long_form}."""
+    found: Dict[str, str] = {}
+    for m in _PAREN_RE.finditer(text):
+        sf = m.group(1).strip()
+        if not _valid_short_form(sf):
+            continue
+        preceding = text[: m.start()].rsplit("\n", 1)[-1]
+        # limit to the current sentence
+        for sep in (". ", "! ", "? "):
+            idx = preceding.rfind(sep)
+            if idx >= 0:
+                preceding = preceding[idx + len(sep) :]
+        lf = _best_long_form(sf, preceding)
+        if lf:
+            found.setdefault(sf, lf)
+    return found
+
+
+# --------------------------------------------------------------------------- #
+# Glossary parsing (C3 deterministic surrogate)                                #
+# --------------------------------------------------------------------------- #
+
+
+def extract_glossary_acronyms_py(header_path: str, text: str) -> Dict[str, str]:
+    if not GLOSSARY_HEADER_RE.search(header_path or ""):
+        return {}
+    out: Dict[str, str] = {}
+    for line in text.splitlines():
+        m = GLOSSARY_LINE_RE.match(line)
+        if m:
+            out.setdefault(m.group(1), m.group(2))
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Acronym dict ops (A2/A3/P5)                                                  #
+# --------------------------------------------------------------------------- #
+
+
+def clean_acronyms_py(acros: Dict[str, str], min_upper_ratio: float = 0.5) -> Dict[str, str]:
+    """Port of ref src/acronyms.py:161-190 INCLUDING the chained-comparison
+    bug at :176 (`11 > len(abbr) < 2`), which only rejects len<2."""
+    cleaned = {}
+    for abbr, defn in acros.items():
+        if not abbr or len(abbr) < 2:
+            continue
+        num_upper = sum(1 for c in abbr if c.isupper())
+        if num_upper / len(abbr) < min_upper_ratio:
+            continue
+        cleaned[abbr] = _html.unescape(defn).strip()
+    return cleaned
+
+
+def merge_acronym_dicts_py(primary: Dict[str, str], detected: Dict[str, str]) -> Dict[str, str]:
+    """First-wins merge, primary priority (ref src/acronyms.py:125-147)."""
+    merged = dict(primary)
+    for abbr, definition in detected.items():
+        merged.setdefault(abbr, definition)
+    return merged
+
+
+def flip_acronyms_py(primary: Dict[str, str], detected: Dict[str, str]) -> Dict[str, str]:
+    """expansion -> abbr map (ref src/acronyms.py:150-158)."""
+    entities = {v: k for k, v in primary.items()}
+    for k, v in detected.items():
+        entities.setdefault(v, k)
+    return entities
+
+
+# --------------------------------------------------------------------------- #
+# Spark operators                                                              #
+# --------------------------------------------------------------------------- #
+
+
+def extract_acronyms(chunks_df: DataFrame) -> DataFrame:
+    """chunks -> per-doc acronym table (doc_id, abbr, expansion, source).
+
+    Two-phase: per-chunk detection inside mapInPandas (C2+C3), then a
+    groupBy(doc_id, abbr) first-wins merge with glossary priority (A2) done as
+    a relational agg — the merge is a distributed min_by, not a driver loop.
+    """
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, header_path, text in zip(pdf["doc_id"], pdf["header_path"], pdf["text"]):
+                # P5 clean (html.unescape + strip) applied at detection time;
+                # the relational filter below re-checks the bounds JVM-side
+                for abbr, exp in clean_acronyms_py(extract_glossary_acronyms_py(header_path, text)).items():
+                    rows.append({"doc_id": doc_id, "abbr": abbr, "expansion": exp, "source": "glossary"})
+                for abbr, exp in clean_acronyms_py(extract_inline_acronyms_py(text)).items():
+                    rows.append({"doc_id": doc_id, "abbr": abbr, "expansion": exp, "source": "inline"})
+            yield pd.DataFrame(rows, columns=[f.name for f in ACRONYMS.fields])
+
+    raw = chunks_df.select("doc_id", "header_path", "text").mapInPandas(detect, schema=ACRONYMS)
+
+    # P5 clean: len>=2 (reference bug: upper bound not enforced) + uppercase
+    # ratio >= 0.5 — pure Catalyst expressions, JVM-side
+    upper_cnt = F.length(F.regexp_replace(F.col("abbr"), r"[^A-Z]", ""))
+    cleaned = raw.filter(
+        (F.length("abbr") >= 2) & (upper_cnt / F.length("abbr") >= 0.5)
+    )
+
+    # A2 merge, glossary first-wins: min_by over (priority, expansion)
+    prio = F.when(F.col("source") == "glossary", F.lit(0)).otherwise(F.lit(1))
+    return (
+        cleaned.withColumn("_prio", prio)
+        .groupBy("doc_id", "abbr")
+        .agg(
+            F.min_by(F.struct("expansion", "source"), F.struct("_prio", "expansion")).alias("_w")
+        )
+        .select("doc_id", "abbr", F.col("_w.expansion").alias("expansion"), F.col("_w.source").alias("source"))
+    )
+
+
+def build_pattern_rows(
+    entity_rows: List[dict], unbis_rows: List[dict]
+) -> List[Tuple[str, str, str]]:
+    """Static (non-per-doc) pattern list for the Aho-Corasick automaton:
+    dictionary surfaces (label=DICT_<kind>, rule_id=entity_id) + UNBIS terms
+    (label=UNBIS_TERM, rule_id=href; ref src/ner.py:81-91)."""
+    pats: List[Tuple[str, str, str]] = []
+    for r in entity_rows:
+        pats.append((r["surface_norm"], f"DICT_{r['kind'].upper()}", r["entity_id"]))
+    for r in unbis_rows:
+        pats.append((r["term"], "UNBIS_TERM", r["href"]))
+    return pats
+
+
+def extract_mentions(
+    chunks_df: DataFrame,
+    acronyms_df: DataFrame,
+    pattern_rows: List[Tuple[str, str, str]],
+) -> DataFrame:
+    """chunks + per-doc acronyms -> MENTIONS.
+
+    The static dictionary automaton is broadcast once (executor-side build,
+    cached per worker). Per-doc acronym patterns (ACRONYM + ACRONYM_EXPANDED,
+    ref src/ner.py:57-79) are joined onto chunks as a grouped column and
+    matched with small per-doc automatons.
+
+    Scale note: the static automaton is size-bounded (dictionary ~10^5-10^6
+    entries) — the same broadcast pattern a real cluster would use; chunks
+    stream through mapInPandas with no shuffle. The acronym join shuffles by
+    doc_id only (acronym rows are tiny).
+    """
+    spark = chunks_df.sparkSession
+    sc = spark.sparkContext
+    bc_patterns = sc.broadcast(pattern_rows)
+
+    acro_by_doc = acronyms_df.groupBy("doc_id").agg(
+        F.collect_list(F.struct("abbr", "expansion")).alias("_acros")
+    )
+    enriched = chunks_df.select("doc_id", "chunk_id", "text").join(
+        acro_by_doc, "doc_id", "left"
+    )
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        static_ac = AhoCorasick(bc_patterns.value)
+        for pdf in batches:
+            rows = []
+            for doc_id, chunk_id, text, acros in zip(
+                pdf["doc_id"], pdf["chunk_id"], pdf["text"], pdf["_acros"]
+            ):
+                norm_text = normalize_surface(text)
+                matches = list(static_ac.find(text))
+                if acros is not None and len(acros):
+                    doc_pats = []
+                    for a in acros:
+                        ad = a if isinstance(a, dict) else a.asDict()
+                        doc_pats.append((ad["abbr"], "ACRONYM", ad["abbr"]))
+                        if ad["expansion"]:
+                            doc_pats.append((ad["expansion"], "ACRONYM_EXPANDED", ad["expansion"]))
+                    doc_ac = AhoCorasick(doc_pats)
+                    matches.extend(doc_ac.find(text))
+                # cross-automaton leftmost-longest non-overlap (ruler overwrite)
+                matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+                sel, last_end = [], -1
+                for m in matches:
+                    if m[0] >= last_end:
+                        sel.append(m)
+                        last_end = m[1]
+                for b, e, label, rule_id in sel:
+                    surf = norm_text[b:e]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_id": chunk_id,
+                            "surface": surf,
+                            "surface_norm": surf,
+                            "label": label,
+                            "rule_id": rule_id,
+                            "begin": b,
+                            "end": e,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MENTIONS.fields])
+
+    mentions = enriched.mapInPandas(match, schema=MENTIONS)
+    # P2: excluded-label filter (ref src/ner.py:101-104)
+    return mentions.filter(~F.col("label").isin(EXCLUDED_ENTS))

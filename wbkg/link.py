@@ -1,0 +1,118 @@
+"""Stage 3 — entity linking (J1/J2/J3, P4).
+
+The reference links mentions to Wikidata QIDs via per-row network calls with a
+JSON cache (src/linker.py:59-271). Here the lookup target is the canonical
+entity dictionary table (FIXTURES.md §2) and linking is a join:
+
+- J3 dedup-before-lookup: dropDuplicates on (surface_norm, label) before the
+  join — the relational form of the reference's seen-set (linker.py:66-90);
+  the per-(surface,type) result is then joined back to all mentions, exactly
+  like the reference's cache replays a result for every later occurrence.
+- J1 exact match: broadcast hash join against primary labels
+  (linker.py:152-181; LIMIT-1 tie-break -> deterministic row_number over
+  (is_alias, entity_id)).
+- J2 alias/fuzzy pass: the left-anti remainder joins against alias rows,
+  resolving alias_of — the dictionary-table analogue of wbsearchentities'
+  alias matching (linker.py:202-271; first-candidate-wins -> same
+  deterministic tie-break).
+- P4 rdf_safe: qid when linked, else URL-quoted sanitized surface
+  (src/ner.py:29-54).
+
+Skew (north_rule): surfaces are Zipfian ("World Bank" hubs). With a
+broadcastable dictionary there is NO shuffle at all — the hub key never
+concentrates on one reducer. When the dictionary exceeds the broadcast
+threshold, use strategy='salted': probe side gets salt=pmod(xxhash64(doc_id,
+chunk_id), N), build side is exploded xN, so a hub surface spreads over N
+reducers; AQE skew-join splitting stays on as the second line of defense.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from wbkg.extract import sanitize_for_sparql
+
+N_SALT = 16
+
+
+@F.pandas_udf(StringType())
+def rdf_safe_surface(surface: pd.Series) -> pd.Series:
+    """URI-safe id: quote(surface.replace(' ','_'))[:100] after the P3
+    sanitize chain (ref src/ner.py:29-43 + src/utils.py:4-42)."""
+
+    def safe(s):
+        if s is None:
+            return None
+        clean = sanitize_for_sparql(s)
+        if clean is None:
+            return None
+        return quote(clean.replace(" ", "_"))[:100]
+
+    return surface.map(safe)
+
+
+def _dedup_dict(entity_dict: DataFrame, alias_rows: bool) -> DataFrame:
+    """One row per surface_norm with a deterministic LIMIT-1 tie-break
+    (ref linker.py:174 LIMIT 1 / :251,271 first-candidate-wins)."""
+    side = entity_dict.filter(F.col("is_alias") == alias_rows)
+    w = Window.partitionBy("surface_norm").orderBy("entity_id")
+    resolved = F.coalesce("alias_of", "entity_id").alias("qid")
+    return (
+        side.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("surface_norm", resolved, F.col("kind").alias("qid_kind"))
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    entity_dict: DataFrame,
+    strategy: str = "broadcast",
+    n_salt: int = N_SALT,
+) -> DataFrame:
+    """MENTIONS -> LINKED (adds qid, rdf_safe)."""
+    primary = _dedup_dict(entity_dict, alias_rows=False)
+    aliases = _dedup_dict(entity_dict, alias_rows=True)
+
+    if strategy == "broadcast":
+        # J3: per-(surface, label) work list — the join probe is deduped,
+        # results are replayed onto all mentions by a broadcast equi-join
+        # (no shuffle anywhere; hub surfaces are one probe row each)
+        work = mentions.select("surface_norm", "label").dropDuplicates()
+        j1 = work.join(F.broadcast(primary), "surface_norm", "left")
+        matched = j1.filter(F.col("qid").isNotNull())
+        remainder = j1.filter(F.col("qid").isNull()).select("surface_norm", "label")
+        j2 = remainder.join(F.broadcast(aliases), "surface_norm", "left")
+        lookup = matched.unionByName(j2).select("surface_norm", "label", "qid")
+        linked = mentions.join(F.broadcast(lookup), ["surface_norm", "label"], "left")
+    elif strategy == "salted":
+        # Non-broadcastable dictionary path: shuffle join with explicit
+        # salting so Zipf-hub surfaces spread over n_salt reducers. The
+        # mention side gets a per-ROW salt (hash of its physical identity);
+        # the dictionary side is exploded xN so every salted probe key finds
+        # its build row.
+        salt = F.pmod(F.xxhash64("doc_id", "chunk_id", "begin"), F.lit(n_salt))
+        salted_mentions = mentions.withColumn("_salt", salt)
+        explode_salt = F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("_salt")
+        primary_x = primary.select("*", explode_salt)
+        aliases_x = aliases.select("*", explode_salt)
+        j1 = salted_mentions.join(primary_x, ["surface_norm", "_salt"], "left")
+        matched = j1.filter(F.col("qid").isNotNull())
+        rem = j1.filter(F.col("qid").isNull()).drop("qid", "qid_kind")
+        j2 = rem.join(aliases_x, ["surface_norm", "_salt"], "left")
+        linked = matched.unionByName(j2).drop("_salt")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    # P4: rdf_safe = qid else sanitized surface (ner.py:46-54); rows whose
+    # surface fails sanitization AND have no qid are dropped (ner.py:52 skip)
+    linked = linked.withColumn(
+        "rdf_safe", F.coalesce(F.col("qid"), rdf_safe_surface(F.col("surface")))
+    ).filter(F.col("rdf_safe").isNotNull())
+    return linked.select(
+        "doc_id", "chunk_id", "surface", "surface_norm", "label", "rule_id", "qid", "rdf_safe"
+    )
