@@ -1,0 +1,298 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, scale-ranked:
+
+- exact_dedup: md5 hash-groupBy — one shuffle on the hash, partial agg
+  map-side.
+- ngram_jaccard_pairs: word n-gram shingles -> explode -> shingle equi-join
+  -> pair-count / union-size jaccard. The shingle join is the classic
+  inverted-index trick: pairs only materialize for docs sharing a shingle.
+  A document-frequency cap drops ubiquitous shingles (the skew/explosion
+  guard — a stopword shingle would otherwise produce |df|^2 pairs).
+- minhash_lsh_pairs: k minhash signatures (vectorized numpy over Arrow
+  batches), banded LSH -> band-bucket equi-join for candidates -> exact
+  jaccard verify on candidates only. This is the 100 TB path: cost is
+  O(docs x k) + join on (band, bucket), never all-pairs.
+- simhash64: 64-bit simhash fingerprint; near-dups differ in <= 3 bits.
+  Banded into 4x16-bit keys for the same bucket-join pattern.
+- embedding_near_dup: cosine >= threshold pairs over normalized embeddings;
+  LSH (random hyperplane sign bits) buckets candidates, exact dot verifies.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    """Deterministic 63-bit string hash (python's builtin hash() is
+    process-seeded and would differ across executors)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big") >> 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """-> (keep_id, dup_count): representative (min id) per exact-text group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+        .select("keep_id", "dup_count")
+    )
+
+
+def shingles_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """word n-gram shingles via pure SQL expressions: slide a window over the
+    split array with transform(sequence(...)) — no Python."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """-> (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold."""
+    sh = shingles_df(df, text_col, id_col, n).persist()
+    # skew guard: drop shingles shared by too many docs (they contribute
+    # pairs quadratically but little discriminative signal)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    kept = sh.join(df_counts.filter(F.col("df_cnt") <= max_df), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_params(k: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """-> (doc_id, sig: array<long>) k-permutation minhash over word n-grams.
+    numpy-vectorized inside mapInPandas (Arrow batches)."""
+    a_coef, b_coef = _minhash_params(k, seed)
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").split()
+                if len(words) < n:
+                    grams = {" ".join(words)} if words else {""}
+                else:
+                    grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+                hv = np.fromiter(
+                    (_stable_hash64(g) for g in grams), dtype=np.int64, count=len(grams)
+                )
+                # (a*h + b) mod p for all k perms x all shingles, take min
+                sig = ((a_coef[:, None].astype(object) * hv[None, :] + b_coef[:, None]) % _MERSENNE).min(axis=1)
+                out_ids.append(doc_id)
+                out_sigs.append([int(x) for x in sig])
+            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        sig_batches, schema="doc_id long, sig array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """banded LSH candidate generation + signature-jaccard verify.
+    -> (doc_a, doc_b, sig_jaccard)."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n, seed).persist()
+
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sigs.select("doc_id", "sig", band_idx).select(
+        "doc_id",
+        "sig",
+        "band",
+        F.xxhash64(F.concat_ws(",", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band))).alias("bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return (
+        cand.withColumn("sig_jaccard", F.round(matches / F.lit(k), 4))
+        .filter(F.col("sig_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "sig_jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """-> (doc_id, simhash) 64-bit simhash over word tokens (numpy batched)."""
+
+    def sh_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").lower().split()
+                if not words:
+                    ids.append(doc_id)
+                    hashes.append(0)
+                    continue
+                hv = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big")
+                        for w in words
+                    ),
+                    dtype=np.uint64,
+                    count=len(words),
+                )
+                bitmat = ((hv[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+                v = (bitmat * 2 - 1).sum(axis=0)
+                sh = int(((v > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
+                ids.append(doc_id)
+                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)  # store as signed
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        sh_batches, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Band the 64-bit simhash into 4x16-bit keys (pigeonhole: <=3 differing
+    bits => at least one band identical) -> bucket join -> exact hamming
+    verify via bit_count(xor). -> (doc_a, doc_b, hamming)."""
+    sh = simhash64(df, text_col, id_col)
+    bands = []
+    for i in range(4):
+        bands.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """cosine >= threshold pairs. Random-hyperplane LSH buckets candidates
+    (near-identical vectors share all sign bits with high prob.), exact dot
+    product verifies. Vectors are assumed L2-normalized."""
+    dim_df = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"] if dim_df else 0
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+
+    def bucket_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "embedding": [], "bucket": []})
+                continue
+            mat = np.vstack(pdf[vec_col].values)
+            signs = (mat @ planes.T) > 0
+            buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].values, "embedding": list(pdf[vec_col].values), "bucket": buckets}
+            )
+
+    bucketed = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")).mapInPandas(
+        bucket_batches, schema=f"vec_id long, embedding array<float>, bucket long"
+    )
+    cand = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("cosine", F.round(dot, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cosine")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns.
+
+- brute_force_topk: exact cosine top-k against a query vector; score is a
+  pure Catalyst expression (zip_with + aggregate fold), ranking via
+  orderBy+limit (Spark's TakeOrdered — no global sort materialized).
+- lsh_topk: random-hyperplane LSH variant — probe only buckets within
+  `probe_bits` hamming distance of the query's bucket; exact re-score inside
+  the probed buckets. The 100 TB path: the scan prunes to |buckets probed| /
+  2^n_planes of the data (bucket is a persisted column -> partition/file
+  pruning on a real table).
+- ivf_topk: IVF-style variant — k-means-ish centroids sampled
+  deterministically, vectors assigned to nearest centroid at index time;
+  query probes the n_probe nearest centroids' lists only.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_expr(vec_col: str, query: Sequence[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine (vectors assumed normalized). Deterministic
+    tie-break on id."""
+    return (
+        emb.select(F.col(id_col), F.round(_dot_expr(vec_col, query), 4).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def add_lsh_bucket(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds the sign-bit bucket column (index build step)."""
+    first = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = first[0]["d"] if first else 0
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    cols = []
+    for i in range(n_planes):
+        cols.append(
+            F.when(_dot_expr(vec_col, planes[i].tolist()) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    bucket = cols[0]
+    for c in cols[1:]:
+        bucket = bucket + c
+    return emb.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_topk(
+    emb_bucketed: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the query bucket + all buckets within
+    probe_bits bit-flips, exact re-score inside."""
+    dim = len(query)
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    qsigns = (planes @ np.asarray(query, dtype=float)) > 0
+    qbucket = int((qsigns * (1 << np.arange(n_planes))).sum())
+    probes = {qbucket}
+    if probe_bits >= 1:
+        for i in range(n_planes):
+            probes.add(qbucket ^ (1 << i))
+    if probe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    pruned = emb_bucketed.filter(F.col("bucket").isin(*[int(b) for b in probes]))
+    return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def build_ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding", seed: int = 13
+) -> np.ndarray:
+    """Deterministic centroid selection: sample rows, one k-means++-ish
+    farthest-point sweep (driver-side over the small sample only)."""
+    sample = np.vstack(
+        [r[vec_col] for r in emb.select(vec_col).limit(max(n_centroids * 20, 256)).collect()]
+    )
+    rng = np.random.RandomState(seed)
+    cents = [sample[rng.randint(len(sample))]]
+    for _ in range(n_centroids - 1):
+        d = np.min(
+            [1.0 - sample @ c for c in cents], axis=0
+        )
+        cents.append(sample[int(np.argmax(d))])
+    return np.vstack(cents)
+
+
+def assign_ivf(emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Index build: nearest-centroid assignment via numpy matmul in
+    mapInPandas (one GEMM per Arrow batch)."""
+    from collections.abc import Iterator
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].values)
+            lists = (mat @ centroids.T).argmax(axis=1)
+            pdf = pdf.copy()
+            pdf["ivf_list"] = lists.astype("int32")
+            yield pdf
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields)
+    return emb.mapInPandas(assign, schema=f"{fields}, ivf_list int")
+
+
+def ivf_topk(
+    emb_assigned: DataFrame,
+    centroids: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = np.asarray(query, dtype=float)
+    order = np.argsort(-(centroids @ q))
+    probe = [int(x) for x in order[:n_probe]]
+    pruned = emb_assigned.filter(F.col("ivf_list").isin(probe))
+    return brute_force_topk(pruned, query, k, id_col, vec_col)

@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All of these are pure Catalyst expressions (JVM-side, whole-stage codegen) —
+no Python in the hot path. Each has a DuckDB-oracle twin in
+__spark_entry__.py.
+
+- language-ID: n-gram/stopword-hit heuristic (argmax over per-language
+  marker-word counts)
+- quality scoring: length / punctuation-ratio / stopword-ratio / mean word
+  length
+- token counting: whitespace + punctuation-aware regex split
+- document fingerprinting: rolling polynomial hash (Rabin-Karp style) over
+  normalized text, as a vectorized pandas UDF (integer math, Arrow-batched)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "for"]
+ES_MARKERS = ["el", "la", "de", "que", "los", "una"]
+FR_MARKERS = ["le", "les", "des", "une", "est", "dans"]
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def token_count(col):
+    """whitespace tokenization; BPE-ish variant counts word-pieces too."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def subword_count(col):
+    """BPE-ish proxy: split on whitespace AND common punctuation (explicit
+    char class so Java-regex and RE2 oracles agree)."""
+    return F.size(F.split(F.trim(col), r"[\s.,;:!?()]+"))
+
+
+def _marker_hits(col, words):
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic stopword-hit argmax across {en, es, fr}; 'und' when no
+    marker hits at all. Ties break on language-code order (en < es < fr)."""
+    c = F.col(text_col)
+    en, es, fr = (
+        _marker_hits(c, EN_STOPWORDS),
+        _marker_hits(c, ES_MARKERS),
+        _marker_hits(c, FR_MARKERS),
+    )
+    best = F.greatest(en, es, fr)
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens, punct_ratio, stop_ratio, mean_word_len, quality_ok."""
+    c = F.col(text_col)
+    n_tokens = token_count(c)
+    n_chars = F.length(c)
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    stop_hits = _marker_hits(c, EN_STOPWORDS)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
+    mean_word_len = F.round(
+        (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    quality_ok = (
+        (n_tokens >= 5)
+        & (punct_ratio < F.lit(0.2))
+        & (mean_word_len > F.lit(2.0))
+        & (mean_word_len < F.lit(12.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("quality_ok", quality_ok)
+    )
+
+
+@F.pandas_udf(LongType())
+def rolling_fingerprint(text: pd.Series) -> pd.Series:
+    """Rabin-Karp polynomial rolling hash of the whole normalized document
+    (base 257 mod 2^61-1). Deterministic 63-bit fingerprint; vectorized
+    batches, integer-only math."""
+
+    def fp(s):
+        if s is None:
+            return None
+        h = 0
+        for b in " ".join(s.lower().split()).encode("utf-8"):
+            h = (h * _BASE + b) % _MOD
+        return h
+
+    return text.map(fp)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", rolling_fingerprint(F.col(text_col)))
