@@ -1,0 +1,195 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode: runs the same KG-pipeline job on the same parquet input at
+local[8] and local[32], reports triples/sec at both plus scaling efficiency
+(throughput(32) / (4 x throughput(8))) and writes BENCH/BASELINE.md — the
+sandbox evidence for the N -> 4N-executor rule (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+BENCH_TMP = os.environ.get("WBKG_BENCH_TMP", "/tmp/wbkg_bench")
+
+
+def log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(n_docs: int) -> str:
+    return os.path.join(BENCH_TMP, f"docs_{n_docs}")
+
+
+def ensure_corpus(spark, n_docs: int) -> str:
+    """Materialize the synthetic interleaved corpus once as parquet so every
+    measured run reads identical input from disk."""
+    from wbkg.synth import gen_documents_df, gen_metadata_df
+
+    path = corpus_path(n_docs)
+    marker = os.path.join(path, "_SUCCESS_WBKG")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        gen_documents_df(spark, n_docs, partitions=max(CPUS * 4, 64)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "docs"))
+        gen_metadata_df(spark, n_docs).write.mode("overwrite").parquet(
+            os.path.join(path, "meta")
+        )
+        open(marker, "w").write("ok")
+    return path
+
+
+def run_kg_pipeline(spark, n_docs: int, path: str) -> dict:
+    """The measured job: read parquet corpus -> full pipeline -> count edges."""
+    from wbkg.extract import build_pattern_rows
+    from wbkg.pipeline import run_pipeline
+    from wbkg.synth import build_entity_dict_rows, build_unbis_rows, entity_dict_df
+
+    docs = spark.read.parquet(os.path.join(path, "docs"))
+    meta = spark.read.parquet(os.path.join(path, "meta"))
+    edict = entity_dict_df(spark, n_docs)
+    pats = build_pattern_rows(build_entity_dict_rows(n_docs), build_unbis_rows())
+    t0 = time.time()
+    res = run_pipeline(spark, docs, edict, pats, metadata_df=meta)
+    n_edges = res["edges"].count()
+    dt = time.time() - t0
+    for df in res.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return {"seconds": dt, "triples": n_edges, "triples_per_sec": n_edges / dt}
+
+
+def headline(sf_dir: str) -> dict:
+    from wbkg.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    sf = sf_from_dir(sf_dir)
+    n_docs = max(200, int(20000 * sf))
+
+    spark = get_spark("wbkg-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
+    path = ensure_corpus(spark, n_docs)
+
+    queries = {}
+    t_total0 = time.time()
+
+    log(f"[bench] kg_pipeline n_docs={n_docs}")
+    kg = run_kg_pipeline(spark, n_docs, path)
+    queries["kg_pipeline"] = round(kg["seconds"], 3)
+
+    qmap = entry_mod.queries()
+    for name in [
+        "a5_cooccurrence",
+        "a1_dedup_latest",
+        "w2_topk_similarity",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "text_quality",
+        "lang_id",
+        "token_count",
+        "g4_connected_components",
+        "w5_running_budget",
+    ]:
+        t0 = time.time()
+        n = qmap[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+        log(f"[bench] {name}: {n} rows in {queries[name]}s")
+
+    total = round(time.time() - t_total0, 3)
+    spark.stop()
+    return {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "kg_n_docs": n_docs,
+        "kg_triples": kg["triples"],
+        "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
+        "cpus": CPUS,
+    }
+
+
+def scaling(n_docs: int = 4000) -> dict:
+    from wbkg.session import get_spark
+
+    results = {}
+    # corpus build once (any session)
+    spark = get_spark("wbkg-corpus", master=f"local[{CPUS}]")
+    path = ensure_corpus(spark, n_docs)
+    spark.stop()
+
+    for cores in (8, 32):
+        spark = get_spark(
+            f"wbkg-scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2
+        )
+        run_kg_pipeline(spark, n_docs, path)  # warm-up (JIT, python workers)
+        best = None
+        for _ in range(2):
+            r = run_kg_pipeline(spark, n_docs, path)
+            if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
+                best = r
+        results[cores] = best
+        log(f"[scaling] local[{cores}]: {best['triples']} triples in "
+            f"{best['seconds']:.1f}s -> {best['triples_per_sec']:.0f}/s")
+        spark.stop()
+
+    eff = results[32]["triples_per_sec"] / (4 * results[8]["triples_per_sec"])
+    out = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "throughput_local8": round(results[8]["triples_per_sec"], 1),
+        "throughput_local32": round(results[32]["triples_per_sec"], 1),
+        "seconds_local8": round(results[8]["seconds"], 2),
+        "seconds_local32": round(results[32]["seconds"], 2),
+        "triples": results[32]["triples"],
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured scaling evidence (N -> 4N parallelism)\n\n"
+            "Same KG-pipeline job, same parquet input, two parallelism levels\n"
+            "(`local[8]` vs `local[32]`) — the sandbox stand-in for the\n"
+            "N -> 4N-executor cluster rule in BASELINE.json.\n\n"
+            f"| config | triples | wall (s) | triples/sec |\n|---|---|---|---|\n"
+            f"| local[8] | {results[8]['triples']} | {results[8]['seconds']:.2f} | {results[8]['triples_per_sec']:.0f} |\n"
+            f"| local[32] | {results[32]['triples']} | {results[32]['seconds']:.2f} | {results[32]['triples_per_sec']:.0f} |\n\n"
+            f"**Scaling efficiency** = throughput(32) / (4 x throughput(8)) = **{eff:.3f}**\n"
+            f"(target >= 0.8; corpus = {n_docs} synthetic interleaved docs, seed=42)\n"
+        )
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--scaling") + 1]) if len(sys.argv) > sys.argv.index("--scaling") + 1 and sys.argv[sys.argv.index("--scaling") + 1].isdigit() else 4000
+        print(json.dumps(scaling(n)))
+    else:
+        print(json.dumps(headline(SF_DIR)))

@@ -31,9 +31,18 @@ from pyspark.sql import functions as F
 MAX_ITER = 20
 
 
-def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = MAX_ITER, num_partitions: int | None = None
+) -> DataFrame:
     """edges (src, dst) -> (member, component) via iterative min-label
-    propagation. Deterministic; component = min member id."""
+    propagation. Deterministic; component = min member id.
+
+    num_partitions sizes the per-iteration shuffles. The alias graph is
+    vocabulary-bounded (distinct surfaces + dictionary), not corpus-bounded,
+    so it is orders of magnitude smaller than the mention stream — default to
+    a narrow shuffle; pass a larger value for genuinely huge graphs."""
+    if num_partitions is None:
+        num_partitions = 8
     nodes = (
         edges.select(F.col("src").alias("member"))
         .union(edges.select(F.col("dst")))
@@ -41,8 +50,8 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
         .withColumn("component", F.col("member"))
     )
     sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src"))).distinct()
-    sym = sym.localCheckpoint()
-    labels = nodes.localCheckpoint()
+    sym = sym.repartition(num_partitions, "dst").localCheckpoint()
+    labels = nodes.repartition(num_partitions, "member").localCheckpoint()
 
     for _ in range(max_iter):
         # candidate label for each node: min over (own, neighbors' labels)

@@ -110,9 +110,17 @@ def link_mentions(
         raise ValueError(f"unknown strategy {strategy!r}")
     # P4: rdf_safe = qid else sanitized surface (ner.py:46-54); rows whose
     # surface fails sanitization AND have no qid are dropped (ner.py:52 skip)
-    linked = linked.withColumn(
-        "rdf_safe", F.coalesce(F.col("qid"), rdf_safe_surface(F.col("surface")))
-    ).filter(F.col("rdf_safe").isNotNull())
+    # P4 rdf_safe on DISTINCT surfaces only (surfaces are Zipfian — the UDF
+    # would otherwise run on every mention row), then broadcast back
+    safe_map = (
+        mentions.select("surface")
+        .distinct()
+        .withColumn("_safe", rdf_safe_surface(F.col("surface")))
+    )
+    linked = linked.join(F.broadcast(safe_map), "surface", "left")
+    linked = linked.withColumn("rdf_safe", F.coalesce(F.col("qid"), F.col("_safe"))).filter(
+        F.col("rdf_safe").isNotNull()
+    )
     return linked.select(
         "doc_id", "chunk_id", "surface", "surface_norm", "label", "rule_id", "qid", "rdf_safe"
     )

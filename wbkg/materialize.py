@@ -176,9 +176,14 @@ def prepare_metadata(metadata: DataFrame) -> DataFrame:
     return meta
 
 
-def metadata_triples(metadata: DataFrame, entity_dict: DataFrame) -> DataFrame:
+def metadata_triples(
+    metadata: DataFrame, entity_dict: DataFrame, dedup: bool = True
+) -> DataFrame:
     """Document instances + P7 unpivot of extra columns + countries (J4) +
-    projects/trustfunds (J5/J6 zip-explode) + doc->entity links."""
+    projects/trustfunds (J5/J6 zip-explode) + doc->entity links.
+
+    dedup=False skips the union-distinct when the caller dedups downstream
+    anyway (avoids a double shuffle in the full pipeline)."""
     meta = prepare_metadata(metadata).cache()
     doc_uri = _uri(EX, F.lit("document/"), F.col("id"))
 
@@ -290,6 +295,11 @@ def metadata_triples(metadata: DataFrame, entity_dict: DataFrame) -> DataFrame:
             )
         )
 
+    if not dedup:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
     return union_distinct(*frames)
 
 

@@ -44,6 +44,10 @@ def run_pipeline(
         acronyms = acronyms.persist()
 
     mentions = extract_mentions(chunks, acronyms, pattern_rows)
+    if cache:
+        # link_mentions probes mentions multiple times (work list, safe_map,
+        # result join) — without a persist the Aho-Corasick scan would rerun
+        mentions = mentions.persist()
     linked = link_mentions(mentions, entity_dict_df, strategy=link_strategy)
     if cache:
         linked = linked.persist()
@@ -63,7 +67,7 @@ def run_pipeline(
 
     frames = [ent_edges, chk_edges]
     if metadata_df is not None:
-        frames.append(metadata_triples(metadata_df, entity_dict_df))
+        frames.append(metadata_triples(metadata_df, entity_dict_df, dedup=False))
     edges = union_distinct(*frames)
     if cache:
         edges = edges.persist()
