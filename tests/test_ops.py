@@ -1,0 +1,162 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees of the quiet forest"
+    )
+    rows = [
+        (1, base),
+        (2, base),                                        # exact dup of 1
+        (3, base.replace("quick", "fast")),               # near dup of 1
+        (4, "completely different text about spark sql engines and shuffles here today"),
+        (5, "another unrelated document mentioning databases and query optimizers only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    from wbkg.ops.dedup import exact_dedup
+
+    out = {r.keep_id: r.dup_count for r in exact_dedup(docs_with_dups).collect()}
+    assert out[1] == 2  # docs 1,2 collapse, min id kept
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard(spark, docs_with_dups):
+    from wbkg.ops.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh(spark, docs_with_dups):
+    from wbkg.ops.dedup import minhash_lsh_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.sig_jaccard for r in minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash(spark, docs_with_dups):
+    from wbkg.ops.dedup import simhash64, simhash_near_dup_pairs
+
+    h = {r.doc_id: r.simhash for r in simhash64(docs_with_dups).collect()}
+    assert h[1] == h[2]
+    # determinism across runs
+    h2 = {r.doc_id: r.simhash for r in simhash64(docs_with_dups).collect()}
+    assert h == h2
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_dup_pairs(docs_with_dups, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one word changed -> few bits differ
+
+
+def test_embedding_near_dup(spark):
+    from wbkg.ops.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    v1 = rng.randn(16)
+    v1 /= np.linalg.norm(v1)
+    v2 = v1 + 0.01 * rng.randn(16)
+    v2 /= np.linalg.norm(v2)
+    v3 = rng.randn(16)
+    v3 /= np.linalg.norm(v3)
+    emb = spark.createDataFrame(
+        [(1, v1.astype("float32").tolist()), (2, v2.astype("float32").tolist()), (3, v3.astype("float32").tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.vec_a, r.vec_b): r.cosine for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert (1, 3) not in pairs
+
+
+def test_similarity_lsh_vs_brute_force(spark):
+    from wbkg.ops.similarity import add_lsh_bucket, brute_force_topk, lsh_topk
+
+    # planted near-neighbors: 5 perturbations of the query among 200 randoms
+    rng = np.random.RandomState(3)
+    q = rng.randn(64)
+    q /= np.linalg.norm(q)
+    rows = []
+    for i in range(5):
+        v = q + 0.15 * rng.randn(64)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    for i in range(5, 205):
+        v = rng.randn(64)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = [r.vec_id for r in brute_force_topk(emb, q.tolist(), k=5).collect()]
+    assert set(exact) == {0, 1, 2, 3, 4}
+    bucketed = add_lsh_bucket(emb)
+    approx = [r.vec_id for r in lsh_topk(bucketed, q.tolist(), k=5, probe_bits=1).collect()]
+    # strong neighbors share (nearly) all sign bits with the query -> found
+    assert len(set(exact) & set(approx)) >= 4
+
+
+def test_ivf_topk(spark):
+    from wbkg.ops.similarity import assign_ivf, build_ivf_centroids, brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = build_ivf_centroids(emb, n_centroids=8)
+    assigned = assign_ivf(emb, cents)
+    assert assigned.count() == emb.count()
+    q = [1.0 if i % 3 == 0 else 0.2 for i in range(64)]
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=5).collect()]
+    approx = [r.vec_id for r in ivf_topk(assigned, cents, q, k=5, n_probe=4).collect()]
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_textops(spark):
+    from wbkg.ops.textops import fingerprint, lang_id, quality_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house went to the garden in peace"),
+            (2, "el gato de la casa que los perros una vez vieron"),
+            (3, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert langs[1] == "en" and langs[2] == "es" and langs[3] == "und"
+
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert q[1].quality_ok and q[1].n_tokens == 13
+    assert not q[3].quality_ok  # too few tokens
+
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    fp2 = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert fp == fp2 and len(set(fp.values())) == 3
+
+
+def test_multimodal_plumbing(spark):
+    from wbkg.ops.multimodal import extract_features, frame_sample, gen_media_df, resize_meta
+
+    media = gen_media_df(spark, docs=5)
+    feats = extract_features(media).collect()
+    assert len(feats) == media.count()
+    for r in feats:
+        assert len(r.feature) == 16
+        assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-3  # normalized
+
+    frames = frame_sample(media).collect()
+    assert all(r.frame_ms % 500 == 0 for r in frames)
+
+    rs = resize_meta(media, max_side=32).collect()
+    for r in rs:
+        assert max(r.target_w, r.target_h) <= 32
+
+
+def test_decode_stub_is_honest():
+    from wbkg.ops.multimodal import decode_unavailable
+
+    with pytest.raises(NotImplementedError):
+        decode_unavailable(b"payload")

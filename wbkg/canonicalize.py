@@ -53,21 +53,22 @@ def connected_components(
     sym = sym.repartition(num_partitions, "dst").localCheckpoint()
     labels = nodes.repartition(num_partitions, "member").localCheckpoint()
 
-    for _ in range(max_iter):
+    def step(lbl):
         # candidate label for each node: min over (own, neighbors' labels)
         neighbor_min = (
-            sym.join(labels.withColumnRenamed("member", "dst"), "dst")
+            sym.join(lbl.withColumnRenamed("member", "dst"), "dst")
             .groupBy(F.col("src").alias("member"))
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "member", "left")
-            .select(
-                "member",
-                F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
-            )
+        return lbl.join(neighbor_min, "member", "left").select(
+            "member",
+            F.least(F.col("component"), F.coalesce("n_comp", "component")).alias("component"),
         )
-        new_labels = new_labels.localCheckpoint()
+
+    # two propagation rounds per materialization/convergence check — halves
+    # the number of jobs (min-label needs diameter rounds; checks are jobs)
+    for _ in range(max(1, max_iter // 2)):
+        new_labels = step(step(labels)).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "member")

@@ -1,0 +1,168 @@
+"""Stage 6 — chunk co-occurrence graph + communities + summaries
+(G1/A5, G2, G3, C8, A6/A7/A8).
+
+Reference: src/summarize.py. The co-occurrence build is the reference's
+nested loop (entity -> all chunk pairs, weight += 1, :134-143) re-expressed
+as a self-join + hash aggregation. Hierarchical Leiden (:148-172, a
+randomized native library) is replaced by deterministic weighted label
+propagation — documented surrogate; community structure is checked at the
+structural level (determinism, sizes, connectivity), not id-for-id.
+
+Skew (SURVEY §4.4): hub entities ("World Bank") touch a large share of all
+chunks, making the self-join quadratic in the hub's chunk count. A
+per-entity chunk cap (deterministic: first N chunks by id) bounds the
+blow-up, mirroring the reference's max_cluster_size bound downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wbkg.materialize import EX, SCHEMA, RDF_TYPE, _lit_edges, _uri, _uri_edges
+
+DEFAULT_ENTITY_CHUNK_CAP = 200
+LP_MAX_ITER = 6
+
+
+def cooccurrence_edges(
+    linked: DataFrame, entity_chunk_cap: int = DEFAULT_ENTITY_CHUNK_CAP
+) -> DataFrame:
+    """linked mentions -> (src, dst, weight): chunk pairs sharing entities,
+    weight = number of shared entities (A5; ref summarize.py:134-143)."""
+    pairs = linked.select(
+        "chunk_id", F.coalesce("qid_c", "rdf_safe_c").alias("ent")
+    ).distinct()
+    w = Window.partitionBy("ent").orderBy("chunk_id")
+    capped = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= entity_chunk_cap)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, "ent")
+        .filter(F.col("a.chunk_id") < F.col("b.chunk_id"))
+        .groupBy(F.col("a.chunk_id").alias("src"), F.col("b.chunk_id").alias("dst"))
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame, max_iter: int = LP_MAX_ITER, num_partitions: int = 32
+) -> DataFrame:
+    """Deterministic synchronous weighted label propagation.
+
+    Each node adopts the label with the highest incident weight sum
+    (tie-break: smallest label). -> (chunk_id, community_id: long)."""
+    sym = (
+        edges.select("src", "dst", "weight")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+        .repartition(num_partitions, "src")
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+
+    # MONOTONE weighted label propagation: each node finds the label with the
+    # highest incident-weight sum among its neighbors (tie: smallest label)
+    # and adopts it ONLY if it is smaller than its current label. Labels only
+    # decrease, so the iteration provably converges (no synchronous-LP
+    # oscillation); weight-dominance still decides membership, so a weak
+    # bridge edge cannot pull a node out of its strongly-connected cluster.
+    for it in range(max_iter):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        pick = Window.partitionBy("node").orderBy(F.desc("w"), F.asc("label"))
+        candidate = (
+            neigh.withColumn("_rn", F.row_number().over(pick))
+            .filter("_rn = 1")
+            .select("node", F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(candidate, "node", "left")
+            .select("node", F.least(F.col("label"), F.coalesce("new_label", "label")).alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("chunk_id"),
+        F.abs(F.xxhash64("label")).alias("community_id"),
+    )
+
+
+def community_triples(communities: DataFrame) -> DataFrame:
+    """G3 (ref summarize.py:175-194): chunk isPartOf community + community
+    node triples."""
+    chunk_uri = _uri(EX, F.lit("chunk/"), F.col("chunk_id"))
+    comm_uri = _uri(EX, F.lit("community/"), F.col("community_id").cast("string"))
+    links = _uri_edges(communities, chunk_uri, SCHEMA + "isPartOf", comm_uri)
+    comms = communities.select(F.col("community_id").cast("string").alias("cid")).distinct()
+    cu = _uri(EX, F.lit("community/"), F.col("cid"))
+    typ = _uri_edges(comms, cu, RDF_TYPE, F.lit(SCHEMA + "Community"))
+    ident = _lit_edges(comms, cu, SCHEMA + "identifier", F.col("cid"))
+    name = _lit_edges(comms, cu, SCHEMA + "name", F.concat(F.lit("Community "), F.col("cid")))
+    return links.unionByName(typ).unionByName(ident).unionByName(name)
+
+
+def community_sizes_topk(communities: DataFrame, k: int = 10) -> DataFrame:
+    """A6 (ref summarize.py:168-170 Counter.most_common(10))."""
+    return (
+        communities.groupBy("community_id")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), "community_id")
+        .limit(k)
+    )
+
+
+def summarize_communities(
+    communities: DataFrame, chunks: DataFrame, max_tokens: int = 6000
+) -> DataFrame:
+    """C8 deterministic surrogate for the LLM summary (ref
+    summarize.py:197-244): within each community, take chunk texts in
+    chunk_id order under a running whitespace-token budget (A8/W5 cumsum;
+    ref :214-220 greedy stop), emit first sentence of the packed text.
+    -> (community_id, summary, n_chunks_used)."""
+    joined = communities.join(chunks.select("chunk_id", "text"), "chunk_id")
+    tok = F.size(F.split(F.col("text"), r"\s+"))
+    w = (
+        Window.partitionBy("community_id")
+        .orderBy("chunk_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budgeted = joined.withColumn("cum_tok", F.sum(tok).over(w)).filter(
+        F.col("cum_tok") < max_tokens
+    )
+    packed = budgeted.groupBy("community_id").agg(
+        F.count("*").alias("n_chunks_used"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_id", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("_joined"),
+    )
+    first_sentence = F.regexp_extract(F.col("_joined"), r"^(.*?[.!?])(\s|$)", 1)
+    summary = F.when(first_sentence != "", first_sentence).otherwise(
+        F.substring(F.col("_joined"), 1, 200)
+    )
+    return packed.select("community_id", summary.alias("summary"), "n_chunks_used")
+
+
+def summary_triples(summaries: DataFrame) -> DataFrame:
+    comm_uri = _uri(EX, F.lit("community/"), F.col("community_id").cast("string"))
+    return _lit_edges(summaries, comm_uri, SCHEMA + "abstract", F.col("summary"))

@@ -39,6 +39,29 @@ def _uri(ns: str, *parts) -> "F.Column":
     return F.concat(F.lit(ns), *parts)
 
 
+def _triple(subj, pred, obj, is_literal: bool, lang: str | None = None):
+    """One edge as a struct column — triple projections build an array of
+    these and explode ONCE, so a stage emits any number of triple kinds in a
+    single pass instead of one union branch per kind (narrow plans; one
+    codegen unit; one downstream dedup shuffle)."""
+    return F.struct(
+        subj.cast("string").alias("subj"),
+        (pred if not isinstance(pred, str) else F.lit(pred)).alias("pred"),
+        obj.cast("string").alias("obj"),
+        F.lit(is_literal).alias("obj_is_literal"),
+        F.lit(lang).cast("string").alias("lang"),
+    )
+
+
+def _explode_triples(df: DataFrame, *arrays) -> DataFrame:
+    arr = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+    return (
+        df.select(F.explode(arr).alias("t"))
+        .select("t.*")
+        .filter(F.col("obj").isNotNull() & F.col("subj").isNotNull())
+    )
+
+
 def _lit_edges(df: DataFrame, subj, pred: str, obj, lang: str | None = None) -> DataFrame:
     return df.select(
         subj.alias("subj"),
@@ -80,25 +103,29 @@ def entity_uri_col(qid_col: str, rdf_safe_col: str):
 
 
 def entity_triples(linked: DataFrame) -> DataFrame:
-    """linked mentions (canonicalized) -> C6 triples."""
-    base = linked.filter(
-        F.col("surface").isNotNull() & F.col("rdf_safe_c").isNotNull()
-    ).select(
-        entity_uri_col("qid_c", "rdf_safe_c").alias("ent_uri"),
-        "surface",
-        "label",
-        _uri(EX, F.lit("document/"), F.col("doc_id")).alias("doc_uri"),
+    """linked mentions (canonicalized) -> C6 triples.
+
+    One distinct (shrinks the Zipfian mention stream to unique
+    (doc, entity, surface, label) combos — the expensive dedup happens ONCE
+    here) then a single explode emitting all four triple kinds."""
+    base = (
+        linked.filter(F.col("surface").isNotNull() & F.col("rdf_safe_c").isNotNull())
+        .select(
+            entity_uri_col("qid_c", "rdf_safe_c").alias("ent_uri"),
+            "surface",
+            "label",
+            _uri(EX, F.lit("document/"), F.col("doc_id")).alias("doc_uri"),
+        )
+        .distinct()
     )
-    # dedupe early: triple emission is a projection; distinct happens in SO1,
-    # but pre-shrinking (doc,ent)/(ent,surface) pairs cuts the union width
-    typ = _uri_edges(base.select("ent_uri").distinct(), F.col("ent_uri"), RDF_TYPE, F.lit(SCHEMA + "Thing"))
-    name = _lit_edges(base.select("ent_uri", "surface").distinct(), F.col("ent_uri"), SCHEMA + "name", F.col("surface"))
-    addl = _lit_edges(
-        base.filter(F.col("label").isNotNull()).select("ent_uri", "label").distinct(),
-        F.col("ent_uri"), SCHEMA + "additionalType", F.col("label"),
+    ent = F.col("ent_uri")
+    arr = F.array(
+        _triple(ent, RDF_TYPE, F.lit(SCHEMA + "Thing"), False),
+        _triple(ent, SCHEMA + "name", F.col("surface"), True),
+        _triple(ent, SCHEMA + "additionalType", F.col("label"), True),
+        _triple(F.col("doc_uri"), SCHEMA + "mentions", ent, False),
     )
-    mentions = _uri_edges(base.select("doc_uri", "ent_uri").distinct(), F.col("doc_uri"), SCHEMA + "mentions", F.col("ent_uri"))
-    return typ.unionByName(name).unionByName(addl).unionByName(mentions)
+    return _explode_triples(base, arr)
 
 
 # --------------------------------------------------------------------------- #
@@ -112,10 +139,13 @@ def chunk_triples(chunks: DataFrame, linked: DataFrame, typed_entities: DataFram
     chunk_uri = _uri(EX, F.lit("chunk/"), F.col("chunk_id"))
     doc_uri = _uri(EX, F.lit("document/"), F.col("doc_id"))
     base = chunks.select(chunk_uri.alias("chunk_uri"), doc_uri.alias("doc_uri"), "text")
-
-    typ = _uri_edges(base, F.col("chunk_uri"), RDF_TYPE, F.lit(SCHEMA + "TextObject"))
-    txt = _lit_edges(base, F.col("chunk_uri"), SCHEMA + "text", F.col("text"))
-    part = _uri_edges(base, F.col("chunk_uri"), SCHEMA + "isPartOf", F.col("doc_uri"))
+    cu = F.col("chunk_uri")
+    node_arr = F.array(
+        _triple(cu, RDF_TYPE, F.lit(SCHEMA + "TextObject"), False),
+        _triple(cu, SCHEMA + "text", F.col("text"), True),
+        _triple(cu, SCHEMA + "isPartOf", F.col("doc_uri"), False),
+    )
+    nodes = _explode_triples(base, node_arr)
 
     pairs = linked.select(
         _uri(EX, F.lit("chunk/"), F.col("chunk_id")).alias("chunk_uri"),
@@ -125,7 +155,7 @@ def chunk_triples(chunks: DataFrame, linked: DataFrame, typed_entities: DataFram
         typed_entities.select(F.col("uri").alias("ent_uri")), "ent_uri", "left_semi"
     )
     men = _uri_edges(gated, F.col("chunk_uri"), SCHEMA + "mentions", F.col("ent_uri"))
-    return typ.unionByName(txt).unionByName(part).unionByName(men)
+    return nodes.unionByName(men)
 
 
 # --------------------------------------------------------------------------- #
@@ -187,25 +217,40 @@ def metadata_triples(
     meta = prepare_metadata(metadata).cache()
     doc_uri = _uri(EX, F.lit("document/"), F.col("id"))
 
-    # --- document instances (graph.py:482-510; primary_key=True path) ---
+    # --- document instances (graph.py:482-510; primary_key=True path) +
+    # --- P7 extra-column props (graph.py:459-468) + J4/J5 doc->entity links
+    # --- (graph.py:546-642) — ONE exploded projection over the doc row
     docs = meta.filter(F.col("id").isNotNull())
-    frames = [
-        _uri_edges(docs, doc_uri, RDF_TYPE, F.lit(EX + "document")),
-        _lit_edges(docs, doc_uri, SCHEMA + "identifier", F.col("id")),
-        _lit_edges(
-            docs.filter(F.col("display_title").isNotNull()),
-            doc_uri, SCHEMA + "name", F.col("display_title"), lang="en",
-        ),
-    ]
-    # P7: extra columns -> schema.org props (graph.py:459-468)
-    for col_name in ["pdfurl", "last_modified_date", "docty", "owner"]:
-        prop = COLUMN_TO_SCHEMA.get(col_name, col_name)
-        frames.append(
-            _lit_edges(
-                docs.filter(F.col(col_name).isNotNull()),
-                doc_uri, SCHEMA + prop, F.col(col_name),
-            )
+    du = doc_uri
+    static_arr = F.array(
+        _triple(du, RDF_TYPE, F.lit(EX + "document"), False),
+        _triple(du, SCHEMA + "identifier", F.col("id"), True),
+        _triple(du, SCHEMA + "name", F.col("display_title"), True, lang="en"),
+        _triple(du, SCHEMA + "url", F.col("pdfurl"), True),
+        _triple(du, SCHEMA + "dateModified", F.col("last_modified_date"), True),
+        _triple(du, SCHEMA + "genre", F.col("docty"), True),
+        _triple(du, SCHEMA + "creator", F.col("owner"), True),
+        _triple(du, SCHEMA + "countryOfOrigin", _uri(EX, F.lit("country/"), F.col("count")), False),
+    )
+
+    def link_arr(id_col: str, pred: str, ref: str):
+        return F.transform(
+            F.split(F.coalesce(F.col(id_col), F.lit("")), ","),
+            lambda x: _triple(
+                du,
+                SCHEMA + pred,
+                F.when(F.trim(x) != "", F.concat(F.lit(EX + ref + "/"), F.trim(x))),
+                False,
+            ),
         )
+
+    doc_frame = _explode_triples(
+        docs,
+        static_arr,
+        link_arr("projectid", "isPartOf", "project"),
+        link_arr("trustfund_key", "funder", "trustfund"),
+    )
+    frames = [doc_frame]
     # class triples (graph.py:422-426, 229-231)
     spark = metadata.sparkSession
     cls = spark.createDataFrame(
@@ -237,63 +282,54 @@ def metadata_triples(
         F.broadcast(cdict), F.lower(F.col("label")) == F.col("surface_norm"), "left"
     )
     c_uri = _uri(EX, F.lit("country/"), F.col("ckey"))
-    frames.append(_uri_edges(countries, c_uri, RDF_TYPE, F.lit(SCHEMA + "Country")))
-    frames.append(_lit_edges(countries, c_uri, SCHEMA + "name", F.col("label"), lang="en"))
-    frames.append(
-        _uri_edges(
-            countries.filter(F.col("cqid").isNotNull()),
-            c_uri, SCHEMA + "sameAs", _uri(WD, F.col("cqid")),
-        )
+    country_arr = F.array(
+        _triple(c_uri, RDF_TYPE, F.lit(SCHEMA + "Country"), False),
+        _triple(c_uri, SCHEMA + "name", F.col("label"), True, lang="en"),
+        _triple(
+            c_uri,
+            SCHEMA + "sameAs",
+            F.when(F.col("cqid").isNotNull(), F.concat(F.lit(WD), F.col("cqid"))),
+            False,
+        ),
     )
+    frames.append(_explode_triples(countries, country_arr))
 
-    # --- projects & trustfunds (J6 arrays_zip + explode; graph.py:513-543) ---
+    # --- projects & trustfunds (J6 arrays_zip + explode; graph.py:513-543):
+    # --- one union of both kinds -> one groupBy -> one exploded projection
+    zipped_parts = []
     for name_col, id_col, ref in [("projn", "projectid", "project"), ("trustfund", "trustfund_key", "trustfund")]:
-        zipped = (
+        zipped_parts.append(
             meta.filter(F.col(id_col).isNotNull() & F.col(name_col).isNotNull())
             .select(
+                F.lit(ref).alias("ref"),
                 F.explode(
                     F.arrays_zip(
                         F.split(id_col, ",").alias("ids"),
                         F.split(name_col, ",").alias("names"),
                     )
-                ).alias("z")
+                ).alias("z"),
             )
             .select(
+                "ref",
                 F.trim(F.col("z.ids")).alias("eid"),
                 F.trim(F.col("z.names")).alias("ename"),
             )
             .filter((F.col("eid") != "") & F.col("eid").isNotNull() & (F.col("ename") != ""))
-            # dict/zip semantics of the reference: last name wins per id
-            .groupBy("eid").agg(F.max("ename").alias("ename"))
         )
-        e_uri = _uri(EX, F.lit(f"{ref}/"), F.col("eid"))
-        frames.append(_uri_edges(zipped, e_uri, RDF_TYPE, F.lit(EX + ref)))
-        frames.append(_lit_edges(zipped, e_uri, SCHEMA + "name", F.col("ename"), lang="en"))
-        frames.append(_lit_edges(zipped, e_uri, SCHEMA + "identifier", F.col("eid")))
-
-    # --- doc->entity links (J4 single, J5 multi explode; graph.py:546-642) ---
-    link_doc_uri = _uri(EX, F.lit("document/"), F.col("id"))
-    # J4 doc -> country
-    j4 = meta.filter(F.col("count").isNotNull() & F.col("id").isNotNull())
-    frames.append(
-        _uri_edges(j4, link_doc_uri, SCHEMA + "countryOfOrigin", _uri(EX, F.lit("country/"), F.col("count")))
+    zipped = (
+        zipped_parts[0]
+        .unionByName(zipped_parts[1])
+        # dict/zip semantics of the reference: a deterministic winner per id
+        .groupBy("ref", "eid")
+        .agg(F.max("ename").alias("ename"))
     )
-    # J5 doc -> projects / trustfunds (comma explode)
-    for id_col, pred, ref in [("projectid", "isPartOf", "project"), ("trustfund_key", "funder", "trustfund")]:
-        ex_df = (
-            meta.filter(F.col(id_col).isNotNull() & F.col("id").isNotNull())
-            .select("id", F.explode(F.split(id_col, ",")).alias("eid"))
-            .withColumn("eid", F.trim("eid"))
-            .filter(F.col("eid") != "")
-        )
-        frames.append(
-            _uri_edges(
-                ex_df,
-                _uri(EX, F.lit("document/"), F.col("id")),
-                SCHEMA + pred,
-                _uri(EX, F.lit(f"{ref}/"), F.col("eid")),
-            )
-        )
+    e_uri = F.concat(F.lit(EX), F.col("ref"), F.lit("/"), F.col("eid"))
+    ent_arr = F.array(
+        _triple(e_uri, RDF_TYPE, F.concat(F.lit(EX), F.col("ref")), False),
+        _triple(e_uri, SCHEMA + "name", F.col("ename"), True, lang="en"),
+        _triple(e_uri, SCHEMA + "identifier", F.col("eid"), True),
+    )
+    frames.append(_explode_triples(zipped, ent_arr))
 
     if not dedup:
         out = frames[0]

@@ -214,8 +214,12 @@ def _sentence(rng: random.Random, mentionables: List[str]) -> str:
     return ". ".join(parts) + "."
 
 
-def gen_doc(doc_idx: int, n_docs: int, seed: int = SEED) -> dict:
-    """Pure, deterministic single-document generator (shared with oracle)."""
+def gen_doc(doc_idx: int, n_docs: int, seed: int = SEED, weight: int = 1) -> dict:
+    """Pure, deterministic single-document generator (shared with oracle).
+
+    weight multiplies the section count — weight=8 yields ~120KB documents
+    (real World Bank PADs are 100+ pages), used by the scaling benchmark so
+    per-document compute dominates fixed overhead."""
     rng = random.Random((seed << 20) ^ doc_idx)
     doc_id = f"D{doc_idx:07d}"
 
@@ -251,7 +255,7 @@ def gen_doc(doc_idx: int, n_docs: int, seed: int = SEED) -> dict:
         lines = [f"{abbr} — {exp}" for abbr, exp in doc_acros]
         add("text", "\n".join(lines))
 
-    n_sections = rng.randint(2, 5)
+    n_sections = rng.randint(2, 5) * weight
     for s_i in range(n_sections):
         level = 1 if s_i == 0 or rng.random() < 0.4 else rng.randint(2, 3)
         add("header", f"{level}|Section {doc_idx}.{s_i}")
@@ -316,7 +320,11 @@ def gen_metadata_row(doc_idx: int, n_docs: int, seed: int = SEED) -> List[dict]:
 
 
 def gen_documents_df(
-    spark: SparkSession, n_docs: int, seed: int = SEED, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = SEED,
+    partitions: int | None = None,
+    weight: int = 1,
 ) -> DataFrame:
     partitions = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
 
@@ -324,7 +332,7 @@ def gen_documents_df(
         for pdf in batches:
             rows = []
             for doc_idx in pdf["id"]:
-                d = gen_doc(int(doc_idx), n_docs, seed)
+                d = gen_doc(int(doc_idx), n_docs, seed, weight)
                 rows.append({"doc_id": d["doc_id"], "spans": d["spans"]})
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
