@@ -86,7 +86,7 @@ def test_similarity_lsh_vs_brute_force(spark):
     q /= np.linalg.norm(q)
     rows = []
     for i in range(5):
-        v = q + 0.15 * rng.randn(64)
+        v = q + 0.05 * rng.randn(64)
         rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
     for i in range(5, 205):
         v = rng.randn(64)
