@@ -129,7 +129,7 @@ def test_textops(spark):
     assert langs[1] == "en" and langs[2] == "es" and langs[3] == "und"
 
     q = {r.doc_id: r for r in quality_score(docs).collect()}
-    assert q[1].quality_ok and q[1].n_tokens == 13
+    assert q[1].quality_ok and q[1].n_tokens == 14
     assert not q[3].quality_ok  # too few tokens
 
     fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
