@@ -354,6 +354,147 @@ def build_pattern_rows(
     return pats
 
 
+def _detect_doc_acronyms(chunks: List[dict]) -> Dict[str, Tuple[str, str]]:
+    """Per-doc acronym dict {abbr: (expansion, source)} — C2+C3 detection,
+    P5 clean, A2 glossary-first merge, all in one pure pass (the in-UDF twin
+    of extract_acronyms' relational agg; identical semantics)."""
+    found: Dict[str, Tuple[int, str, str]] = {}
+    for c in chunks:
+        for prio, src_name, det in (
+            (0, "glossary", extract_glossary_acronyms_py(c["header_path"], c["text"])),
+            (1, "inline", extract_inline_acronyms_py(c["text"])),
+        ):
+            for abbr, exp in clean_acronyms_py(det).items():
+                cand = (prio, exp, src_name)
+                if abbr not in found or cand < found[abbr]:
+                    found[abbr] = cand
+    return {abbr: (exp, src) for abbr, (prio, exp, src) in found.items()}
+
+
+def _match_chunk(text: str, static_ac: "AhoCorasick", doc_ac) -> List[tuple]:
+    """Merged leftmost-longest matches from the static + per-doc automata,
+    returning (begin, end, label, rule_id, surface) on the normalized text."""
+    norm_text = normalize_surface(text)
+    matches = list(static_ac.find(text))
+    if doc_ac is not None:
+        matches.extend(doc_ac.find(text))
+    matches.sort(key=lambda m: (m[0], -(m[1] - m[0])))
+    sel, last_end = [], -1
+    for m in matches:
+        if m[0] >= last_end:
+            sel.append(m)
+            last_end = m[1]
+    return [(b, e, label, rid, norm_text[b:e]) for b, e, label, rid in sel]
+
+
+FUSED_SCHEMA = (
+    "doc_id string, chunk_id string, chunk_idx int, text string, header_path string, "
+    "prev_id string, next_id string, "
+    "acronyms array<struct<abbr:string,expansion:string,source:string>>, "
+    "mentions array<struct<surface:string,surface_norm:string,label:string,"
+    "rule_id:string,begin:int,end:int>>"
+)
+
+
+def chunk_and_extract(
+    docs_df: DataFrame,
+    pattern_rows: List[Tuple[str, str, str]],
+    chunk_size: int | None = None,
+    chunk_overlap: int | None = None,
+) -> DataFrame:
+    """Fused stage 1+2: spans -> chunks + per-doc acronyms + per-chunk
+    mentions in ONE mapInPandas pass — zero shuffles until the linking join.
+
+    The input row already holds the whole document, so chunking, acronym
+    detection (which needs all chunks of a doc) and mention matching are
+    embarrassingly parallel here; the unfused operators (chunk_documents /
+    extract_acronyms / extract_mentions) would shuffle every chunk's text by
+    doc_id just to co-locate acronyms with chunks. Acronyms ride on the
+    chunk_idx==0 row; mentions ride nested per chunk; downstream tables are
+    cheap selects/explodes.
+    """
+    from wbkg.chunker import DEFAULT_CHUNK_OVERLAP, DEFAULT_CHUNK_SIZE, chunk_spans_py
+
+    cs = chunk_size or DEFAULT_CHUNK_SIZE
+    co = chunk_overlap or DEFAULT_CHUNK_OVERLAP
+    spark = docs_df.sparkSession
+    bc_patterns = spark.sparkContext.broadcast(pattern_rows)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        static_ac = AhoCorasick(bc_patterns.value)
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if spans is None:
+                    spans = []
+                span_dicts = [s if isinstance(s, dict) else s.asDict() for s in spans]
+                chunks = chunk_spans_py(span_dicts, cs, co)
+                acros = _detect_doc_acronyms(chunks)
+                doc_pats = []
+                for abbr, (exp, _src) in acros.items():
+                    doc_pats.append((abbr, "ACRONYM", abbr))
+                    if exp:
+                        doc_pats.append((exp, "ACRONYM_EXPANDED", exp))
+                doc_ac = AhoCorasick(doc_pats) if doc_pats else None
+                n = len(chunks)
+                acro_list = [
+                    {"abbr": a, "expansion": e, "source": s} for a, (e, s) in acros.items()
+                ]
+                for c in chunks:
+                    i = c["chunk_idx"]
+                    ments = [
+                        {
+                            "surface": surf,
+                            "surface_norm": surf,
+                            "label": label,
+                            "rule_id": rid,
+                            "begin": b,
+                            "end": e,
+                        }
+                        for b, e, label, rid, surf in _match_chunk(c["text"], static_ac, doc_ac)
+                    ]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_id": f"{doc_id}_chunk_{i}",
+                            "chunk_idx": i,
+                            "text": c["text"],
+                            "header_path": c["header_path"],
+                            "prev_id": f"{doc_id}_chunk_{i - 1}" if i > 0 else None,
+                            "next_id": f"{doc_id}_chunk_{i + 1}" if i < n - 1 else None,
+                            "acronyms": acro_list if i == 0 else [],
+                            "mentions": ments,
+                        }
+                    )
+            cols = ["doc_id", "chunk_id", "chunk_idx", "text", "header_path",
+                    "prev_id", "next_id", "acronyms", "mentions"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs_df.select("doc_id", "spans").mapInPandas(fused, schema=FUSED_SCHEMA)
+
+
+def chunks_from_fused(fused: DataFrame) -> DataFrame:
+    return fused.select(
+        "doc_id", "chunk_id", "chunk_idx", "text", "header_path", "prev_id", "next_id"
+    )
+
+
+def acronyms_from_fused(fused: DataFrame) -> DataFrame:
+    return (
+        fused.filter(F.col("chunk_idx") == 0)
+        .select("doc_id", F.explode("acronyms").alias("a"))
+        .select("doc_id", "a.abbr", "a.expansion", "a.source")
+    )
+
+
+def mentions_from_fused(fused: DataFrame) -> DataFrame:
+    m = fused.select("doc_id", "chunk_id", F.explode("mentions").alias("m")).select(
+        "doc_id", "chunk_id", "m.surface", "m.surface_norm", "m.label", "m.rule_id",
+        "m.begin", "m.end",
+    )
+    return m.filter(~F.col("label").isin(EXCLUDED_ENTS))
+
+
 def extract_mentions(
     chunks_df: DataFrame,
     acronyms_df: DataFrame,

@@ -13,8 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wbkg.canonicalize import apply_canonicalization, canonical_map
-from wbkg.chunker import chunk_documents
-from wbkg.extract import build_pattern_rows, extract_acronyms, extract_mentions
 from wbkg.link import link_mentions
 from wbkg.materialize import (
     RDF_TYPE,
@@ -35,19 +33,23 @@ def run_pipeline(
     link_strategy: str = "broadcast",
     cache: bool = True,
 ) -> Dict[str, DataFrame]:
-    chunks = chunk_documents(docs_df)
-    if cache:
-        chunks = chunks.persist()
+    # fused stage 1+2: one mapInPandas pass produces chunks, per-doc
+    # acronyms and per-chunk mentions with zero shuffles (see
+    # extract.chunk_and_extract); the unfused operators remain available for
+    # incremental/streaming use
+    from wbkg.extract import (
+        acronyms_from_fused,
+        chunk_and_extract,
+        chunks_from_fused,
+        mentions_from_fused,
+    )
 
-    acronyms = extract_acronyms(chunks)
+    fused = chunk_and_extract(docs_df, pattern_rows)
     if cache:
-        acronyms = acronyms.persist()
-
-    mentions = extract_mentions(chunks, acronyms, pattern_rows)
-    if cache:
-        # link_mentions probes mentions multiple times (work list, safe_map,
-        # result join) — without a persist the Aho-Corasick scan would rerun
-        mentions = mentions.persist()
+        fused = fused.persist()
+    chunks = chunks_from_fused(fused)
+    acronyms = acronyms_from_fused(fused)
+    mentions = mentions_from_fused(fused)
     linked = link_mentions(mentions, entity_dict_df, strategy=link_strategy)
     if cache:
         linked = linked.persist()
