@@ -227,6 +227,49 @@ def q_j9_self_join(spark, sf_dir):
     return urgent.join(done, "o_custkey").select("o_custkey", "urgent_order", "finished_order")
 
 
+def q_j8_semi_join(spark, sf_dir):
+    """J8 — left SEMI join gate (ref src/graph.py:747: link only if entity
+    already typed): lineitems whose part is a large part."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = _read(spark, sf_dir, "part").filter(F.col("p_size") > 40).select("p_partkey")
+    return (
+        li.join(big, li.l_partkey == big.p_partkey, "left_semi")
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+def q_so2_anti_join(spark, sf_dir):
+    """SO2 — already-done exclusion as left ANTI join (ref
+    src/storage.py:267-284 existing-ids set difference): customers with no
+    orders."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_g2_label_propagation(spark, sf_dir):
+    """G2 — monotone weighted label propagation on the nation-chain graph
+    (converges to per-region min on chains; ref src/summarize.py:148-172
+    surrogate)."""
+    from wbkg.communities import label_propagation
+    from pyspark.sql import Window as W
+
+    n = _read(spark, sf_dir, "nation")
+    w = W.partitionBy("n_regionkey").orderBy("n_nationkey")
+    key = lambda c: F.concat(F.lit("n"), F.lpad(F.col(c).cast("string"), 5, "0"))
+    chain = (
+        n.withColumn("nxt", F.lead("n_nationkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(key("n_nationkey").alias("src"), key("nxt").alias("dst"), F.lit(1).alias("weight"))
+    )
+    lp = label_propagation(chain)
+    # map hashed community ids back to member labels for the oracle: emit
+    # (member, community_size) which is hash-free
+    return lp.groupBy("community_id").agg(F.count("*").alias("community_size")).select(
+        "community_size"
+    )
+
+
 def q_so1_union_distinct(spark, sf_dir):
     """SO1 — union-distinct set semantics (rdflib triple set; ref every
     g.add)."""
@@ -422,8 +465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_explode_links": q_j5_explode_links,
         "j6_zip_explode": q_j6_zip_explode,
         "j7_contains_join": q_j7_contains_join,
+        "j8_semi_join": q_j8_semi_join,
         "j9_self_join": q_j9_self_join,
         "so1_union_distinct": q_so1_union_distinct,
+        "so2_anti_join": q_so2_anti_join,
+        "g2_label_propagation": q_g2_label_propagation,
         "p1_sanitize": q_p1_sanitize,
         "p2_p3_filter_chain": q_p2_p3_filter_chain,
         "w2_topk_similarity": q_w2_topk_similarity,
@@ -512,6 +558,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') u
             JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'F') f
               USING (o_custkey)
+        """,
+        "j8_semi_join": """
+            SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 40)
+        """,
+        "so2_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "g2_label_propagation": """
+            SELECT count(*)::BIGINT AS community_size
+            FROM nation GROUP BY n_regionkey HAVING count(*) > 1
         """,
         "so1_union_distinct": """
             SELECT DISTINCT name FROM (

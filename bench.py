@@ -159,7 +159,11 @@ def _burn(n):
     return s
 
 
-def scaling(n_docs: int = 3000, n_low: int = 2, n_high: int = 8, weight: int = 8) -> dict:
+def scaling(n_docs: int = 4000, n_low: int = 2, n_high: int = 8, weight: int = 8) -> dict:
+    """N vs 4N EXECUTORS via local-cluster[N,1,mem]: each executor is its own
+    single-core JVM with a fixed heap — per-executor memory/GC stays constant
+    as the cluster grows, exactly like the real N -> 4N-executor rule (a
+    plain local[N] thread scale-up conflates shared-heap GC with scaling)."""
     from wbkg.session import get_spark
 
     results = {}
@@ -169,18 +173,29 @@ def scaling(n_docs: int = 3000, n_low: int = 2, n_high: int = 8, weight: int = 8
     path = ensure_corpus(spark, n_docs, weight)
     spark.stop()
 
-    for cores in (n_low, n_high):
+    # ship the package to executor JVMs exactly as spark-submit --py-files
+    # would on a real cluster
+    from wbkg.job import build_zip
+
+    zip_path = build_zip(os.path.join(BENCH_TMP, "wbkg.zip"))
+
+    exec_mem_mb = 4096
+    for n_exec in (n_low, n_high):
         spark = get_spark(
-            f"wbkg-scale-{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2
+            f"wbkg-scale-{n_exec}x1",
+            master=f"local-cluster[{n_exec},1,{exec_mem_mb}]",
+            shuffle_partitions=n_exec * 2,
+            extra_conf={"spark.executor.memory": f"{exec_mem_mb}m"},
         )
+        spark.sparkContext.addPyFile(zip_path)
         run_kg_pipeline(spark, n_docs, path)  # warm-up (JIT, python workers)
         best = None
         for _ in range(2):
             r = run_kg_pipeline(spark, n_docs, path)
             if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
                 best = r
-        results[cores] = best
-        log(f"[scaling] local[{cores}]: {best['triples']} triples in "
+        results[n_exec] = best
+        log(f"[scaling] {n_exec} executors x 1 core: {best['triples']} triples in "
             f"{best['seconds']:.1f}s -> {best['triples_per_sec']:.0f}/s")
         spark.stop()
 
@@ -189,15 +204,15 @@ def scaling(n_docs: int = 3000, n_low: int = 2, n_high: int = 8, weight: int = 8
     )
     ceiling = cpu_ceiling(n_low, n_high)
     out = {
-        "metric": f"scaling_efficiency_{n_low}_to_{n_high}",
+        "metric": f"scaling_efficiency_{n_low}_to_{n_high}_executors",
         "value": round(eff, 3),
         "unit": "ratio",
         "n_docs": n_docs,
         "doc_weight": weight,
-        f"throughput_local{n_low}": round(results[n_low]["triples_per_sec"], 1),
-        f"throughput_local{n_high}": round(results[n_high]["triples_per_sec"], 1),
-        f"seconds_local{n_low}": round(results[n_low]["seconds"], 2),
-        f"seconds_local{n_high}": round(results[n_high]["seconds"], 2),
+        f"throughput_{n_low}_executors": round(results[n_low]["triples_per_sec"], 1),
+        f"throughput_{n_high}_executors": round(results[n_high]["triples_per_sec"], 1),
+        f"seconds_{n_low}_executors": round(results[n_low]["seconds"], 2),
+        f"seconds_{n_high}_executors": round(results[n_high]["seconds"], 2),
         "triples": results[n_high]["triples"],
         "raw_cpu_ceiling": round(ceiling, 3),
         "efficiency_vs_ceiling": round(eff / ceiling, 3),
@@ -205,29 +220,34 @@ def scaling(n_docs: int = 3000, n_low: int = 2, n_high: int = 8, weight: int = 8
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
-            "# BENCH — measured scaling evidence (N -> 4N parallelism)\n\n"
-            "Same KG-pipeline job, same parquet input, two parallelism levels\n"
-            f"(`local[{n_low}]` vs `local[{n_high}]`) — the sandbox stand-in for the\n"
-            "N -> 4N-executor cluster rule in BASELINE.json.\n\n"
+            "# BENCH — measured scaling evidence (N -> 4N executors)\n\n"
+            "Same KG-pipeline job, same parquet input, two cluster sizes emulated\n"
+            f"with `local-cluster[{n_low},1,{4096}]` vs `local-cluster[{n_high},1,{4096}]`:\n"
+            "each executor is its own single-core JVM with a fixed 4g heap, so\n"
+            "per-executor memory/GC stays constant as the cluster grows — the\n"
+            "faithful sandbox analogue of the N -> 4N-executor rule in\n"
+            "BASELINE.json (a plain thread scale-up would conflate shared-heap GC\n"
+            "with scaling).\n\n"
             f"| config | triples | wall (s) | triples/sec |\n|---|---|---|---|\n"
-            f"| local[{n_low}] | {results[n_low]['triples']} | {results[n_low]['seconds']:.2f} | {results[n_low]['triples_per_sec']:.0f} |\n"
-            f"| local[{n_high}] | {results[n_high]['triples']} | {results[n_high]['seconds']:.2f} | {results[n_high]['triples_per_sec']:.0f} |\n\n"
+            f"| {n_low} executors x 1 core | {results[n_low]['triples']} | {results[n_low]['seconds']:.2f} | {results[n_low]['triples_per_sec']:.0f} |\n"
+            f"| {n_high} executors x 1 core | {results[n_high]['triples']} | {results[n_high]['seconds']:.2f} | {results[n_high]['triples_per_sec']:.0f} |\n\n"
             f"**Scaling efficiency** = throughput({n_high}) / ({n_high // n_low} x throughput({n_low})) = **{eff:.3f}** (target >= 0.8)\n\n"
             f"Corpus: {n_docs} synthetic interleaved docs at weight={weight} (~120KB/doc, "
             "realistic World Bank PAD size), seed=42.\n\n"
-            "Context: both levels share ONE machine, so thread-scaling is capped by\n"
-            "all-core turbo and shared cache/memory bandwidth. The measured raw-CPU\n"
-            f"ceiling on this box (pure-Python busy loop, same core counts) is "
-            f"**{ceiling:.3f}**;\nthe pipeline achieves **{eff / ceiling:.3f}** of that ceiling. "
-            "On a real N vs 4N executor\ncluster each executor keeps identical "
-            "per-core performance, which is what the\nrule targets.\n"
+            "Context: all executors share ONE physical machine, so scaling is still\n"
+            "capped by all-core turbo and shared cache/memory bandwidth. The raw-CPU\n"
+            f"ceiling measured on this box (pure-Python busy loop, {n_low} vs {n_high} "
+            f"processes) is **{ceiling:.3f}**;\nthe pipeline achieves "
+            f"**{eff / ceiling:.3f}** of that ceiling. On a real N vs 4N executor\n"
+            "cluster each executor keeps identical per-core performance, which is\n"
+            "what the rule targets.\n"
         )
     return out
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--scaling") + 1]) if len(sys.argv) > sys.argv.index("--scaling") + 1 and sys.argv[sys.argv.index("--scaling") + 1].isdigit() else 3000
+        n = int(sys.argv[sys.argv.index("--scaling") + 1]) if len(sys.argv) > sys.argv.index("--scaling") + 1 and sys.argv[sys.argv.index("--scaling") + 1].isdigit() else 4000
         print(json.dumps(scaling(n)))
     else:
         print(json.dumps(headline(SF_DIR)))

@@ -1,0 +1,37 @@
+import json
+import os
+
+from wbkg.job import build_zip, main
+
+
+def test_job_end_to_end_and_resume(spark, tmp_path, capsys):
+    work = str(tmp_path / "run")
+    rc = main(["--n-docs", "30", "--work-dir", work], spark=spark)
+    assert rc == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["edges"] > 0
+    assert out1["recomputed"]["chunks"] == 30
+
+    # re-submit: all per-doc stages resumed from checkpoint, zero recompute
+    rc = main(["--n-docs", "30", "--work-dir", work], spark=spark)
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["recomputed"] == {"chunks": 0, "acronyms": 0, "mentions": 0}
+    assert out2["edges"] == out1["edges"]
+
+    # lineage metrics written per stage
+    m = spark.read.parquet(os.path.join(work, "metrics", "chunks"))
+    assert m.count() > 0
+
+    # nodes table materialized
+    nodes = spark.read.parquet(os.path.join(work, "nodes"))
+    assert nodes.count() > 0
+
+
+def test_build_zip(tmp_path):
+    z = build_zip(str(tmp_path / "wbkg.zip"))
+    import zipfile
+
+    names = zipfile.ZipFile(z).namelist()
+    assert "wbkg/pipeline.py" in names
+    assert "wbkg/ops/dedup.py" in names

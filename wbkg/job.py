@@ -39,7 +39,7 @@ def build_zip(path: str) -> str:
     return path
 
 
-def main(argv=None):
+def main(argv=None, spark=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n-docs", type=int, default=1000)
     p.add_argument("--input", default=None, help="parquet of (doc_id, spans); synthesized when omitted")
@@ -79,7 +79,9 @@ def main(argv=None):
         gen_metadata_df,
     )
 
-    spark = get_spark("wbkg-job")
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("wbkg-job")
     t0 = time.time()
     work_dir = args.work_dir
     ckpt = CheckpointManager(spark, os.path.join(work_dir, "checkpoints"))
@@ -164,7 +166,8 @@ def main(argv=None):
             }
         )
     )
-    spark.stop()
+    if own_session:
+        spark.stop()
     return 0
 
 

@@ -383,7 +383,9 @@ def get_url_by_id(edges: DataFrame) -> DataFrame:
 def to_turtle_lines(edges: DataFrame) -> DataFrame:
     """Distributed TTL formatting via native expressions (one line per triple,
     N-Triples-ish; prefixes resolved inline). Write with df.write.text."""
-    esc = F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\"')
+    # java-regex replacement strings: '\\\\' in the replacement emits one
+    # literal backslash, so escaping a quote needs four-then-quote
+    esc = F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"')
     obj_term = F.when(
         F.col("obj_is_literal") & F.col("lang").isNotNull(),
         F.concat(F.lit('"'), esc, F.lit('"@'), F.col("lang")),

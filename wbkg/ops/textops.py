@@ -109,3 +109,35 @@ def rolling_fingerprint(text: pd.Series) -> pd.Series:
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", rolling_fingerprint(F.col(text_col)))
+
+
+def hash_embed(df: DataFrame, text_col: str = "text", dim: int = 32) -> DataFrame:
+    """Deterministic hash-based embedding (the `embed_text` surrogate from
+    SURVEY §2.11 — stands in for the reference's Ollama nomic-embed-text,
+    src/storage.py:31-35): token hashes scatter-add into `dim` buckets, then
+    L2-normalize. Pure numpy per Arrow batch; same text -> same vector on any
+    executor."""
+    import hashlib
+
+    import numpy as np
+    from collections.abc import Iterator
+
+    schema_rest = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def embed(batches: "Iterator[pd.Series]"):
+        for pdf in batches:
+            vecs = []
+            for t in pdf[text_col]:
+                v = np.zeros(dim, dtype=np.float64)
+                for tok in (t or "").lower().split():
+                    h = int.from_bytes(
+                        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+                    )
+                    v[h % dim] += 1.0 if (h >> 8) % 2 else -1.0
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n else v).astype(np.float32).tolist())
+            pdf = pdf.copy()
+            pdf["embedding"] = vecs
+            yield pdf
+
+    return df.mapInPandas(embed, schema=f"{schema_rest}, embedding array<float>")
