@@ -106,14 +106,51 @@ def build_alias_edges(
     return dict_edges.unionByName(acro_edges).unionByName(link_edges)
 
 
+LOCAL_CC_THRESHOLD = 2_000_000
+
+
+def connected_components_local(edges: DataFrame) -> DataFrame:
+    """Driver union-find for small edge sets — the adaptive physical
+    strategy for CC, analogous to Spark's broadcast-vs-shuffle join choice.
+    The alias graph is vocabulary-bounded (distinct surfaces + dictionary
+    entries), NOT corpus-bounded, so it usually fits the driver by orders of
+    magnitude; the iterative DataFrame path handles the cases that don't.
+    Identical output contract: (member, component=min member)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = edges.select("src", "dst").collect()
+    for r in rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(m, find(m)) for m in list(parent)]
+    return edges.sparkSession.createDataFrame(out, "member string, component string")
+
+
 def canonical_map(
     entity_dict: DataFrame, acronyms: DataFrame, linked: DataFrame
 ) -> DataFrame:
     """-> (member, canonical_id): every alias-graph member mapped to the
     component representative. QID members win over surface members; ties
-    break on the lexicographic min (deterministic)."""
-    edges = build_alias_edges(entity_dict, acronyms, linked)
-    comp = connected_components(edges)
+    break on the lexicographic min (deterministic).
+
+    Physical strategy is size-gated: small alias graphs take the driver
+    union-find (one job instead of ~10 iterative jobs); big ones take the
+    iterative DataFrame loop."""
+    edges = build_alias_edges(entity_dict, acronyms, linked).persist()
+    n_edges = edges.count()
+    comp = (
+        connected_components_local(edges)
+        if n_edges <= LOCAL_CC_THRESHOLD
+        else connected_components(edges)
+    )
     # representative: min qid:: member if any, else min member
     rep = comp.groupBy("component").agg(
         F.min(F.when(F.col("member").startswith("qid::"), F.col("member"))).alias("q_rep"),

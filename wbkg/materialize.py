@@ -133,9 +133,11 @@ def entity_triples(linked: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------- #
 
 
-def chunk_triples(chunks: DataFrame, linked: DataFrame, typed_entities: DataFrame) -> DataFrame:
-    """chunk nodes + isPartOf + text + chunk->entity mentions gated by a left
-    SEMI join against already-typed entity URIs (graph.py:747)."""
+def chunk_node_triples(chunks: DataFrame) -> DataFrame:
+    """chunk type/text/isPartOf triples. These are UNIQUE BY CONSTRUCTION
+    (one chunk row per chunk_id), so the pipeline can union them in after
+    dedup — the heavy schema:text payload never rides through the
+    dropDuplicates shuffle."""
     chunk_uri = _uri(EX, F.lit("chunk/"), F.col("chunk_id"))
     doc_uri = _uri(EX, F.lit("document/"), F.col("doc_id"))
     base = chunks.select(chunk_uri.alias("chunk_uri"), doc_uri.alias("doc_uri"), "text")
@@ -145,8 +147,12 @@ def chunk_triples(chunks: DataFrame, linked: DataFrame, typed_entities: DataFram
         _triple(cu, SCHEMA + "text", F.col("text"), True),
         _triple(cu, SCHEMA + "isPartOf", F.col("doc_uri"), False),
     )
-    nodes = _explode_triples(base, node_arr)
+    return _explode_triples(base, node_arr)
 
+
+def chunk_mention_triples(linked: DataFrame, typed_entities: DataFrame) -> DataFrame:
+    """chunk->entity mentions gated by a left SEMI join against already-typed
+    entity URIs (graph.py:747)."""
     pairs = linked.select(
         _uri(EX, F.lit("chunk/"), F.col("chunk_id")).alias("chunk_uri"),
         entity_uri_col("qid_c", "rdf_safe_c").alias("ent_uri"),
@@ -154,8 +160,14 @@ def chunk_triples(chunks: DataFrame, linked: DataFrame, typed_entities: DataFram
     gated = pairs.join(
         typed_entities.select(F.col("uri").alias("ent_uri")), "ent_uri", "left_semi"
     )
-    men = _uri_edges(gated, F.col("chunk_uri"), SCHEMA + "mentions", F.col("ent_uri"))
-    return nodes.unionByName(men)
+    return _uri_edges(gated, F.col("chunk_uri"), SCHEMA + "mentions", F.col("ent_uri"))
+
+
+def chunk_triples(chunks: DataFrame, linked: DataFrame, typed_entities: DataFrame) -> DataFrame:
+    """chunk nodes + isPartOf + text + gated chunk->entity mentions."""
+    return chunk_node_triples(chunks).unionByName(
+        chunk_mention_triples(linked, typed_entities)
+    )
 
 
 # --------------------------------------------------------------------------- #

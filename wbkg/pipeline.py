@@ -32,6 +32,7 @@ def run_pipeline(
     metadata_df: Optional[DataFrame] = None,
     link_strategy: str = "broadcast",
     cache: bool = True,
+    persist_edges: bool = True,
 ) -> Dict[str, DataFrame]:
     # fused stage 1+2: one mapInPandas pass produces chunks, per-doc
     # acronyms and per-chunk mentions with zero shuffles (see
@@ -65,13 +66,18 @@ def run_pipeline(
     typed_entities = (
         ent_edges.filter(F.col("pred") == RDF_TYPE).select(F.col("subj").alias("uri")).distinct()
     )
-    chk_edges = chunk_triples(chunks, linked_c, typed_entities)
+    from wbkg.materialize import chunk_mention_triples, chunk_node_triples
 
-    frames = [ent_edges, chk_edges]
+    # chunk node triples (incl. the heavy schema:text literals) are unique by
+    # construction — union them in AFTER dedup so the text payload never
+    # rides through the dropDuplicates shuffle
+    frames = [ent_edges, chunk_mention_triples(linked_c, typed_entities)]
     if metadata_df is not None:
         frames.append(metadata_triples(metadata_df, entity_dict_df, dedup=False))
-    edges = union_distinct(*frames)
-    if cache:
+    edges = union_distinct(*frames).unionByName(chunk_node_triples(chunks))
+    if cache and persist_edges:
+        # single-pass consumers (write once / count once) should pass
+        # persist_edges=False — building the cache block costs a full copy
         edges = edges.persist()
     nodes = nodes_from_edges(edges)
 
