@@ -137,6 +137,19 @@ def test_textops(spark):
     assert fp == fp2 and len(set(fp.values())) == 3
 
 
+def test_hash_embed(spark):
+    from wbkg.ops.textops import hash_embed
+
+    docs = spark.createDataFrame(
+        [(1, "climate change adaptation"), (2, "climate change adaptation"), (3, "tax policy")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.embedding for r in hash_embed(docs, dim=16).collect()}
+    assert out[1] == out[2]  # deterministic across rows/executors
+    assert out[1] != out[3]
+    assert abs(sum(x * x for x in out[1]) - 1.0) < 1e-3
+
+
 def test_multimodal_plumbing(spark):
     from wbkg.ops.multimodal import extract_features, frame_sample, gen_media_df, resize_meta
 
