@@ -241,9 +241,13 @@ def q_j8_semi_join(spark, sf_dir):
 def q_so2_anti_join(spark, sf_dir):
     """SO2 — already-done exclusion as left ANTI join (ref
     src/storage.py:267-284 existing-ids set difference): customers with no
-    orders."""
+    urgent orders."""
     c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -565,7 +569,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "so2_anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         """,
         "g2_label_propagation": """
             SELECT count(*)::BIGINT AS community_size
