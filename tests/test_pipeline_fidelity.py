@@ -26,11 +26,16 @@ N_DOCS = 40
 
 @pytest.fixture(scope="module")
 def result(spark):
+    from wbkg.synth import build_country_props_rows
+
     docs = gen_documents_df(spark, N_DOCS)
     edict = entity_dict_df(spark, N_DOCS)
     meta = gen_metadata_df(spark, N_DOCS)
+    props = spark.createDataFrame(
+        build_country_props_rows(), "qid string, pred string, value string"
+    )
     pats = build_pattern_rows(build_entity_dict_rows(N_DOCS), build_unbis_rows())
-    return run_pipeline(spark, docs, edict, pats, metadata_df=meta)
+    return run_pipeline(spark, docs, edict, pats, metadata_df=meta, country_props_df=props)
 
 
 def _spark_triples(result):
@@ -42,7 +47,7 @@ def _spark_triples(result):
 
 def test_triple_precision_recall(result):
     got = _spark_triples(result)
-    want = oracle_pipeline(N_DOCS)
+    want = oracle_pipeline(N_DOCS, with_country_props=True)
     assert got, "pipeline produced no triples"
     inter = got & want
     precision = len(inter) / len(got)

@@ -1,0 +1,63 @@
+import pytest
+from pyspark.sql import functions as F
+
+from wbkg.extract import build_pattern_rows
+from wbkg.pipeline import run_pipeline
+from wbkg.query import (
+    docs_mentioning,
+    embed_chunks,
+    register_views,
+    retrieve_topk,
+)
+from wbkg.synth import (
+    build_entity_dict_rows,
+    build_unbis_rows,
+    entity_dict_df,
+    gen_documents_df,
+    gen_metadata_df,
+)
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    n = 20
+    docs = gen_documents_df(spark, n)
+    edict = entity_dict_df(spark, n)
+    pats = build_pattern_rows(build_entity_dict_rows(n), build_unbis_rows())
+    res = run_pipeline(spark, docs, edict, pats, metadata_df=gen_metadata_df(spark, n))
+    return res
+
+
+def test_docs_mentioning_hub(spark, kg):
+    out = docs_mentioning(kg["edges"], "World Bank").collect()
+    assert len(out) > 0
+    assert all(r.doc_uri.startswith("http://worldbank.example.org/document/D") for r in out)
+    # case-insensitive name match
+    out2 = docs_mentioning(kg["edges"], "world bank").count()
+    assert out2 == len(out)
+
+
+def test_sql_views(spark, kg):
+    register_views(spark, {"edges": kg["edges"], "nodes": kg["nodes"]})
+    n = spark.sql(
+        "SELECT count(*) AS c FROM edges WHERE pred = 'http://schema.org/mentions'"
+    ).collect()[0]["c"]
+    assert n > 0
+    typed = spark.sql("SELECT count(*) AS c FROM nodes WHERE qid IS NOT NULL").collect()[0]["c"]
+    assert typed > 0
+
+
+def test_retrieval_topk_with_doc_filter(spark, kg):
+    emb = embed_chunks(kg["chunks"]).persist()
+    hits = retrieve_topk(emb, "procurement exchanges tracking", k=3).collect()
+    assert 0 < len(hits) <= 3
+    # doc-filtered retrieval returns only that doc's chunks (ref
+    # acronyms.py:36-38 ExactMatchFilter semantics: filter BEFORE top-k)
+    some_doc = hits[0].doc_id
+    filtered = retrieve_topk(emb, "procurement exchanges tracking", k=5, doc_id=some_doc).collect()
+    assert len(filtered) > 0
+    assert all(r.doc_id == some_doc for r in filtered)
+    # determinism
+    again = retrieve_topk(emb, "procurement exchanges tracking", k=3).collect()
+    assert [r.chunk_id for r in again] == [r.chunk_id for r in hits]
+    emb.unpersist()

@@ -50,6 +50,40 @@ def test_stream_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == n_before
 
 
+def test_windowed_agg_on_real_stream(spark, tmp_path):
+    """Actual readStream over the driver events parquet: watermarked window
+    agg, complete mode to a memory sink, equal to the batch aggregation."""
+    import shutil
+
+    # the file-stream source needs a directory of files
+    src_dir = str(tmp_path / "events_in")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir)
+    batch_df = spark.read.parquet(src_dir)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    q = (
+        windowed_event_counts(stream_df)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["cnt"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window"]["start"], r["event_type"]): (r["cnt"], round(r["total_value"], 6))
+        for r in windowed_event_counts(batch_df).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_windowed_event_counts_batch_shape(spark):
     """The watermark+window agg compiles and aggregates correctly (executed
     on a static frame; same plan runs on a stream)."""

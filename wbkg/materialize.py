@@ -219,7 +219,10 @@ def prepare_metadata(metadata: DataFrame) -> DataFrame:
 
 
 def metadata_triples(
-    metadata: DataFrame, entity_dict: DataFrame, dedup: bool = True
+    metadata: DataFrame,
+    entity_dict: DataFrame,
+    dedup: bool = True,
+    country_props: DataFrame | None = None,
 ) -> DataFrame:
     """Document instances + P7 unpivot of extra columns + countries (J4) +
     projects/trustfunds (J5/J6 zip-explode) + doc->entity links.
@@ -305,6 +308,24 @@ def metadata_triples(
         ),
     )
     frames.append(_explode_triples(countries, country_arr))
+
+    # --- J10 country enrichment: property-dimension broadcast join replaces
+    # --- the per-QID Wikidata fetch (ref src/graph.py:290-383); values are
+    # --- literals on the LOCAL country node, like the reference's
+    # --- (country_uri, pred, obj) adds at graph.py:352
+    if country_props is not None:
+        enriched = countries.filter(F.col("cqid").isNotNull()).join(
+            F.broadcast(country_props), F.col("cqid") == F.col("qid")
+        )
+        frames.append(
+            enriched.select(
+                _uri(EX, F.lit("country/"), F.col("ckey")).alias("subj"),
+                F.col("pred"),
+                F.col("value").alias("obj"),
+                F.lit(True).alias("obj_is_literal"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
 
     # --- projects & trustfunds (J6 arrays_zip + explode; graph.py:513-543):
     # --- one union of both kinds -> one groupBy -> one exploded projection

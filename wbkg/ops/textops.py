@@ -111,6 +111,20 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", rolling_fingerprint(F.col(text_col)))
 
 
+def hash_embed_py(text: str, dim: int = 32):
+    """Pure twin of hash_embed for driver-side query vectors."""
+    import hashlib
+
+    import numpy as np
+
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in (text or "").lower().split():
+        h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+        v[h % dim] += 1.0 if (h >> 8) % 2 else -1.0
+    n = np.linalg.norm(v)
+    return (v / n if n else v).tolist()
+
+
 def hash_embed(df: DataFrame, text_col: str = "text", dim: int = 32) -> DataFrame:
     """Deterministic hash-based embedding (the `embed_text` surrogate from
     SURVEY §2.11 — stands in for the reference's Ollama nomic-embed-text,

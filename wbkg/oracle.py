@@ -65,7 +65,12 @@ def _rdf_safe(surface: str) -> str | None:
     return quote(clean.replace(" ", "_"))[:100]
 
 
-def oracle_pipeline(n_docs: int, seed: int = SEED, with_metadata: bool = True) -> Set[Triple]:
+def oracle_pipeline(
+    n_docs: int,
+    seed: int = SEED,
+    with_metadata: bool = True,
+    with_country_props: bool = False,
+) -> Set[Triple]:
     entity_rows = build_entity_dict_rows(n_docs)
     unbis_rows = build_unbis_rows()
     static_ac = AhoCorasick(build_pattern_rows(entity_rows, unbis_rows))
@@ -193,11 +198,13 @@ def oracle_pipeline(n_docs: int, seed: int = SEED, with_metadata: bool = True) -
                 triples.add((chunk_uri, SCHEMA + "mentions", ent_uri))
 
     if with_metadata:
-        triples |= oracle_metadata_triples(n_docs, seed)
+        triples |= oracle_metadata_triples(n_docs, seed, with_country_props)
     return triples
 
 
-def oracle_metadata_triples(n_docs: int, seed: int = SEED) -> Set[Triple]:
+def oracle_metadata_triples(
+    n_docs: int, seed: int = SEED, with_country_props: bool = False
+) -> Set[Triple]:
     entity_rows = build_entity_dict_rows(n_docs)
     country_qid: Dict[str, str] = {}
     for r in sorted(entity_rows, key=lambda r: r["entity_id"]):
@@ -254,6 +261,12 @@ def oracle_metadata_triples(n_docs: int, seed: int = SEED) -> Set[Triple]:
             qid = country_qid.get(label.lower())
             if qid:
                 t.add((c_uri, SCHEMA + "sameAs", f"{WD}{qid}"))
+                if with_country_props:
+                    from wbkg.synth import build_country_props_rows
+
+                    for p in build_country_props_rows():
+                        if p["qid"] == qid:
+                            t.add((c_uri, p["pred"], p["value"]))
             t.add((doc_uri, SCHEMA + "countryOfOrigin", c_uri))
 
         # projects / trustfunds: zip (extras dropped) + links

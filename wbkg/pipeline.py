@@ -33,6 +33,7 @@ def run_pipeline(
     link_strategy: str = "broadcast",
     cache: bool = True,
     persist_edges: bool = True,
+    country_props_df: Optional[DataFrame] = None,
 ) -> Dict[str, DataFrame]:
     # fused stage 1+2: one mapInPandas pass produces chunks, per-doc
     # acronyms and per-chunk mentions with zero shuffles (see
@@ -73,7 +74,11 @@ def run_pipeline(
     # rides through the dropDuplicates shuffle
     frames = [ent_edges, chunk_mention_triples(linked_c, typed_entities)]
     if metadata_df is not None:
-        frames.append(metadata_triples(metadata_df, entity_dict_df, dedup=False))
+        frames.append(
+            metadata_triples(
+                metadata_df, entity_dict_df, dedup=False, country_props=country_props_df
+            )
+        )
     edges = union_distinct(*frames).unionByName(chunk_node_triples(chunks))
     if cache and persist_edges:
         # single-pass consumers (write once / count once) should pass

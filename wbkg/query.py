@@ -1,0 +1,83 @@
+"""Query surface over the materialized graph (ref src/query.py +
+scripts/query-vector.py + the acronym-section retrieval in
+src/acronyms.py:26-56).
+
+The reference's retrieval primitive is: embed query -> score all chunk
+vectors -> optional per-doc filter -> top-k (SURVEY §3.3). Here that is a
+filter + score column + TakeOrdered over the chunks/embeddings table; graph
+lookups are plain SQL over edges/nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wbkg.materialize import EX, SCHEMA
+from wbkg.ops.similarity import brute_force_topk
+from wbkg.ops.textops import hash_embed, hash_embed_py
+
+EMBED_DIM = 32
+
+
+def register_views(spark: SparkSession, tables: dict) -> None:
+    """Expose pipeline outputs as SQL views: spark.sql('SELECT ... FROM
+    edges ...')."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+
+
+def docs_mentioning(edges: DataFrame, entity_name: str) -> DataFrame:
+    """'Which documents mention entity X?' — name -> entity uri (via
+    schema:name triples) -> doc mentions. Two equi-joins on edges."""
+    names = edges.filter(
+        (F.col("pred") == SCHEMA + "name") & (F.lower("obj") == entity_name.lower())
+    ).select(F.col("subj").alias("ent_uri"))
+    mentions = edges.filter(
+        (F.col("pred") == SCHEMA + "mentions") & F.col("subj").startswith(EX + "document/")
+    ).select(F.col("subj").alias("doc_uri"), F.col("obj").alias("ent_uri"))
+    return mentions.join(F.broadcast(names.distinct()), "ent_uri").select("doc_uri").distinct()
+
+
+def chunks_for_community(edges: DataFrame, community_id: str) -> DataFrame:
+    comm_uri = f"{EX}community/{community_id}"
+    return (
+        edges.filter((F.col("pred") == SCHEMA + "isPartOf") & (F.col("obj") == comm_uri))
+        .select(F.col("subj").alias("chunk_uri"))
+    )
+
+
+def embed_chunks(chunks: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """chunks -> (chunk_id, text, embedding) — K2 vector-store analogue."""
+    return hash_embed(chunks.select("doc_id", "chunk_id", "text"), dim=dim)
+
+
+def retrieve_topk(
+    chunk_embeddings: DataFrame,
+    query_text: str,
+    k: int = 3,
+    doc_id: str | None = None,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """The reference's retrieval primitive (similarity_top_k=3 at
+    src/query.py:31; per-doc ExactMatchFilter BEFORE top-k at
+    src/acronyms.py:36-38)."""
+    qvec = hash_embed_py(query_text, dim)
+    base = chunk_embeddings
+    if doc_id is not None:
+        base = base.filter(F.col("doc_id") == doc_id)
+    return (
+        brute_force_topk(base, qvec, k=k, id_col="chunk_id", vec_col="embedding")
+        .join(chunk_embeddings.select("chunk_id", "doc_id", "text"), "chunk_id")
+        .orderBy(F.desc("score"), "chunk_id")
+    )
+
+
+def acronym_section_chunks(chunks: DataFrame, embeddings: DataFrame, doc_id: str) -> DataFrame:
+    """The C3 retrieval step (src/acronyms.py:26-56): top-5 chunks of ONE doc
+    for the abbreviation-section query."""
+    query = (
+        "Find sections of the document that define acronyms or abbreviations. "
+        "These sections may be called 'Abbreviations', 'Acronyms', or 'List of Acronyms'."
+    )
+    return retrieve_topk(embeddings, query, k=5, doc_id=doc_id)

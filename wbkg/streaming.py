@@ -73,7 +73,9 @@ def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes
     Structured Streaming stateful-op surface. events_stream must carry
     (ts timestamp, event_type string, value double)."""
     return (
-        events_stream.withWatermark("ts", watermark)
+        # event-time watermarks need TIMESTAMP (parquet may carry NTZ)
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
         .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
     )

@@ -98,6 +98,41 @@ ACRONYM_DEFS = [
     ("NDC", "Nationally Determined Contribution"),
 ]
 
+# static country-property dimension (replaces the per-QID Wikidata property
+# fetch, ref src/graph.py:290-365 + COUNTRY_PROPERTY_MAP :35-43)
+COUNTRY_PROPS = {
+    # qid: (continent, currency, official_language)
+    "Q96": ("North America", "Mexican peso", "Spanish"),
+    "Q155": ("South America", "Brazilian real", "Portuguese"),
+    "Q30": ("North America", "United States dollar", "English"),
+    "Q668": ("Asia", "Indian rupee", "Hindi"),
+    "Q114": ("Africa", "Kenyan shilling", "Swahili"),
+    "Q43": ("Asia", "Turkish lira", "Turkish"),
+    "Q1033": ("Africa", "Nigerian naira", "English"),
+    "Q881": ("Asia", "Vietnamese dong", "Vietnamese"),
+}
+
+PROPERTY_PREDICATES = {  # ref COUNTRY_PROPERTY_MAP src/graph.py:35-43
+    "continent": "http://www.wikidata.org/prop/direct/P30",
+    "currency": "http://www.wikidata.org/prop/direct/P38",
+    "official_language": "http://www.wikidata.org/prop/direct/P37",
+}
+
+
+def build_country_props_rows() -> List[dict]:
+    rows = []
+    for qid, (continent, currency, language) in COUNTRY_PROPS.items():
+        for prop, value in [
+            ("continent", continent),
+            ("currency", currency),
+            ("official_language", language),
+        ]:
+            rows.append(
+                {"qid": qid, "pred": PROPERTY_PREDICATES[prop], "value": value}
+            )
+    return rows
+
+
 UNBIS_TERMS = [
     "sustainable development",
     "poverty mitigation",
