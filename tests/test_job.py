@@ -28,6 +28,19 @@ def test_job_end_to_end_and_resume(spark, tmp_path, capsys):
     assert nodes.count() > 0
 
 
+def test_job_with_communities(spark, tmp_path, capsys):
+    work = str(tmp_path / "run_comm")
+    rc = main(["--n-docs", "20", "--work-dir", work, "--with-communities"], spark=spark)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["edges"] > 0
+    edges = spark.read.parquet(os.path.join(work, "edges"))
+    comm = edges.filter(edges.obj.startswith("http://worldbank.example.org/community/"))
+    assert comm.count() > 0
+    abstracts = edges.filter(edges.pred == "http://schema.org/abstract")
+    assert abstracts.count() > 0
+
+
 def test_build_zip(tmp_path):
     z = build_zip(str(tmp_path / "wbkg.zip"))
     import zipfile
