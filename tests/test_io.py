@@ -1,0 +1,31 @@
+from pyspark.sql import functions as F
+
+from wbkg.io import bucketed_join_plan_has_no_exchange, read_table, write_bucketed, write_table
+
+
+def test_write_read_partitioned(spark, tmp_path):
+    df = spark.range(100).withColumn("part", F.col("id") % 4)
+    p = str(tmp_path / "t")
+    write_table(df, p, partition_by=["part"])
+    back = read_table(spark, p)
+    assert back.count() == 100
+    # partition pruning: reading one partition scans one directory
+    assert back.filter("part = 2").count() == 25
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        mentions = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        dim = spark.range(1000).select(F.col("id").alias("k"), F.lit("x").alias("label"))
+        write_bucketed(mentions, "b_mentions", ["k"], n_buckets=8, sort_cols=["k"])
+        write_bucketed(dim, "b_dim", ["k"], n_buckets=8, sort_cols=["k"])
+        assert bucketed_join_plan_has_no_exchange(spark, "b_mentions", "b_dim", "k")
+        joined = spark.table("b_mentions").join(spark.table("b_dim"), "k")
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_mentions")
+        spark.sql("DROP TABLE IF EXISTS b_dim")

@@ -1,0 +1,56 @@
+"""Table IO layer — Parquet locally, Iceberg-shaped API.
+
+The sandbox has no Iceberg runtime jar (SURVEY §7.3), so tables are Parquet
+directories / session-catalog tables here; a production deployment swaps
+`format("parquet")` for `writeTo(...).using("iceberg")` with the same call
+shape. Includes the bucketing path for co-located joins: two tables bucketed
+by the same key join WITHOUT a shuffle — at 100 TB this is the difference
+between an exchange of the full mention stream and none.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a bucketed (and optionally sorted) session-catalog table.
+    Joins between tables bucketed by the same key on the same bucket count
+    skip the exchange entirely (SortMergeJoin over pre-bucketed scans)."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join_plan_has_no_exchange(spark: SparkSession, left: str, right: str, key: str) -> bool:
+    """True when the bucketed-table join compiles without a shuffle."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    df = spark.table(left).join(spark.table(right), key)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return "Exchange" not in buf.getvalue()

@@ -45,6 +45,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("WBKG_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", "/tmp/wbkg_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
