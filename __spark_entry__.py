@@ -624,7 +624,7 @@ def oracle_sql() -> dict[str, str]:
               FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
             df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
             kept AS (SELECT sh.* FROM sh JOIN df USING (shingle)),
-            sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+            sizes AS (SELECT doc_id, count(*) n_sh FROM kept GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
               FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

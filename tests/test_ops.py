@@ -36,6 +36,16 @@ def test_ngram_jaccard(spark, docs_with_dups):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_no_persist_leak(spark, docs_with_dups):
+    """ngram_jaccard_pairs must not leave cached RDDs behind (VERDICT r01 #7)."""
+    from wbkg.ops.dedup import ngram_jaccard_pairs
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    ngram_jaccard_pairs(docs_with_dups, threshold=0.5).count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before
+
+
 def test_minhash_lsh(spark, docs_with_dups):
     from wbkg.ops.dedup import minhash_lsh_pairs
 

@@ -39,6 +39,12 @@ def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big") >> 1
 
 
+def _stable_hash32(s: str) -> int:
+    """32-bit variant for minhash: keeps (a*h + b) inside uint64 so the
+    permutation math stays vectorized numpy (no Python-object bigints)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(), "big")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """-> (keep_id, dup_count): representative (min id) per exact-text group."""
     return (
@@ -71,13 +77,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int = 1000,
 ) -> DataFrame:
-    """-> (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold."""
-    sh = shingles_df(df, text_col, id_col, n).persist()
+    """-> (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold.
+
+    Sizes and intersections are BOTH computed on the df-capped shingle set
+    (`kept`), so the jaccard is the exact jaccard of the capped sets — no
+    asymmetric bias from mixing capped intersections with uncapped sizes.
+    No persist: `kept` appears three times in the plan but each appearance
+    shares the exchange on `shingle` (ReusedExchange), and shingle
+    derivation is pure whole-stage-codegen — cheaper to recompute than to
+    pin doc_count x shingles rows in executor memory at 100 TB."""
+    sh = shingles_df(df, text_col, id_col, n)
     # skew guard: drop shingles shared by too many docs (they contribute
     # pairs quadratically but little discriminative signal)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
     kept = sh.join(df_counts.filter(F.col("df_cnt") <= max_df), "shingle", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = kept.alias("a")
     b = kept.alias("b")
@@ -98,9 +112,12 @@ def ngram_jaccard_pairs(
 
 
 def _minhash_params(k: int, seed: int = 42):
+    """a in [1, 2^31), b in [0, p): with 32-bit shingle hashes, a*h + b
+    stays < 2^63 + 2^61 < 2^64, so the whole permutation sweep is native
+    uint64 numpy (no Python-object bigint math)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    a = rng.randint(1, 1 << 31, size=k).astype(np.uint64)
+    b = (rng.randint(0, 1 << 62, size=k).astype(np.uint64) % np.uint64(_MERSENNE))
     return a, b
 
 
@@ -108,8 +125,9 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 64, n: int = 3, seed: int = 42
 ) -> DataFrame:
     """-> (doc_id, sig: array<long>) k-permutation minhash over word n-grams.
-    numpy-vectorized inside mapInPandas (Arrow batches)."""
+    numpy-vectorized inside mapInPandas (Arrow batches); all-uint64 math."""
     a_coef, b_coef = _minhash_params(k, seed)
+    mod = np.uint64(_MERSENNE)
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,12 +139,12 @@ def minhash_signatures(
                 else:
                     grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
                 hv = np.fromiter(
-                    (_stable_hash64(g) for g in grams), dtype=np.int64, count=len(grams)
+                    (_stable_hash32(g) for g in grams), dtype=np.uint64, count=len(grams)
                 )
                 # (a*h + b) mod p for all k perms x all shingles, take min
-                sig = ((a_coef[:, None].astype(object) * hv[None, :] + b_coef[:, None]) % _MERSENNE).min(axis=1)
+                sig = ((a_coef[:, None] * hv[None, :] + b_coef[:, None]) % mod).min(axis=1)
                 out_ids.append(doc_id)
-                out_sigs.append([int(x) for x in sig])
+                out_sigs.append(sig.astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
 
     return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
@@ -145,14 +163,22 @@ def minhash_lsh_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """banded LSH candidate generation + signature-jaccard verify.
-    -> (doc_a, doc_b, sig_jaccard)."""
+    -> (doc_a, doc_b, sig_jaccard).
+
+    Shuffle diet (100 TB): the band explode and the band-bucket self-join
+    carry ONLY (doc_id, band, bucket) — the k-long signature array (~8 KB/doc
+    at k=64) never rides the x`bands` explode or the candidate shuffle.
+    Signatures are joined back exactly once per side onto the deduplicated
+    candidate pairs. `sigs` is persisted because it feeds three subplans
+    (banding + two rejoins) and the mapInPandas signature pass is the
+    expensive Python stage; on a real cluster it would be a materialized
+    signature table."""
     rows_per_band = k // bands
     sigs = minhash_signatures(df, text_col, id_col, k, n, seed).persist()
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("doc_id", "sig", band_idx).select(
         "doc_id",
-        "sig",
         "band",
         F.xxhash64(F.concat_ws(",", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band))).alias("bucket"),
     )
@@ -160,17 +186,15 @@ def minhash_lsh_pairs(
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    pairs = cand.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
     matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return (
-        cand.withColumn("sig_jaccard", F.round(matches / F.lit(k), 4))
+        pairs.withColumn("sig_jaccard", F.round(matches / F.lit(k), 4))
         .filter(F.col("sig_jaccard") >= threshold)
         .select("doc_a", "doc_b", "sig_jaccard")
     )
