@@ -274,6 +274,28 @@ def q_g2_label_propagation(spark, sf_dir):
     )
 
 
+def q_g2_hierarchical(spark, sf_dir):
+    """G2 hierarchical communities with max_cluster_size (ref
+    src/summarize.py:160-166 hierarchical_leiden(max_cluster_size=50)): the
+    nation-chain graph per region collapses to one community per region at
+    level 0; the size bound (3) forces a deterministic level-1 split. Returns
+    the structural histogram (level, community_size, n_communities)."""
+    from wbkg.communities import hierarchical_communities
+    from pyspark.sql import Window as W
+
+    n = _read(spark, sf_dir, "nation")
+    w = W.partitionBy("n_regionkey").orderBy("n_nationkey")
+    key = lambda c: F.concat(F.lit("n"), F.lpad(F.col(c).cast("string"), 5, "0"))
+    chain = (
+        n.withColumn("nxt", F.lead("n_nationkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(key("n_nationkey").alias("src"), key("nxt").alias("dst"), F.lit(1).alias("weight"))
+    )
+    hier = hierarchical_communities(chain, max_cluster_size=3)
+    sizes = hier.groupBy("level", "community_id").agg(F.count("*").alias("community_size"))
+    return sizes.groupBy("level", "community_size").agg(F.count("*").alias("n_communities"))
+
+
 def q_so1_union_distinct(spark, sf_dir):
     """SO1 — union-distinct set semantics (rdflib triple set; ref every
     g.add)."""
@@ -474,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "so1_union_distinct": q_so1_union_distinct,
         "so2_anti_join": q_so2_anti_join,
         "g2_label_propagation": q_g2_label_propagation,
+        "g2_hierarchical": q_g2_hierarchical,
         "p1_sanitize": q_p1_sanitize,
         "p2_p3_filter_chain": q_p2_p3_filter_chain,
         "w2_topk_similarity": q_w2_topk_similarity,
@@ -575,6 +598,23 @@ def oracle_sql() -> dict[str, str]:
         "g2_label_propagation": """
             SELECT count(*)::BIGINT AS community_size
             FROM nation GROUP BY n_regionkey HAVING count(*) > 1
+        """,
+        "g2_hierarchical": """
+            WITH m AS (
+              SELECT n_regionkey,
+                     row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1 AS i,
+                     count(*) OVER (PARTITION BY n_regionkey) AS n
+              FROM nation),
+            chains AS (SELECT * FROM m WHERE n > 1),
+            l0 AS (SELECT n_regionkey, count(*) AS csize FROM chains GROUP BY n_regionkey),
+            l1 AS (SELECT n_regionkey, floor(i * ceil(n / 3.0) / n) AS bucket, count(*) AS csize
+                   FROM chains WHERE n > 3
+                   GROUP BY n_regionkey, floor(i * ceil(n / 3.0) / n)),
+            u AS (SELECT 0 AS level, csize FROM l0
+                  UNION ALL SELECT 1 AS level, csize FROM l1)
+            SELECT level::INTEGER AS level, csize::BIGINT AS community_size,
+                   count(*)::BIGINT AS n_communities
+            FROM u GROUP BY level, csize
         """,
         "so1_union_distinct": """
             SELECT DISTINCT name FROM (

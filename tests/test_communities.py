@@ -93,3 +93,68 @@ def test_summarize_budget_and_triples(spark):
     assert row.summary == "First sentence here."
     st = summary_triples(spark.createDataFrame(s)).collect()
     assert st[0].pred == "http://schema.org/abstract"
+
+
+# --------------------------------------------------------------------------- #
+# hierarchical communities (G2 max_cluster_size; ref summarize.py:160-166)     #
+# --------------------------------------------------------------------------- #
+
+
+def _hier_rows(hier_df):
+    return {(r.chunk_id, r.level): r.community_id for r in hier_df.collect()}
+
+
+def test_hierarchical_bound_uniform_weights(spark):
+    """A uniform-weight chain of 7 merges into one L0 community; the even
+    split must bound every final community at max_cluster_size=3."""
+    from wbkg.communities import final_communities, hierarchical_communities
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1) for i in range(6)],
+        schema="src string, dst string, weight long",
+    )
+    hier = hierarchical_communities(edges, max_cluster_size=3)
+    l0 = hier.filter("level = 0")
+    assert l0.select("community_id").distinct().count() == 1  # one big community
+    fin = final_communities(hier)
+    sizes = [r.sz for r in fin.groupBy("community_id").agg(F.count("*").alias("sz")).collect()]
+    assert max(sizes) <= 3 and sum(sizes) == 7
+    # deterministic
+    assert _hier_rows(hier) == _hier_rows(hierarchical_communities(edges, max_cluster_size=3))
+
+
+def test_hierarchical_weak_tie_refinement(spark):
+    """Two strong cliques joined by a weak bridge collapse at L0 (monotone LP
+    pulls all labels to the min), then refinement drops the min-weight edge
+    class and recovers the two cliques at L1."""
+    from wbkg.communities import final_communities, hierarchical_communities
+
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2", 5), ("a2", "a3", 5), ("a1", "a3", 5),
+            ("b1", "b2", 5), ("b2", "b3", 5), ("b1", "b3", 5),
+            ("a3", "b1", 1),  # weak bridge: the min-weight class to drop
+        ],
+        schema="src string, dst string, weight long",
+    )
+    hier = hierarchical_communities(edges, max_cluster_size=4)
+    fin = {r.chunk_id: r.community_id for r in final_communities(hier).collect()}
+    assert fin["a1"] == fin["a2"] == fin["a3"]
+    assert fin["b1"] == fin["b2"] == fin["b3"]
+    assert fin["a1"] != fin["b1"]
+    sizes = [3, 3]
+    got = sorted(
+        r.sz
+        for r in final_communities(hier).groupBy("community_id").agg(F.count("*").alias("sz")).collect()
+    )
+    assert got == sizes
+
+
+def test_hierarchical_small_communities_untouched(spark):
+    from wbkg.communities import hierarchical_communities
+
+    edges = spark.createDataFrame(
+        [("x1", "x2", 2), ("y1", "y2", 2)], schema="src string, dst string, weight long"
+    )
+    hier = hierarchical_communities(edges, max_cluster_size=10)
+    assert hier.filter("level > 0").count() == 0  # nothing oversized -> flat

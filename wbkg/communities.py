@@ -7,6 +7,9 @@ as a self-join + hash aggregation. Hierarchical Leiden (:148-172, a
 randomized native library) is replaced by deterministic weighted label
 propagation — documented surrogate; community structure is checked at the
 structural level (determinism, sizes, connectivity), not id-for-id.
+hierarchical_communities() adds the reference's max_cluster_size=50 bound
+(src/summarize.py:160-166): oversized communities are recursively split
+(weak-tie refinement, even-split fallback) and every level is kept.
 
 Skew (SURVEY §4.4): hub entities ("World Bank") touch a large share of all
 chunks, making the self-join quadratic in the hub's chunk count. A
@@ -101,6 +104,128 @@ def label_propagation(
     return labels.select(
         F.col("node").alias("chunk_id"),
         F.abs(F.xxhash64("label")).alias("community_id"),
+    )
+
+
+def _ntile_split(mem: DataFrame, max_cluster_size: int) -> DataFrame:
+    """Deterministic even split of (chunk_id, parent) members into
+    ceil(n/max) buckets by chunk_id order — the guaranteed-bound fallback
+    used when edge weights carry no structure to split on (uniform weights)
+    or when refinement stalls. -> (chunk_id, community_id)."""
+    w = Window.partitionBy("parent").orderBy("chunk_id")
+    n = F.count("*").over(Window.partitionBy("parent"))
+    nb = F.ceil(n / F.lit(max_cluster_size))
+    bucket = F.floor((F.row_number().over(w) - 1) * nb / n)
+    return mem.select(
+        "chunk_id",
+        F.abs(
+            F.xxhash64(F.concat_ws(":", F.col("parent").cast("string"), bucket.cast("string")))
+        ).alias("community_id"),
+    )
+
+
+def hierarchical_communities(
+    edges: DataFrame,
+    max_cluster_size: int = 50,
+    max_levels: int = 4,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Hierarchical community detection with a hard cluster-size bound —
+    the deterministic surrogate for the reference's
+    `hierarchical_leiden(..., max_cluster_size=50)` (ref
+    src/summarize.py:160-166): communities above the bound are recursively
+    split and every refinement level is kept.
+
+    Per level, each oversized community is split by one of two rules:
+      - weights vary inside it: drop its minimum-weight edge class and
+        re-run label propagation on the remaining intra-community edges
+        (Leiden-style refinement: weak ties break first). Members left
+        without edges become singletons.
+      - weights are uniform (or refinement returned a single label): even
+        deterministic split by chunk_id order into ceil(n/max) buckets.
+    The final level is always forced through the even split, so the bound
+    holds unconditionally.
+
+    -> (chunk_id, level, community_id); a chunk appears once per level at
+    which its community was (re)assigned. Use final_communities() for the
+    leaf assignment."""
+    labels = label_propagation(edges, num_partitions=num_partitions)
+    out = labels.withColumn("level", F.lit(0))
+    cur = labels.localCheckpoint()
+
+    for level in range(1, max_levels + 1):
+        sizes = cur.groupBy("community_id").agg(F.count("*").alias("sz"))
+        over = sizes.filter(F.col("sz") > max_cluster_size).select("community_id")
+        if over.isEmpty():
+            break
+        mem = cur.join(over, "community_id", "left_semi").select(
+            "chunk_id", F.col("community_id").alias("parent")
+        )
+        if level == max_levels:
+            refined = _ntile_split(mem, max_cluster_size)
+        else:
+            src_m = mem.select(F.col("chunk_id").alias("src"), F.col("parent"))
+            dst_m = mem.select(F.col("chunk_id").alias("dst"), F.col("parent").alias("p2"))
+            intra = (
+                edges.join(src_m, "src")
+                .join(dst_m, "dst")
+                .filter(F.col("parent") == F.col("p2"))
+                .select("src", "dst", "weight", "parent")
+            )
+            wstats = intra.groupBy("parent").agg(
+                F.min("weight").alias("wmin"), F.max("weight").alias("wmax")
+            )
+            varying = wstats.filter(F.col("wmax") > F.col("wmin")).select("parent", "wmin")
+            kept = (
+                intra.join(varying, "parent")
+                .filter(F.col("weight") > F.col("wmin"))
+                .select("src", "dst", "weight")
+            )
+            refine_mem = mem.join(varying.select("parent"), "parent", "left_semi")
+            ntile_mem = mem.join(varying.select("parent"), "parent", "left_anti")
+
+            sub = label_propagation(kept, num_partitions=num_partitions).withColumnRenamed(
+                "community_id", "sub_label"
+            )
+            singleton = F.abs(F.xxhash64(F.concat_ws("#", "parent", "chunk_id")))
+            refined0 = refine_mem.join(sub, "chunk_id", "left").select(
+                "chunk_id", "parent", F.coalesce("sub_label", singleton).alias("sub_label")
+            )
+            # refinement that failed to split (single label == parent size)
+            # stalls forever on re-entry -> route those parents to the even
+            # split now
+            nsub = refined0.groupBy("parent").agg(
+                F.countDistinct("sub_label").alias("nsub")
+            )
+            stuck = nsub.filter(F.col("nsub") <= 1).select("parent")
+            split_ok = refined0.join(stuck, "parent", "left_anti").select(
+                "chunk_id",
+                F.abs(
+                    F.xxhash64(
+                        F.concat_ws("/", F.col("parent").cast("string"),
+                                    F.col("sub_label").cast("string"))
+                    )
+                ).alias("community_id"),
+            )
+            ntile_all = ntile_mem.unionByName(
+                refine_mem.join(stuck, "parent", "left_semi")
+            )
+            refined = split_ok.unionByName(_ntile_split(ntile_all, max_cluster_size))
+
+        refined = refined.localCheckpoint()
+        out = out.unionByName(refined.withColumn("level", F.lit(level)))
+        cur = refined
+
+    return out.select("chunk_id", "level", "community_id")
+
+
+def final_communities(hier: DataFrame) -> DataFrame:
+    """leaf assignment: each chunk's community at its deepest level."""
+    w = Window.partitionBy("chunk_id").orderBy(F.desc("level"))
+    return (
+        hier.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("chunk_id", "community_id")
     )
 
 
