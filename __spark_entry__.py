@@ -23,6 +23,45 @@ QUERY_VEC_SQL = "[" + ", ".join(str(x) for x in QUERY_VEC) + "]::DOUBLE[]"
 
 DICT_TERMS = ["hash", "join", "window", "spark", "stream"]
 
+# planted-duplicate scheme for the hash-seeded dedup/fingerprint operators:
+# every 10th document is copied verbatim under doc_id + PLANT_OFFSET, so a
+# correct implementation MUST pair each (orig, copy) — the DuckDB oracle
+# states those pairs independently of the hashing internals.
+PLANT_OFFSET = 10_000_000
+EMB_PLANT_OFFSET = 1_000_000
+
+# The exact hyperplanes used by wbkg.ops (seed=7, n_planes=8, dim=64): with
+# these as SQL literals the LSH bucket itself is DuckDB-expressible, which
+# upgrades the LSH queries from rows-only to full value-hash oracles.
+import numpy as np
+
+_LSH_PLANES = np.random.RandomState(7).randn(8, 64)
+
+
+def _plane_sql(p) -> str:
+    return "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+
+def _bucket_sql(col: str = "embedding") -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({col}::DOUBLE[], {_plane_sql(_LSH_PLANES[i])}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    )
+
+
+def _probe_bucket_sql(query, probe_bits: int = 2) -> str:
+    """The multi-probe bucket set lsh_topk() visits, precomputed (the planes,
+    seed and query vector are all compile-time constants)."""
+    qsigns = (_LSH_PLANES @ np.asarray(query, dtype=float)) > 0
+    qb = int((qsigns * (1 << np.arange(8))).sum())
+    probes = {qb}
+    if probe_bits >= 1:
+        probes |= {qb ^ (1 << i) for i in range(8)}
+    if probe_bits >= 2:
+        probes |= {qb ^ (1 << i) ^ (1 << j) for i in range(8) for j in range(i + 1, 8)}
+    return ", ".join(str(b) for b in sorted(probes))
+
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -376,31 +415,77 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.35)
 
 
+def _planted_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (rows-only: hash-seeded signatures are
-    not SQL-expressible)."""
+    """MinHash+LSH near-dup detection, self-validating: verbatim copies are
+    planted under doc_id + PLANT_OFFSET; every (orig, copy) pair MUST come
+    back with sig_jaccard = 1.0 (identical text -> identical signatures ->
+    identical band buckets). The oracle states the planted pairs directly —
+    a broken signature, banding or join produces found=false rows and fails
+    the value hash."""
     from wbkg.ops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), threshold=0.35)
+    pairs = minhash_lsh_pairs(_planted_docs(spark, sf_dir), threshold=0.35)
+    expected = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("orig_id"), (F.col("doc_id") + PLANT_OFFSET).alias("copy_id"))
+    )
+    j = expected.join(
+        pairs,
+        (expected.orig_id == pairs.doc_a) & (expected.copy_id == pairs.doc_b),
+        "left",
+    )
+    sj = F.coalesce("sig_jaccard", F.lit(-1.0))
+    return j.select("orig_id", "copy_id", sj.alias("sig_jaccard"), (sj == 1.0).alias("found"))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash banded near-dup pairs (rows-only)."""
+    """SimHash near-dup detection, self-validating via the same planted-copy
+    scheme: identical text -> identical simhash -> hamming 0 through at least
+    one identical 16-bit band."""
     from wbkg.ops.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+    pairs = simhash_near_dup_pairs(_planted_docs(spark, sf_dir), max_hamming=8)
+    expected = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("orig_id"), (F.col("doc_id") + PLANT_OFFSET).alias("copy_id"))
+    )
+    j = expected.join(
+        pairs,
+        (expected.orig_id == pairs.doc_a) & (expected.copy_id == pairs.doc_b),
+        "left",
+    )
+    ham = F.coalesce("hamming", F.lit(-1))
+    return j.select("orig_id", "copy_id", ham.alias("hamming"), (ham == 0).alias("found"))
 
 
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
-    verify (rows-only: bucketing is numpy-seeded)."""
+    verify. Identical-vector copies are planted (same bucket guaranteed, any
+    seed), and the LSH bucket itself is restated in the DuckDB oracle with
+    the literal hyperplanes — full value-hash check, no longer rows-only."""
     from wbkg.ops.dedup import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.9)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + EMB_PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_pairs(emb.unionByName(copies), threshold=0.95)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """ANN: LSH-bucketed top-k (rows-only; approximate by construction)."""
+    """ANN: LSH-bucketed top-k. The probed bucket set is a compile-time
+    constant (fixed planes + query vector), so the DuckDB oracle replays the
+    exact same bucket filter + exact re-score — full value-hash check."""
     from wbkg.ops.similarity import add_lsh_bucket, lsh_topk
 
     emb = add_lsh_bucket(_read(spark, sf_dir, "embeddings"))
@@ -435,33 +520,75 @@ def q_token_count(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Rolling polynomial fingerprint (rows-only: integer rolling hash)."""
+    """Rolling polynomial fingerprint, self-validating: planted verbatim
+    copies must fingerprint identically, and the fingerprint must be
+    injective over the corpus's distinct texts (n_distinct_fp == number of
+    distinct texts, which the oracle computes independently)."""
     from wbkg.ops.textops import fingerprint
 
-    return fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+    fp = fingerprint(_planted_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+    orig = fp.filter((F.col("doc_id") < PLANT_OFFSET) & (F.col("doc_id") % 10 == 0)).select(
+        F.col("doc_id").alias("orig_id"), F.col("fingerprint").alias("fp_o")
+    )
+    copy = fp.filter(F.col("doc_id") >= PLANT_OFFSET).select(
+        (F.col("doc_id") - PLANT_OFFSET).alias("orig_id"), F.col("fingerprint").alias("fp_c")
+    )
+    ndist = (
+        fp.filter(F.col("doc_id") < PLANT_OFFSET)
+        .agg(F.countDistinct("fingerprint").alias("n_distinct_fp"))
+    )
+    return (
+        orig.join(copy, "orig_id")
+        .select(
+            "orig_id",
+            (F.col("orig_id") + PLANT_OFFSET).alias("copy_id"),
+            (F.col("fp_o") == F.col("fp_c")).alias("fp_match"),
+        )
+        .crossJoin(F.broadcast(ndist))
+    )
 
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> feature vector via mapInPandas
-    (decode stubbed; rows-only)."""
+    (decode stubbed). The synthetic media table is formula-generated, so the
+    oracle reproduces (ids, kinds, dims) via generate_series and asserts the
+    feature vectors are L2-normalized."""
     from wbkg.ops.multimodal import extract_features, gen_media_df
 
     media = gen_media_df(spark, docs=30)
     feats = extract_features(media)
-    return feats.select("media_id", "doc_id", "kind", F.size("feature").alias("dim"))
+    sq_norm = F.aggregate(
+        "feature", F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    return feats.select(
+        "media_id",
+        "doc_id",
+        "kind",
+        F.size("feature").alias("dim"),
+        (F.abs(F.sqrt(sq_norm) - 1.0) < 1e-3).alias("unit_norm"),
+    )
 
 
 def q_media_frame_sample(spark, sf_dir):
-    """Multimodal frame sampling (sequence explode on metadata)."""
+    """Multimodal frame sampling (sequence explode on metadata); the sampled
+    frame grid is formula-determined, so the oracle replays it with
+    generate_series."""
     from wbkg.ops.multimodal import frame_sample, gen_media_df
 
     return frame_sample(gen_media_df(spark, docs=30))
 
 
+KG_N_DOCS = 30
+
+
 def q_kg_pipeline_edges(spark, sf_dir):
-    """The full KG pipeline on the deterministic synthetic corpus (rows-only:
-    validated by the pure-Python oracle in tests, not by SQL)."""
+    """The full KG pipeline on the deterministic synthetic corpus, verified
+    in-query against the independent pure-Python oracle (wbkg/oracle.py):
+    returns one row of (n_spark, n_oracle, n_matched) whose values the DuckDB
+    oracle states as constants — any extraction/link/canonicalize drift
+    changes the counts and fails the value hash."""
     from wbkg.extract import build_pattern_rows
+    from wbkg.oracle import oracle_pipeline
     from wbkg.pipeline import run_pipeline
     from wbkg.synth import (
         build_entity_dict_rows,
@@ -471,12 +598,23 @@ def q_kg_pipeline_edges(spark, sf_dir):
         gen_metadata_df,
     )
 
-    n_docs = 30
+    n_docs = KG_N_DOCS
     docs = gen_documents_df(spark, n_docs)
     edict = entity_dict_df(spark, n_docs)
     meta = gen_metadata_df(spark, n_docs)
     pats = build_pattern_rows(build_entity_dict_rows(n_docs), build_unbis_rows())
-    return run_pipeline(spark, docs, edict, pats, metadata_df=meta, cache=False)["edges"]
+    edges = run_pipeline(spark, docs, edict, pats, metadata_df=meta, cache=False)["edges"]
+
+    exp = spark.createDataFrame(
+        list(oracle_pipeline(n_docs)), "subj string, pred string, obj string"
+    )
+    got = edges.select("subj", "pred", "obj")
+    n_spark = got.agg(F.count("*").alias("n_spark"))
+    n_oracle = exp.agg(F.count("*").alias("n_oracle"))
+    n_matched = got.join(exp, ["subj", "pred", "obj"], "left_semi").agg(
+        F.count("*").alias("n_matched")
+    )
+    return n_spark.crossJoin(n_oracle).crossJoin(n_matched)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -712,4 +850,67 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(trim(text), '[\s.,;:!?()]+')) AS n_subwords
             FROM documents
         """,
+        # planted-duplicate verdicts: the oracle states the ground truth the
+        # hash-seeded operators MUST recover (see PLANT_OFFSET note above)
+        "dedup_minhash_lsh": f"""
+            SELECT doc_id AS orig_id, doc_id + {PLANT_OFFSET} AS copy_id,
+                   1.0::DOUBLE AS sig_jaccard, true AS found
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "dedup_simhash": f"""
+            SELECT doc_id AS orig_id, doc_id + {PLANT_OFFSET} AS copy_id,
+                   0::INTEGER AS hamming, true AS found
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id AS orig_id, doc_id + {PLANT_OFFSET} AS copy_id,
+                   true AS fp_match,
+                   (SELECT count(DISTINCT text) FROM documents)::BIGINT AS n_distinct_fp
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        # the LSH bucket restated with literal hyperplanes (exact replay of
+        # the Spark-side sign-bit computation)
+        "dedup_embedding": f"""
+            WITH allv AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {EMB_PLANT_OFFSET}, embedding FROM embeddings WHERE vec_id % 10 = 0),
+            b AS (SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM allv)
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.95
+        """,
+        "ann_lsh_topk": f"""
+            WITH b AS (SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM embeddings)
+            SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC_SQL}), 4) AS score
+            FROM b WHERE bucket IN ({_probe_bucket_sql(QUERY_VEC, probe_bits=2)})
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "media_features": """
+            SELECT printf('M%05d_%d', d.g, m.g) AS media_id,
+                   printf('D%07d', d.g) AS doc_id,
+                   CASE WHEN m.g = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   16::INTEGER AS dim, true AS unit_norm
+            FROM generate_series(0, 29) d(g), generate_series(0, 1) m(g)
+        """,
+        "media_frame_sample": """
+            SELECT printf('M%05d_1', d.g) AS media_id,
+                   printf('D%07d', d.g) AS doc_id,
+                   'audio' AS kind,
+                   (f.g * 500)::INTEGER AS frame_ms
+            FROM generate_series(0, 29) d(g), generate_series(0, 4) f(g)
+        """,
+        "kg_pipeline_edges": _kg_expected_sql(),
     }
+
+
+def _kg_expected_sql() -> str:
+    """The independent pure-Python oracle (wbkg/oracle.py — AC automaton +
+    dict maps + union-find, no Spark) fixes the expected triple count for the
+    deterministic KG_N_DOCS corpus; the Spark query must report
+    n_spark == n_matched == that constant."""
+    from wbkg.oracle import oracle_pipeline
+
+    n = len(oracle_pipeline(KG_N_DOCS))
+    return f"SELECT {n}::BIGINT AS n_spark, {n}::BIGINT AS n_oracle, {n}::BIGINT AS n_matched"
