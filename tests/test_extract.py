@@ -148,3 +148,17 @@ def test_extract_mentions_spark(spark, chunks_df):
     assert "sustainable development" in set(d2.surface)  # UNBIS term
     # ESMF expansion matched as ACRONYM_EXPANDED (longest match over sector overlap)
     assert "ACRONYM_EXPANDED" in set(d1.label) or "environmental and social management framework" in set(d1.surface)
+
+
+def test_unicode_acronym_survives_jvm_recheck(spark):
+    """ADVICE r01: the Catalyst uppercase re-check must be Unicode-aware
+    (\\p{Lu}) so 'ÉSMF' passes both the Python clean and the JVM filter."""
+    from wbkg.extract import extract_acronyms
+
+    chunks = spark.createDataFrame(
+        [("d1", "Intro", "The École de Santé Mondiale Fédérale (ÉSMF) was funded.")],
+        "doc_id string, header_path string, text string",
+    )
+    out = {r.abbr: r.expansion for r in extract_acronyms(chunks).collect()}
+    assert "ÉSMF" in out
+    assert out["ÉSMF"] == "École de Santé Mondiale Fédérale"

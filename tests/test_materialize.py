@@ -54,3 +54,73 @@ def test_turtle_lines(spark):
     lines = sorted(r.line for r in to_turtle_lines(e).collect())
     assert lines[0] == '<http://x/s> <http://schema.org/name> "va\\"l"@en .'
     assert lines[1] == "<http://x/s> rdf:type <http://schema.org/Thing> ."
+
+
+# --------------------------------------------------------------------------- #
+# canonicalization keying + CC hardening (ADVICE r01 / VERDICT r01 #9)         #
+# --------------------------------------------------------------------------- #
+
+
+def test_accented_expansion_joins_mention_component(spark):
+    """An acronym whose expansion carries accents must still canonicalize to
+    the expansion's QID: alias-edge keys use normalize_surface, not bare
+    lower()."""
+    from pyspark.sql import functions as F
+
+    from wbkg.canonicalize import apply_canonicalization, canonical_map
+
+    edict = spark.createDataFrame(
+        [],
+        "entity_id string, surface_norm string, kind string, label string, is_alias boolean, alias_of string",
+    )
+    acronyms = spark.createDataFrame(
+        [("d1", "ESMF", "École  de Santé")], "doc_id string, abbr string, expansion string"
+    )
+    linked = spark.createDataFrame(
+        [
+            ("c1", "esmf", None, "esmf"),
+            ("c2", "ecole de sante", "Q77", "Q77"),
+        ],
+        "chunk_id string, surface_norm string, qid string, rdf_safe string",
+    )
+    cmap = canonical_map(edict, acronyms, linked)
+    out = {r.surface_norm: r.qid_c for r in apply_canonicalization(linked, cmap).collect()}
+    assert out["esmf"] == "Q77"  # inherited via the normalized expansion key
+
+
+def test_cc_nonconvergence_warns(spark):
+    import pytest as _pytest
+
+    from wbkg.canonicalize import connected_components
+
+    # a chain of 12 has diameter > 2 propagation rounds (max_iter=2 -> 1x2 rounds)
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}") for i in range(12)], "src string, dst string"
+    )
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_large_alias_graph_takes_distributed_cc(spark, monkeypatch):
+    """Above LOCAL_CC_THRESHOLD the driver union-find must NOT run."""
+    import wbkg.canonicalize as cz
+
+    monkeypatch.setattr(cz, "LOCAL_CC_THRESHOLD", 3)
+
+    def boom(_edges):
+        raise AssertionError("driver union-find used above threshold")
+
+    monkeypatch.setattr(cz, "connected_components_local", boom)
+    edict = spark.createDataFrame(
+        [],
+        "entity_id string, surface_norm string, kind string, label string, is_alias boolean, alias_of string",
+    )
+    acronyms = spark.createDataFrame(
+        [("d1", f"AB{i}", f"Alpha Beta {i}") for i in range(5)],
+        "doc_id string, abbr string, expansion string",
+    )
+    linked = spark.createDataFrame(
+        [], "chunk_id string, surface_norm string, qid string, rdf_safe string"
+    )
+    cmap = cz.canonical_map(edict, acronyms, linked)
+    assert cmap.count() == 10  # 5 abbr<->expansion components, 2 members each

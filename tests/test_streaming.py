@@ -96,3 +96,76 @@ def test_windowed_event_counts_batch_shape(spark):
     by_type = {r.event_type: (r.cnt, r.total_value) for r in out}
     assert by_type["click"] == (2, 3.0)
     assert by_type["view"] == (1, 5.0)
+
+
+def test_cross_batch_canonicalization(spark, tmp_path):
+    """ADVICE r01: a surface in a LATER batch whose acronym expansion was
+    defined in an EARLIER batch must inherit the expansion's QID via the
+    persisted alias-edge state (two availableNow drains = two batches)."""
+    from wbkg.materialize import WD
+
+    in_dir = str(tmp_path / "in2")
+    out_dir = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def doc(doc_id, text):
+        return (doc_id, [{"kind": "text", "text": text, "media_ref": "", "offset": 0}])
+
+    schema = "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>"
+    edict = spark.createDataFrame(
+        [("Q9900", "world trade organization", "org", "World Trade Organization", False, None)],
+        "entity_id string, surface_norm string, kind string, label string, is_alias boolean, alias_of string",
+    )
+    pats = [("world trade organization", "DICT_ORG", "Q9900")]
+
+    # batch 1: defines the acronym next to the linked expansion
+    spark.createDataFrame(
+        [doc("DA", "The World Trade Organization (WTO) met today.")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, "f1"))
+    q1 = stream_extract_edges(
+        spark, in_dir + "/f*", out_dir, ckpt, edict, pats, max_files_per_trigger=1
+    )
+    q1.awaitTermination(120)
+
+    # batch 2 (separate drain): re-defines WTO against an expansion variant
+    # that is NOT in the dictionary — batch-local canonicalization would
+    # leave both surfaces unlinked; the batch-1 alias edge
+    # (wto <-> world trade organization <-> Q9900) must flow through state
+    spark.createDataFrame(
+        [doc("DB", "World Trade Org (WTO) officials met again.")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, "f2"))
+    q2 = stream_extract_edges(
+        spark, in_dir + "/f*", out_dir, ckpt, edict, pats, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+
+    edges = spark.read.parquet(out_dir)
+    db_objs = {
+        r.obj for r in edges.filter(F.col("subj").contains("document/DB")).collect()
+    }
+    # both batch-2 surfaces ('wto' and the dictionary-free variant 'world
+    # trade org') inherited Q9900 through the batch-1 alias edges
+    assert f"{WD}Q9900" in db_objs
+    assert not any("world_trade_org" in o for o in db_objs)
+
+
+def test_streaming_sink_idempotent_on_replay(spark, tmp_path):
+    """Simulated at-least-once replay: re-running the same batch_id must not
+    duplicate rows (overwrite into batch_id-keyed partition)."""
+    in_dir = str(tmp_path / "in3")
+    out_dir = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    gen_documents_df(spark, 6, partitions=1).write.parquet(in_dir)
+    edict = entity_dict_df(spark, 6)
+    pats = build_pattern_rows(build_entity_dict_rows(6), build_unbis_rows())
+
+    q = stream_extract_edges(spark, in_dir, out_dir, ckpt, edict, pats)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+
+    # replay: fresh checkpoint (as if the commit was lost) over the same
+    # input writes the same batch_id=0 partition again
+    q2 = stream_extract_edges(spark, in_dir, out_dir, str(tmp_path / "ckpt3b"), edict, pats)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n1

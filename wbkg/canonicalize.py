@@ -25,6 +25,7 @@ QID members when one exists.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,6 +68,7 @@ def connected_components(
 
     # two propagation rounds per materialization/convergence check — halves
     # the number of jobs (min-label needs diameter rounds; checks are jobs)
+    changed = 0
     for _ in range(max(1, max_iter // 2)):
         new_labels = step(step(labels)).localCheckpoint()
         changed = (
@@ -79,7 +81,34 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component whose diameter exceeds max_iter propagation rounds
+        # would otherwise return silently-wrong labels (ADVICE r01)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} "
+            "propagation rounds; labels may be unstable — raise max_iter "
+            "(long alias chains need diameter rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
+
+
+def _normalize_surface_udf():
+    """Pandas-UDF twin of extract.normalize_surface (NFKD accent-fold +
+    lower + whitespace collapse). Applied only to the vocabulary-bounded
+    alias-edge keys, never to the mention stream."""
+    from pyspark.sql.types import StringType
+
+    from wbkg.extract import normalize_surface
+
+    @F.pandas_udf(StringType())
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: normalize_surface(v) if v is not None else None)
+
+    return norm
 
 
 def build_alias_edges(
@@ -87,16 +116,21 @@ def build_alias_edges(
 ) -> DataFrame:
     """Assemble the alias graph. Node ids are canonicalization keys:
     'qid::<id>' for dictionary entities, 'surf::<normalized surface>' for
-    unlinked surfaces."""
+    unlinked surfaces. abbr/expansion go through the SAME normalize_surface
+    transform as mention surfaces (accent-fold + whitespace collapse, not
+    just lower) so an accented expansion still joins its mentions'
+    component."""
     qid = lambda c: F.concat(F.lit("qid::"), F.col(c))
     surf = lambda c: F.concat(F.lit("surf::"), F.lower(F.col(c)))
+    norm = _normalize_surface_udf()
+    surf_n = lambda c: F.concat(F.lit("surf::"), norm(F.col(c)))
 
     dict_edges = (
         entity_dict.filter("is_alias")
         .select(qid("entity_id").alias("src"), qid("alias_of").alias("dst"))
     )
     acro_edges = acronyms.select(
-        surf("abbr").alias("src"), surf("expansion").alias("dst")
+        surf_n("abbr").alias("src"), surf_n("expansion").alias("dst")
     )
     link_edges = (
         linked.filter(F.col("qid").isNotNull())
@@ -106,7 +140,9 @@ def build_alias_edges(
     return dict_edges.unionByName(acro_edges).unionByName(link_edges)
 
 
-LOCAL_CC_THRESHOLD = 2_000_000
+# driver-collect hardening (VERDICT r01 #9): 200k edges x ~30-byte keys is a
+# few tens of MB on the driver — an order of magnitude below the old 2M bound
+LOCAL_CC_THRESHOLD = 200_000
 
 
 def connected_components_local(edges: DataFrame) -> DataFrame:
@@ -134,17 +170,14 @@ def connected_components_local(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(out, "member string, component string")
 
 
-def canonical_map(
-    entity_dict: DataFrame, acronyms: DataFrame, linked: DataFrame
-) -> DataFrame:
-    """-> (member, canonical_id): every alias-graph member mapped to the
-    component representative. QID members win over surface members; ties
-    break on the lexicographic min (deterministic).
+def canonical_map_from_edges(edges: DataFrame) -> DataFrame:
+    """alias edges (src, dst) -> (member, canonical_id). QID members win over
+    surface members; ties break on the lexicographic min (deterministic).
 
     Physical strategy is size-gated: small alias graphs take the driver
     union-find (one job instead of ~10 iterative jobs); big ones take the
     iterative DataFrame loop."""
-    edges = build_alias_edges(entity_dict, acronyms, linked).persist()
+    edges = edges.persist()
     n_edges = edges.count()
     comp = (
         connected_components_local(edges)
@@ -160,6 +193,14 @@ def canonical_map(
         comp.join(rep, "component")
         .select("member", F.coalesce("q_rep", "any_rep").alias("canonical_id"))
     )
+
+
+def canonical_map(
+    entity_dict: DataFrame, acronyms: DataFrame, linked: DataFrame
+) -> DataFrame:
+    """-> (member, canonical_id) over the alias graph of one batch of
+    (dictionary, acronyms, linked mentions)."""
+    return canonical_map_from_edges(build_alias_edges(entity_dict, acronyms, linked))
 
 
 def apply_canonicalization(linked: DataFrame, cmap: DataFrame) -> DataFrame:

@@ -322,8 +322,10 @@ def extract_acronyms(chunks_df: DataFrame) -> DataFrame:
     raw = chunks_df.select("doc_id", "header_path", "text").mapInPandas(detect, schema=ACRONYMS)
 
     # P5 clean: len>=2 (reference bug: upper bound not enforced) + uppercase
-    # ratio >= 0.5 — pure Catalyst expressions, JVM-side
-    upper_cnt = F.length(F.regexp_replace(F.col("abbr"), r"[^A-Z]", ""))
+    # ratio >= 0.5 — pure Catalyst expressions, JVM-side. \p{Lu} keeps the
+    # count Unicode-aware, matching clean_acronyms_py's str.isupper() (a
+    # non-ASCII abbr like 'ÉSMF' must survive both passes identically)
+    upper_cnt = F.length(F.regexp_replace(F.col("abbr"), r"[^\p{Lu}]", ""))
     cleaned = raw.filter(
         (F.length("abbr") >= 2) & (upper_cnt / F.length("abbr") >= 0.5)
     )

@@ -145,7 +145,8 @@ def oracle_pipeline(
 
         # alias edges for canonicalization
         for abbr, exp in acronyms.items():
-            uf.union(f"surf::{abbr.lower()}", f"surf::{exp.lower()}")
+            # same normalize_surface keying as the mention side (ADVICE r01)
+            uf.union(f"surf::{normalize_surface(abbr)}", f"surf::{normalize_surface(exp)}")
         for m in doc_mentions:
             if m["qid"]:
                 uf.union(f"surf::{m['surface'].lower()}", f"qid::{m['qid']}")

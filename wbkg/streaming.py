@@ -4,9 +4,10 @@ The reference has no streaming — its incrementality is checkpoint-and-skip
 (src/pipeline.py:31-33). Here the same extraction pipeline runs as a
 Structured Streaming flow: a file source over the interleaved-document table
 feeds micro-batches into foreachBatch, which reuses the *batch* operators
-(chunk -> extract -> link -> triples) unchanged and appends to the edges
-sink. Spark's streaming checkpoint gives exactly-once file-level resume —
-the streaming analogue of the CheckpointManager anti-join.
+(chunk -> extract -> link -> triples) unchanged and writes each batch to a
+batch_id-keyed edges partition (idempotent overwrite: at-least-once replay
+becomes file-level exactly-once). Alias edges accumulate across batches so
+canonicalization sees the full history — see stream_extract_edges.
 
 Also provides a watermarked windowed aggregation over the driver `events`
 table shape (the standard late-data pattern) to cover the Structured
@@ -24,6 +25,25 @@ from pyspark.sql import functions as F
 from wbkg.schemas import DOCUMENTS_INTERLEAVED
 
 
+def _list_state_paths(spark: SparkSession, state_dir: str, upto: int) -> List[str]:
+    """Fresh (uncached) Hadoop-FS listing of the batch_id=N state partitions
+    with N <= upto. Replay-safe: a replayed batch ignores any state a crashed
+    later attempt may have left behind."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            try:
+                if int(name.split("=", 1)[1]) <= upto:
+                    out.append(st.getPath().toString())
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def stream_extract_edges(
     spark: SparkSession,
     input_dir: str,
@@ -31,8 +51,25 @@ def stream_extract_edges(
     checkpoint_dir: str,
     entity_dict_df: DataFrame,
     pattern_rows: List[Tuple[str, str, str]],
+    max_files_per_trigger: int = 8,
+    state_dir: str | None = None,
 ):
     """readStream(files) -> foreachBatch(batch pipeline) -> parquet edges.
+
+    Cross-batch canonicalization: every micro-batch appends its alias edges
+    (abbr<->expansion, surface<->qid) to a batch_id-keyed state table and
+    computes the canonical map over ALL alias edges seen so far — a surface
+    in batch N whose acronym expansion appeared in batch N-1 still inherits
+    the QID. Already-committed batches are NOT retroactively re-keyed
+    (append-only streaming semantics; the batch pipeline remains the
+    authority for a globally-converged graph — documented deviation).
+
+    Idempotent sink: each batch writes to `output_dir/batch_id=N` with
+    overwrite. Spark's foreachBatch is at-least-once — a crash between the
+    parquet commit and the streaming-checkpoint commit replays the batch —
+    but the replay rewrites the same subdirectory instead of appending
+    duplicates, giving file-level exactly-once for the edges table. The
+    state table uses the same scheme.
 
     Returns the StreamingQuery (availableNow trigger: drains all current
     input then stops — use .awaitTermination())."""
@@ -40,11 +77,18 @@ def stream_extract_edges(
     from wbkg.extract import extract_acronyms, extract_mentions
     from wbkg.link import link_mentions
     from wbkg.materialize import entity_triples, union_distinct
-    from wbkg.canonicalize import apply_canonicalization, canonical_map
+    from wbkg.canonicalize import (
+        apply_canonicalization,
+        build_alias_edges,
+        canonical_map_from_edges,
+    )
+
+    if state_dir is None:
+        state_dir = checkpoint_dir.rstrip("/") + "_alias_state"
 
     stream = (
         spark.readStream.schema(DOCUMENTS_INTERLEAVED)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -53,10 +97,22 @@ def stream_extract_edges(
         acronyms = extract_acronyms(chunks).persist()
         mentions = extract_mentions(chunks, acronyms, pattern_rows).persist()
         linked = link_mentions(mentions, entity_dict_df).persist()
-        cmap = canonical_map(entity_dict_df, acronyms, linked)
+        # accumulate this batch's alias edges (idempotent: replay overwrites)
+        batch_alias = build_alias_edges(entity_dict_df, acronyms, linked)
+        batch_alias.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+        # read the cumulative state through an explicit, freshly-listed path
+        # set: re-listing the parent dir can serve a stale FileStatusCache
+        # entry inside foreachBatch and silently miss the newest partitions
+        paths = _list_state_paths(spark, state_dir, upto=batch_id)
+        all_alias = spark.read.parquet(*paths).select("src", "dst")
+        cmap = canonical_map_from_edges(all_alias)
         linked_c = apply_canonicalization(linked, cmap)
         edges = union_distinct(entity_triples(linked_c))
-        edges.write.mode("append").parquet(output_dir)
+        edges.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch_id={batch_id}")
+        )
         for df in (chunks, acronyms, mentions, linked):
             df.unpersist()
 
