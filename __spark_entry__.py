@@ -343,6 +343,49 @@ def q_so1_union_distinct(spark, sf_dir):
     return n.unionByName(r).unionByName(n).distinct()
 
 
+def q_k1_ttl_roundtrip(spark, sf_dir):
+    """K1 round-trip — serialize edges to Turtle lines and parse them back
+    (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
+    and backslashes so the escape/unescape path is exercised; the oracle
+    reconstructs the expected edges directly from nation."""
+    from wbkg.materialize import to_turtle_lines
+    from wbkg.ttl import from_turtle_lines
+
+    n = _read(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("http://ex.org/nation/"), F.col("n_nationkey").cast("string"))
+    name_lit = F.concat(F.lit('say "'), F.col("n_name"), F.lit('" \\ done'))
+    lit1 = n.select(
+        subj.alias("subj"),
+        F.lit("http://schema.org/name").alias("pred"),
+        name_lit.alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    lit2 = n.select(
+        subj.alias("subj"),
+        F.lit("http://schema.org/label").alias("pred"),
+        F.lower("n_name").alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit("en").alias("lang"),
+    )
+    uri1 = n.select(
+        subj.alias("subj"),
+        F.lit("http://schema.org/isPartOf").alias("pred"),
+        F.concat(F.lit("http://ex.org/region/"), F.col("n_regionkey").cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    typ = n.select(
+        subj.alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("http://schema.org/Country").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    edges = lit1.unionByName(lit2).unionByName(uri1).unionByName(typ)
+    return from_turtle_lines(to_turtle_lines(edges))
+
+
 def q_p1_sanitize(spark, sf_dir):
     """P1 — identifier sanitize chain (ref src/graph.py:141-149)."""
     c = _read(spark, sf_dir, "customer")
@@ -635,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "so2_anti_join": q_so2_anti_join,
         "g2_label_propagation": q_g2_label_propagation,
         "g2_hierarchical": q_g2_hierarchical,
+        "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "p1_sanitize": q_p1_sanitize,
         "p2_p3_filter_chain": q_p2_p3_filter_chain,
         "w2_topk_similarity": q_w2_topk_similarity,
@@ -759,6 +803,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT n_name AS name FROM nation
               UNION ALL SELECT r_name FROM region
               UNION ALL SELECT n_name FROM nation)
+        """,
+        "k1_ttl_roundtrip": r"""
+            WITH s AS (SELECT 'http://ex.org/nation/' || n_nationkey AS subj, * FROM nation)
+            SELECT subj, 'http://schema.org/name' AS pred,
+                   'say "' || n_name || '" \ done' AS obj,
+                   true AS obj_is_literal, NULL::VARCHAR AS lang FROM s
+            UNION ALL
+            SELECT subj, 'http://schema.org/label', lower(n_name), true, 'en' FROM s
+            UNION ALL
+            SELECT subj, 'http://schema.org/isPartOf',
+                   'http://ex.org/region/' || n_regionkey, false, NULL FROM s
+            UNION ALL
+            SELECT subj, 'rdf:type', 'http://schema.org/Country', false, NULL FROM s
         """,
         "p1_sanitize": r"""
             SELECT c_custkey,
