@@ -343,6 +343,43 @@ def q_so1_union_distinct(spark, sf_dir):
     return n.unionByName(r).unionByName(n).distinct()
 
 
+def q_graph_2hop_neighborhood(spark, sf_dir):
+    """Graph-hop retrieval composition (ref src/query.py:26-76): 2-hop BFS
+    from region 0 over the customer->nation->region edge list; min hop per
+    node."""
+    from wbkg.query import entity_neighborhood
+
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    e1 = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    )
+    e2 = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    return entity_neighborhood(e1.unionByName(e2), "r:0", hops=2)
+
+
+def q_graph_sibling_docs(spark, sf_dir):
+    """Sibling retrieval (chunk -> entity -> chunk 2-hop self-join, ref
+    src/query.py:49-66): docs sharing a dictionary term with doc 0."""
+    from wbkg.query import sibling_chunks_via_entities
+
+    d = _read(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([(t,) for t in DICT_TERMS], "surface string")
+    mentions = (
+        d.crossJoin(F.broadcast(terms))
+        .filter(F.instr(F.lower(F.col("text")), F.col("surface")) > 0)
+        .select(
+            F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias("subj"),
+            F.concat(F.lit("t:"), F.col("surface")).alias("obj"),
+        )
+    )
+    return sibling_chunks_via_entities(mentions, "d:0")
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -678,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "so2_anti_join": q_so2_anti_join,
         "g2_label_propagation": q_g2_label_propagation,
         "g2_hierarchical": q_g2_hierarchical,
+        "graph_2hop_neighborhood": q_graph_2hop_neighborhood,
+        "graph_sibling_docs": q_graph_sibling_docs,
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "p1_sanitize": q_p1_sanitize,
         "p2_p3_filter_chain": q_p2_p3_filter_chain,
@@ -803,6 +842,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT n_name AS name FROM nation
               UNION ALL SELECT r_name FROM region
               UNION ALL SELECT n_name FROM nation)
+        """,
+        "graph_2hop_neighborhood": """
+            SELECT 'r:0' AS node, 0 AS hop
+            UNION ALL
+            SELECT 'n:' || n_nationkey, 1 FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT 'c:' || c_custkey, 2
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_regionkey = 0
+        """,
+        "graph_sibling_docs": """
+            WITH m AS (
+              SELECT d.doc_id, t.surface
+              FROM documents d
+              JOIN (VALUES ('hash'), ('join'), ('window'), ('spark'), ('stream')) t(surface)
+                ON strpos(lower(d.text), t.surface) > 0)
+            SELECT DISTINCT 'd:' || m2.doc_id AS sibling
+            FROM m m1 JOIN m m2 ON m1.surface = m2.surface AND m2.doc_id <> 0
+            WHERE m1.doc_id = 0
         """,
         "k1_ttl_roundtrip": r"""
             WITH s AS (SELECT 'http://ex.org/nation/' || n_nationkey AS subj, * FROM nation)

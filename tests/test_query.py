@@ -61,3 +61,38 @@ def test_retrieval_topk_with_doc_filter(spark, kg):
     again = retrieve_topk(emb, "procurement exchanges tracking", k=3).collect()
     assert [r.chunk_id for r in again] == [r.chunk_id for r in hits]
     emb.unpersist()
+
+
+def test_entity_neighborhood_min_hop(spark):
+    from wbkg.query import entity_neighborhood
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],  # a-c short-circuits c to hop 1
+        "subj string, obj string",
+    )
+    out = {r.node: r.hop for r in entity_neighborhood(edges, "a", hops=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_community_sibling_chunks(spark):
+    from wbkg.materialize import EX, SCHEMA
+    from wbkg.query import community_sibling_chunks
+
+    name = SCHEMA + "name"
+    mentions = SCHEMA + "mentions"
+    part_of = SCHEMA + "isPartOf"
+    e = EX + "entity/"
+    c = EX + "chunk/"
+    g = EX + "community/"
+    edges = spark.createDataFrame(
+        [
+            (e + "wb", name, "World Bank"),
+            (c + "c1", mentions, e + "wb"),
+            (c + "c1", part_of, g + "7"),
+            (c + "c2", part_of, g + "7"),   # sibling via community 7
+            (c + "c3", part_of, g + "9"),   # unrelated community
+        ],
+        "subj string, pred string, obj string",
+    )
+    sibs = {r.chunk_uri for r in community_sibling_chunks(edges, "world bank").collect()}
+    assert sibs == {c + "c1", c + "c2"}

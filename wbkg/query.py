@@ -39,6 +39,80 @@ def docs_mentioning(edges: DataFrame, entity_name: str) -> DataFrame:
     return mentions.join(F.broadcast(names.distinct()), "ent_uri").select("doc_uri").distinct()
 
 
+def entity_neighborhood(
+    edges: DataFrame, start: str, hops: int = 2, undirected: bool = True
+) -> DataFrame:
+    """n-hop BFS over (subj, obj) edges from one node -> (node, hop) with the
+    MINIMUM hop per node. This is the relational half of the reference's
+    graph-aware retrieval (source nodes -> neighborhood -> synthesis, ref
+    src/query.py:26-76) — the LLM synthesis step is out of scope, the hops
+    are not.
+
+    Each hop is one equi-join on the frontier (broadcast when small); hops is
+    expected tiny (2-3), so the loop is bounded and lineage stays shallow."""
+    sym = edges.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    if undirected:
+        sym = sym.unionByName(
+            edges.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+        )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(start, 0)], "node string, hop int")
+    frontier = visited
+    for h in range(1, hops + 1):
+        nxt = (
+            sym.join(F.broadcast(frontier.select(F.col("node").alias("src"))), "src")
+            .select(F.col("dst").alias("node"), F.lit(h).alias("hop"))
+            .distinct()
+        )
+        new_nodes = nxt.join(visited.select("node"), "node", "left_anti")
+        visited = visited.unionByName(new_nodes).localCheckpoint()
+        frontier = new_nodes
+    return visited
+
+
+def sibling_chunks_via_entities(mention_edges: DataFrame, chunk_uri: str) -> DataFrame:
+    """chunks sharing at least one mentioned entity with `chunk_uri` — the
+    2-hop (chunk -> entity -> chunk) self-join behind 'related passages'
+    retrieval (ref src/query.py:49-66 source-node expansion)."""
+    ents = (
+        mention_edges.filter(F.col("subj") == chunk_uri).select(F.col("obj").alias("ent")).distinct()
+    )
+    return (
+        mention_edges.join(F.broadcast(ents), mention_edges.obj == ents.ent, "left_semi")
+        .filter(F.col("subj") != chunk_uri)
+        .select(F.col("subj").alias("sibling"))
+        .distinct()
+    )
+
+
+def community_sibling_chunks(edges: DataFrame, entity_name: str) -> DataFrame:
+    """entity name -> its communities -> ALL member chunks: the
+    entity -> community -> sibling-chunks composition the reference's chat
+    path walks before synthesis (ref src/query.py:26-76). Pure equi-joins
+    over the edges table."""
+    names = edges.filter(
+        (F.col("pred") == SCHEMA + "name") & (F.lower("obj") == entity_name.lower())
+    ).select(F.col("subj").alias("ent_uri")).distinct()
+    chunks = (
+        edges.filter(F.col("pred") == SCHEMA + "mentions")
+        .join(F.broadcast(names), F.col("obj") == F.col("ent_uri"), "left_semi")
+        .select(F.col("subj").alias("chunk_uri"))
+        .distinct()
+    )
+    comms = (
+        edges.filter(F.col("pred") == SCHEMA + "isPartOf")
+        .join(chunks, F.col("subj") == F.col("chunk_uri"), "left_semi")
+        .select(F.col("obj").alias("comm_uri"))
+        .distinct()
+    )
+    return (
+        edges.filter(F.col("pred") == SCHEMA + "isPartOf")
+        .join(F.broadcast(comms), F.col("obj") == F.col("comm_uri"), "left_semi")
+        .select(F.col("subj").alias("chunk_uri"))
+        .distinct()
+    )
+
+
 def chunks_for_community(edges: DataFrame, community_id: str) -> DataFrame:
     comm_uri = f"{EX}community/{community_id}"
     return (
