@@ -4,6 +4,17 @@ Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+CANONICAL KG CORPUS (round-over-round comparability, VERDICT r01 #5): the
+kg_pipeline numbers are measured on the PINNED 6000-doc weight-8 corpus
+(~120KB/doc, seed=42) — the same corpus BENCH/BASELINE.md's scaling run
+uses. Round-1 reference figures on this exact corpus: 59,033 triples/s at
+local[8] (BENCH/BASELINE.md); the r01 BENCH_r01.json kg_pipeline figure
+(29.3s / 10,171 triples/s) was measured on a DIFFERENT corpus (2000 docs,
+weight 1) and is not comparable. kg_pipeline_salted runs the identical job
+with the non-broadcastable-dictionary shuffle strategy; g4_cc_distributed
+forces the iterative DataFrame connected-components path (driver union-find
+bypassed) on the same graph the g4 query uses.
+
 --scaling mode: runs the same KG-pipeline job on the same parquet input at
 local[2] and local[8] (N and 4N cores), reports triples/sec at both plus
 scaling efficiency (throughput(8) / (4 x throughput(2))) and writes
@@ -62,7 +73,11 @@ def ensure_corpus(spark, n_docs: int, weight: int = 1) -> str:
     return path
 
 
-def run_kg_pipeline(spark, n_docs: int, path: str) -> dict:
+CANON_DOCS = 6000
+CANON_WEIGHT = 8
+
+
+def run_kg_pipeline(spark, n_docs: int, path: str, link_strategy: str = "broadcast") -> dict:
     """The measured job: read parquet corpus -> full pipeline -> count edges."""
     from wbkg.extract import build_pattern_rows
     from wbkg.pipeline import run_pipeline
@@ -73,7 +88,10 @@ def run_kg_pipeline(spark, n_docs: int, path: str) -> dict:
     edict = entity_dict_df(spark, n_docs)
     pats = build_pattern_rows(build_entity_dict_rows(n_docs), build_unbis_rows())
     t0 = time.time()
-    res = run_pipeline(spark, docs, edict, pats, metadata_df=meta, persist_edges=False)
+    res = run_pipeline(
+        spark, docs, edict, pats, metadata_df=meta, persist_edges=False,
+        link_strategy=link_strategy,
+    )
     n_edges = res["edges"].count()
     dt = time.time() - t0
     for df in res.values():
@@ -90,17 +108,27 @@ def headline(sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
 
     sf = sf_from_dir(sf_dir)
-    n_docs = max(200, int(20000 * sf))
 
     spark = get_spark("wbkg-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
-    path = ensure_corpus(spark, n_docs)
+    path = ensure_corpus(spark, CANON_DOCS, CANON_WEIGHT)
 
     queries = {}
     t_total0 = time.time()
 
-    log(f"[bench] kg_pipeline n_docs={n_docs}")
-    kg = run_kg_pipeline(spark, n_docs, path)
+    log(f"[bench] kg_pipeline canonical corpus n_docs={CANON_DOCS} weight={CANON_WEIGHT}")
+    kg = run_kg_pipeline(spark, CANON_DOCS, path)
     queries["kg_pipeline"] = round(kg["seconds"], 3)
+
+    log("[bench] kg_pipeline_salted (100x-scale shuffle-join path, same corpus)")
+    kg_salted = run_kg_pipeline(spark, CANON_DOCS, path, link_strategy="salted")
+    queries["kg_pipeline_salted"] = round(kg_salted["seconds"], 3)
+
+    # distributed CC forced (driver union-find bypassed) on the g4 graph
+    log("[bench] g4_cc_distributed")
+    t0 = time.time()
+    n_cc = _g4_distributed(spark, sf_dir).count()
+    queries["g4_cc_distributed"] = round(time.time() - t0, 3)
+    log(f"[bench] g4_cc_distributed: {n_cc} rows in {queries['g4_cc_distributed']}s")
 
     qmap = entry_mod.queries()
     for name in [
@@ -130,11 +158,33 @@ def headline(sf_dir: str) -> dict:
         "unit": "sec",
         "queries": queries,
         "sf": sf,
-        "kg_n_docs": n_docs,
+        "kg_n_docs": CANON_DOCS,
+        "kg_doc_weight": CANON_WEIGHT,
+        "kg_corpus": "canonical (pinned; same corpus as BENCH/BASELINE.md scaling run)",
         "kg_triples": kg["triples"],
         "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
+        "kg_salted_triples_per_sec": round(kg_salted["triples_per_sec"], 1),
         "cpus": CPUS,
     }
+
+
+def _g4_distributed(spark, sf_dir: str):
+    """The g4 nation-chain graph forced through the iterative DataFrame CC
+    (what a >200k-edge alias graph takes), not the driver union-find."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wbkg.canonicalize import connected_components
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    key = lambda c: F.concat(F.lit("n"), F.lpad(F.col(c).cast("string"), 5, "0"))
+    chain = (
+        n.withColumn("nxt", F.lead("n_nationkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(key("n_nationkey").alias("src"), key("nxt").alias("dst"))
+    )
+    return connected_components(chain)
 
 
 def cpu_ceiling(n_low: int, n_high: int) -> float:

@@ -91,3 +91,24 @@ def test_url_lookup_j9(result):
     got = get_url_by_id(result["edges"]).toPandas()
     assert len(got) == N_DOCS
     assert (got["url"].str.contains("documents.example.org")).all()
+
+
+def test_salted_plan_exchange_keyed_on_surface_and_salt(spark):
+    """The salted join's shuffle must be keyed on (surface_norm, _salt) — the
+    whole point of salting (PLANS.md claim, asserted per VERDICT r01 #4)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from wbkg.link import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("d1", "c1", 0, "World Bank", "world bank", "DICT_ORG", "Q1")],
+        "doc_id string, chunk_id string, begin int, surface string, surface_norm string, label string, rule_id string",
+    )
+    edict = entity_dict_df(spark, 5)
+    linked = link_mentions(mentions, edict, strategy="salted")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        linked.explain()
+    plan = buf.getvalue()
+    assert "hashpartitioning(surface_norm" in plan and "_salt" in plan
