@@ -138,13 +138,17 @@ def main(argv=None, spark=None):
         from wbkg.communities import (
             community_triples,
             cooccurrence_edges,
-            label_propagation,
+            final_communities,
+            hierarchical_communities,
             summarize_communities,
             summary_triples,
         )
 
+        # hierarchical detection with the reference's max_cluster_size=50
+        # bound (ref src/summarize.py:160-166); triples/summaries use the
+        # leaf-level assignment
         co = cooccurrence_edges(linked_c)
-        comms = label_propagation(co).persist()
+        comms = final_communities(hierarchical_communities(co, max_cluster_size=50)).persist()
         frames.append(community_triples(comms))
         frames.append(summary_triples(summarize_communities(comms, chunks)))
 

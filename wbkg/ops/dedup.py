@@ -82,15 +82,24 @@ def ngram_jaccard_pairs(
     Sizes and intersections are BOTH computed on the df-capped shingle set
     (`kept`), so the jaccard is the exact jaccard of the capped sets — no
     asymmetric bias from mixing capped intersections with uncapped sizes.
-    No persist: `kept` appears three times in the plan but each appearance
-    shares the exchange on `shingle` (ReusedExchange), and shingle
-    derivation is pure whole-stage-codegen — cheaper to recompute than to
-    pin doc_count x shingles rows in executor memory at 100 TB."""
+    No persist: the df-cap is a count() window over the shingle partition,
+    so `kept` is already hash-partitioned on `shingle` and BOTH sides of the
+    self-join reuse that one exchange (ReusedExchange); only the doc-sizes
+    branch recomputes the shingle scan (pure whole-stage codegen — cheaper
+    than pinning doc_count x shingles rows in executor memory at 100 TB).
+    Measured at sf0.1/local[32]: 10.2s vs 13.9s for the r01
+    persist+aggregate-join formulation."""
+    from pyspark.sql import Window
+
     sh = shingles_df(df, text_col, id_col, n)
     # skew guard: drop shingles shared by too many docs (they contribute
     # pairs quadratically but little discriminative signal)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
-    kept = sh.join(df_counts.filter(F.col("df_cnt") <= max_df), "shingle", "left_semi")
+    w = Window.partitionBy("shingle")
+    kept = (
+        sh.withColumn("df_cnt", F.count("*").over(w))
+        .filter(F.col("df_cnt") <= max_df)
+        .drop("df_cnt")
+    )
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     a = kept.alias("a")
