@@ -658,6 +658,44 @@ def q_media_frame_sample(spark, sf_dir):
     return frame_sample(gen_media_df(spark, docs=30))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-pack assignment: per-language shards, 512-token packs
+    (streaming boundary rule — see wbkg/ops/prep.py)."""
+    from wbkg.ops.prep import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), max_tokens=512, shard_col="lang"
+    )
+
+
+def q_split_assign(spark, sf_dir):
+    """md5-stable train/val/test split (90/5/5): row order, partitioning and
+    re-runs can never move a document across splits."""
+    from wbkg.ops.prep import split_assign
+
+    d = split_assign(_read(spark, sf_dir, "documents"))
+    return d.select("doc_id", "split_bucket", "split")
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub over text spiked with a deterministic email+URL per doc
+    (so the redaction path is actually exercised)."""
+    from wbkg.ops.prep import scrub_pii
+
+    d = _read(spark, sf_dir, "documents")
+    spiked = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(spiked).select("doc_id", "clean_text", "n_redactions")
+
+
 KG_N_DOCS = 30
 
 
@@ -733,6 +771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "pack_sequences": q_pack_sequences,
+        "split_assign": q_split_assign,
+        "scrub_pii": q_scrub_pii,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
         "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -964,6 +1005,44 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
                    len(string_split_regex(trim(text), '[\s.,;:!?()]+')) AS n_subwords
             FROM documents
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, lang AS shard,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens
+              FROM documents)
+            SELECT doc_id, shard, n_tokens::INTEGER AS n_tokens,
+                   sum(n_tokens) OVER w::BIGINT AS cum_tokens,
+                   floor((sum(n_tokens) OVER w - n_tokens) / 512.0)::BIGINT AS pack_id
+            FROM t
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "split_assign": """
+            WITH b AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS split_bucket
+              FROM documents)
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 90 THEN 'train'
+                        WHEN split_bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "scrub_pii": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.org or https://ex.org/d/' || doc_id AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                     regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_mail
+              FROM s)
+            SELECT doc_id,
+                   regexp_replace(no_mail, 'https?://[^\s]+', '<URL>', 'g') AS clean_text,
+                   (n_emails + len(regexp_extract_all(no_mail, 'https?://[^\s]+')))::INTEGER AS n_redactions
+            FROM m
         """,
         # planted-duplicate verdicts: the oracle states the ground truth the
         # hash-seeded operators MUST recover (see PLANT_OFFSET note above)

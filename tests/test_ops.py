@@ -183,3 +183,47 @@ def test_decode_stub_is_honest():
 
     with pytest.raises(NotImplementedError):
         decode_unavailable(b"payload")
+
+
+# --------------------------------------------------------------------------- #
+# training-prep ops (packing / split / scrub)                                  #
+# --------------------------------------------------------------------------- #
+
+
+def test_pack_sequences_boundaries(spark):
+    from wbkg.ops.prep import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 40)) for i in range(10)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, max_tokens=100).collect()
+    packs = {r.doc_id: r.pack_id for r in out}
+    # 40 tokens each: docs 0,1,2 start at 0,40,80 -> pack 0; 3,4 -> pack 1 ...
+    assert packs[0] == packs[1] == packs[2] == 0
+    assert packs[3] == packs[4] == 1
+    # every doc's START offset is inside its pack
+    for r in out:
+        assert r.pack_id * 100 <= r.cum_tokens - r.n_tokens < (r.pack_id + 1) * 100
+
+
+def test_split_assign_stable_and_complete(spark):
+    from wbkg.ops.prep import split_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in split_assign(docs.repartition(7)).collect()}
+    assert a == b  # partitioning cannot move rows across splits
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.8 < frac_train < 0.97
+
+
+def test_scrub_pii(spark):
+    from wbkg.ops.prep import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.co and see https://a.b/c?d=1 now")],
+        "doc_id long, text string",
+    )
+    r = scrub_pii(docs).collect()[0]
+    assert r.clean_text == "mail <EMAIL> and see <URL> now"
+    assert r.n_redactions == 2

@@ -1,0 +1,84 @@
+"""Training-data preparation operators: sequence packing, deterministic
+dataset splits, PII scrubbing.
+
+All pure Catalyst expressions (JVM, whole-stage codegen) with exact DuckDB
+oracle twins in __spark_entry__.py.
+
+- pack_sequences: assign documents to fixed-token-budget training packs.
+  Packing is per-shard (the window partitions on a shard column), never a
+  global single-reducer sort — at 100 TB each shard packs independently and
+  shards are sized to executors. The boundary rule is streaming-deterministic:
+  a document belongs to the pack where its running token count starts
+  (floor((cumsum - n_tokens) / max_tokens)), so a straddling document goes to
+  the pack it begins in; packs can overflow by at most one document, which is
+  the standard concat-then-chunk pretraining layout.
+- split_assign: stable train/val/test assignment from the md5 of the id —
+  reshuffling, re-partitioning or re-running can never move a document across
+  splits (no RNG, no row order dependence).
+- scrub_pii: regex redaction of emails and URLs (RE2-compatible patterns so
+  the DuckDB oracle applies the identical regexes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """-> (id, shard, n_tokens, cum_tokens, pack_id). Deterministic order:
+    by id within shard."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    shard = F.col(shard_col) if shard_col else F.lit("all")
+    out = df.select(
+        F.col(id_col), shard.cast("string").alias("shard"), n_tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = out.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(max_tokens))
+    return out.withColumn("pack_id", pack)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Adds (split_bucket, split): md5-stable percentage split."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds (clean_text, n_redactions): emails -> <EMAIL>, URLs -> <URL>."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    no_mail = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_urls = F.size(F.regexp_extract_all(no_mail, F.lit(URL_RE), F.lit(0)))
+    clean = F.regexp_replace(no_mail, URL_RE, "<URL>")
+    return df.withColumn("clean_text", clean).withColumn(
+        "n_redactions", n_emails + n_urls
+    )
