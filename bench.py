@@ -99,6 +99,10 @@ def run_kg_pipeline(spark, n_docs: int, path: str, link_strategy: str = "broadca
             df.unpersist()
         except Exception:
             pass
+    # run_pipeline keeps internal persists (fused, pre-canonical linked) that
+    # are not in the returned dict — drop ALL cached blocks so back-to-back
+    # canonical-scale runs don't accumulate into a broadcast OOM
+    spark.catalog.clearCache()
     return {"seconds": dt, "triples": n_edges, "triples_per_sec": n_edges / dt}
 
 
@@ -116,6 +120,10 @@ def headline(sf_dir: str) -> dict:
     t_total0 = time.time()
 
     log(f"[bench] kg_pipeline canonical corpus n_docs={CANON_DOCS} weight={CANON_WEIGHT}")
+    kg_cold = run_kg_pipeline(spark, CANON_DOCS, path)
+    queries["kg_pipeline_cold"] = round(kg_cold["seconds"], 3)
+    # warm measurement (JIT + python workers amortized) — comparable
+    # round-over-round and to the scaling-mode numbers
     kg = run_kg_pipeline(spark, CANON_DOCS, path)
     queries["kg_pipeline"] = round(kg["seconds"], 3)
 

@@ -124,3 +124,26 @@ def test_large_alias_graph_takes_distributed_cc(spark, monkeypatch):
     )
     cmap = cz.canonical_map(edict, acronyms, linked)
     assert cmap.count() == 10  # 5 abbr<->expansion components, 2 members each
+
+
+def test_sanitize_full_latin_fold(spark):
+    """NFKD-generated fold table + ligature folds: parity between the
+    Catalyst expression and the Python twin on exotic Latin."""
+    from pyspark.sql import functions as F
+
+    from wbkg.materialize import sanitize_column, sanitize_str_py
+
+    samples = [
+        "Łódź Āžuolas Çam",
+        "Ðorđe Þing ßtraße",
+        "Œuvre Ærø señor",
+        "Ştefan İstanbul ırmak",
+        "plain ASCII stays",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "v string")
+    got = [r.s for r in df.select(sanitize_column(F.col("v")).alias("s")).collect()]
+    want = [sanitize_str_py(s) for s in samples]
+    assert got == want
+    assert got[0] == "Lodz_Azuolas_Cam"
+    assert got[1] == "Dorde_Thing_sstrasse"
+    assert got[2] == "OEuvre_AEro_senor"

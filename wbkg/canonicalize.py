@@ -184,6 +184,10 @@ def canonical_map_from_edges(edges: DataFrame) -> DataFrame:
         if n_edges <= LOCAL_CC_THRESHOLD
         else connected_components(edges)
     )
+    # both paths have materialized comp (driver collect / eager
+    # localCheckpoint per iteration) — release the alias-edge cache now so
+    # repeated pipeline runs in one session don't accumulate blocks
+    edges.unpersist()
     # representative: min qid:: member if any, else min member
     rep = comp.groupBy("component").agg(
         F.min(F.when(F.col("member").startswith("qid::"), F.col("member"))).alias("q_rep"),

@@ -175,9 +175,31 @@ def chunk_triples(chunks: DataFrame, linked: DataFrame, typed_entities: DataFram
 # --------------------------------------------------------------------------- #
 
 
-SAN_SRC = "áàâäãåçéèêëíìîïñóòôöõúùûüýÁÀÂÄÃÅÇÉÈÊËÍÌÎÏÑÓÒÔÖÕÚÙÛÜÝşŞğĞıİ"
-SAN_DST = "aaaaaaceeeeiiiinooooouuuuyAAAAAACEEEEIIIINOOOOOUUUUYsSgGiI"
-assert len(SAN_SRC) == len(SAN_DST)
+def _build_fold_table() -> tuple[str, str]:
+    """1:1 accent-fold translate table generated from NFKD over the Latin
+    blocks (Latin-1 Supplement through Latin Extended-B + a few strays) —
+    driver-side at import, applied JVM-side via F.translate. Covers every
+    1-char-decomposable letter the reference's unidecode would fold."""
+    import unicodedata as _ud
+
+    src, dst = [], []
+    for cp in list(range(0x00C0, 0x0250)) + [0x0131, 0x0130]:
+        ch = chr(cp)
+        de = _ud.normalize("NFKD", ch)
+        base = "".join(c for c in de if not _ud.combining(c))
+        if base != ch and len(base) == 1 and base.isascii() and base.isalpha():
+            src.append(ch)
+            dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+SAN_SRC, SAN_DST = _build_fold_table()
+# ligatures / letters with no NFKD decomposition (unidecode folds these too)
+SAN_MULTI = [
+    ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"), ("ß", "ss"),
+    ("Ø", "O"), ("ø", "o"), ("Ð", "D"), ("ð", "d"), ("Þ", "Th"), ("þ", "th"),
+    ("Ł", "L"), ("ł", "l"), ("Đ", "D"), ("đ", "d"), ("ı", "i"),
+]
 
 
 def sanitize_str_py(s) -> str | None:
@@ -186,7 +208,10 @@ def sanitize_str_py(s) -> str | None:
 
     if s is None:
         return None
-    s = str(s).translate(str.maketrans(SAN_SRC, SAN_DST))
+    s = str(s)
+    for a, b in SAN_MULTI:
+        s = s.replace(a, b)
+    s = s.translate(str.maketrans(SAN_SRC, SAN_DST))
     s = _re.sub(r"\s+", "_", s)
     s = s.replace("-", "_").strip("_")
     return None if s == "nan" else s
@@ -194,9 +219,12 @@ def sanitize_str_py(s) -> str | None:
 
 def sanitize_column(col):
     """P1 — accent fold, \\s+ -> _, '-' -> _, strip '_', 'nan' -> null
-    (ref src/graph.py:141-149). Accent folding uses a translate table for the
-    Latin-1 range (JVM-side; full unidecode only matters for display strings)."""
-    c = F.translate(col.cast("string"), SAN_SRC, SAN_DST)
+    (ref src/graph.py:141-149). Folding = ligature replacements + an
+    NFKD-generated translate table, all JVM-side expressions."""
+    c = col.cast("string")
+    for a, b in SAN_MULTI:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    c = F.translate(c, SAN_SRC, SAN_DST)
     c = F.regexp_replace(c, r"\s+", "_")
     c = F.regexp_replace(c, "-", "_")
     c = F.regexp_replace(c, "^_+|_+$", "")
