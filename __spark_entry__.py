@@ -6,9 +6,13 @@ entry(spark)      — flagship: full KG pipeline (chunk -> extract -> link ->
                     returns the edges DataFrame.
 queries()         — one callable per implemented operator (SURVEY.md §2 +
                     training-data ops); each (spark, sf_dir) -> DataFrame.
-oracle_sql()      — DuckDB-equivalent SQL for every SQL-expressible query.
-                    Non-SQL-expressible ops (minhash LSH, simhash, pipeline
-                    itself, media stubs) are rows-only by design.
+oracle_sql()      — DuckDB-equivalent SQL for EVERY query (0 rows-only).
+                    Hash-seeded ops (minhash/simhash/fingerprint) are made
+                    oracle-checkable by planting verbatim duplicates whose
+                    recovery the oracle states as ground truth; LSH ops
+                    restate the fixed hyperplane buckets as SQL literals; the
+                    full pipeline is compared in-query against the pure-
+                    Python oracle and must report matching counts.
 """
 
 from __future__ import annotations
