@@ -169,3 +169,46 @@ def test_streaming_sink_idempotent_on_replay(spark, tmp_path):
     q2 = stream_extract_edges(spark, in_dir, out_dir, str(tmp_path / "ckpt3b"), edict, pats)
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    """Stateful streaming dedup: a text hash seen in an earlier drain is
+    suppressed in later ones (state store persists across restarts on the
+    same checkpoint)."""
+    from wbkg.streaming import stream_dedup_first_seen
+
+    src = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ck")
+    os.makedirs(src, exist_ok=True)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        q = (
+            stream_dedup_first_seen(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.h, r.keep_id) for r in spark.read.parquet(out).collect()}
+
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, "beta"), (4, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f1")
+    got1 = drain()
+    assert {kid for _, kid in got1} == {1, 3, 4}  # min id per distinct text
+
+    spark.createDataFrame(
+        [(5, "alpha"), (6, "delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/f2")
+    got2 = drain()
+    # second drain adds ONLY delta: 'alpha' is suppressed by the state store
+    assert {kid for _, kid in got2} == {1, 3, 4, 6}

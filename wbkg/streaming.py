@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 from typing import List, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -121,6 +122,44 @@ def stream_extract_edges(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stream_dedup_first_seen(
+    docs_stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming exact-dedup with a state store (applyInPandasWithState):
+    emit only the FIRST document carrying each distinct text hash across the
+    WHOLE stream — later micro-batches that replay the same content produce
+    nothing. The custom-stateful-operator surface of Structured Streaming
+    (SURVEY §2.10); the streaming twin of ops.dedup.exact_dedup.
+
+    State per key is one boolean, so the store stays hash-count-sized; at
+    100 TB the key space is bounded by distinct contents, not documents.
+    -> (h, keep_id) append-mode stream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs_stream.select(
+        F.md5(F.col(text_col)).alias("h"), F.col(id_col).alias("keep_id")
+    )
+
+    def first_seen(key, pdf_iter, state: "GroupState"):
+        min_id = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                m = pdf["keep_id"].min()
+                min_id = m if min_id is None else min(min_id, m)
+        if state.exists or min_id is None:
+            return iter([])
+        state.update((True,))
+        return iter([pd.DataFrame({"h": [key[0]], "keep_id": [min_id]})])
+
+    return keyed.groupBy("h").applyInPandasWithState(
+        first_seen,
+        outputStructType="h string, keep_id long",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
