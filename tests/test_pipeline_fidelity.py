@@ -112,3 +112,23 @@ def test_salted_plan_exchange_keyed_on_surface_and_salt(spark):
         linked.explain()
     plan = buf.getvalue()
     assert "hashpartitioning(surface_norm" in plan and "_salt" in plan
+
+
+def test_auto_strategy_dispatch(spark, monkeypatch):
+    """'auto' picks broadcast for small dictionaries and salted above the
+    row threshold; both produce identical links."""
+    import wbkg.link as lk
+
+    mentions = spark.createDataFrame(
+        [("d1", "c1", 0, "World Bank", "world bank", "DICT_ORG", "Q1"),
+         ("d1", "c1", 9, "unknown thing", "unknown thing", "DICT_ORG", "X")],
+        "doc_id string, chunk_id string, begin int, surface string, surface_norm string, label string, rule_id string",
+    )
+    edict = entity_dict_df(spark, 5)
+    small = lk.link_mentions(mentions, edict, strategy="auto").collect()
+    want = lk.link_mentions(mentions, edict, strategy="broadcast").collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, want))
+
+    monkeypatch.setattr(lk, "AUTO_BROADCAST_MAX_ROWS", 1)  # force salted branch
+    big = lk.link_mentions(mentions, edict, strategy="auto").collect()
+    assert sorted(map(tuple, big)) == sorted(map(tuple, want))

@@ -70,15 +70,28 @@ def _dedup_dict(entity_dict: DataFrame, alias_rows: bool) -> DataFrame:
     )
 
 
+# dictionaries under this row count broadcast; larger ones take the salted
+# shuffle join (the same decision Spark's planner makes from size stats —
+# made explicit here because the probe-side salting must be chosen WITH it)
+AUTO_BROADCAST_MAX_ROWS = 5_000_000
+
+
 def link_mentions(
     mentions: DataFrame,
     entity_dict: DataFrame,
     strategy: str = "broadcast",
     n_salt: int = N_SALT,
 ) -> DataFrame:
-    """MENTIONS -> LINKED (adds qid, rdf_safe)."""
+    """MENTIONS -> LINKED (adds qid, rdf_safe). strategy: 'broadcast',
+    'salted', or 'auto' (count the dictionary — it is dictionary-bounded,
+    never corpus-bounded — and dispatch)."""
     primary = _dedup_dict(entity_dict, alias_rows=False)
     aliases = _dedup_dict(entity_dict, alias_rows=True)
+
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if entity_dict.count() <= AUTO_BROADCAST_MAX_ROWS else "salted"
+        )
 
     if strategy == "broadcast":
         # J1+J2 as ONE dictionary-side merge: primary rows win, alias rows
