@@ -662,6 +662,24 @@ def q_media_frame_sample(spark, sf_dir):
     return frame_sample(gen_media_df(spark, docs=30))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality signals (Rae et al. 2021 A1.1) — word stats,
+    symbol/bullet/ellipsis ratios, stopword hits, 3-gram repetition."""
+    from wbkg.ops.textops import gopher_quality
+
+    return gopher_quality(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "stop_hits",
+        "dup_3gram_frac",
+        "gopher_ok",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-pack assignment: per-language shards, 512-token packs
     (streaming boundary rule — see wbkg/ops/prep.py)."""
@@ -775,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "gopher_quality": q_gopher_quality,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
         "scrub_pii": q_scrub_pii,
@@ -1009,6 +1028,42 @@ def oracle_sql() -> dict[str, str]:
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
                    len(string_split_regex(trim(text), '[\s.,;:!?()]+')) AS n_subwords
             FROM documents
+        """,
+        "gopher_quality": rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS w,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            s AS (
+              SELECT doc_id, text, lines,
+                     len(w) AS n_words,
+                     greatest(len(lines), 1) AS n_lines,
+                     CASE WHEN len(w) >= 3
+                          THEN list_transform(generate_series(1, len(w) - 2),
+                                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                          ELSE [] END AS grams
+              FROM t)
+            SELECT doc_id,
+                   n_words::INTEGER AS n_words,
+                   round((length(text) - n_words + 1) / greatest(n_words, 1), 4) AS mean_word_len,
+                   round(len(regexp_extract_all(text, '#|\.\.\.|…')) / greatest(n_words, 1), 4) AS symbol_ratio,
+                   round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) / n_lines, 4) AS bullet_frac,
+                   round(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) / n_lines, 4) AS ellipsis_frac,
+                   len(regexp_extract_all(lower(text), '{EN_PAT}'))::INTEGER AS stop_hits,
+                   round(CASE WHEN len(grams) > 0
+                              THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                              ELSE 0.0 END, 4) AS dup_3gram_frac,
+                   (n_words BETWEEN 10 AND 100000
+                    AND round((length(text) - n_words + 1) / greatest(n_words, 1), 4) BETWEEN 2.0 AND 12.0
+                    AND round(len(regexp_extract_all(text, '#|\.\.\.|…')) / greatest(n_words, 1), 4) < 0.1
+                    AND round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) / n_lines, 4) < 0.9
+                    AND round(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) / n_lines, 4) < 0.3
+                    AND len(regexp_extract_all(lower(text), '{EN_PAT}')) >= 2
+                    AND round(CASE WHEN len(grams) > 0
+                                   THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                                   ELSE 0.0 END, 4) < 0.3) AS gopher_ok
+            FROM s
         """,
         "pack_sequences": r"""
             WITH t AS (

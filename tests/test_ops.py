@@ -227,3 +227,22 @@ def test_scrub_pii(spark):
     r = scrub_pii(docs).collect()[0]
     assert r.clean_text == "mail <EMAIL> and see <URL> now"
     assert r.n_redactions == 2
+
+
+def test_gopher_quality_signals(spark):
+    from wbkg.ops.textops import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house went to the garden in peace today again"),
+            (2, "- one\n- two\n- three"),                      # all bullets
+            (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),  # repetition
+            (4, "waiting... still waiting... and more...\nyes..."),  # ellipses
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert out[1].gopher_ok
+    assert out[2].bullet_frac == 1.0 and not out[2].gopher_ok
+    assert out[3].dup_3gram_frac > 0.5 and not out[3].gopher_ok
+    assert out[4].ellipsis_frac >= 0.5 and not out[4].gopher_ok

@@ -132,3 +132,28 @@ def test_auto_strategy_dispatch(spark, monkeypatch):
     monkeypatch.setattr(lk, "AUTO_BROADCAST_MAX_ROWS", 1)  # force salted branch
     big = lk.link_mentions(mentions, edict, strategy="auto").collect()
     assert sorted(map(tuple, big)) == sorted(map(tuple, want))
+
+
+def test_broadcast_link_plan_has_no_probe_shuffle(spark):
+    """The merged-lookup broadcast path must compile to BroadcastHashJoins
+    with no mention-stream shuffle: the r01 work-list formulation aggregated
+    the probe side on (surface_norm, label) — that HashAggregate must be
+    gone. (Exchanges inside the broadcast build side are dictionary-sized
+    and fine.)"""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from wbkg.link import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("d1", "c1", 0, "World Bank", "world bank", "DICT_ORG", "Q1")],
+        "doc_id string, chunk_id string, begin int, surface string, surface_norm string, label string, rule_id string",
+    )
+    edict = entity_dict_df(spark, 5)
+    linked = link_mentions(mentions, edict, strategy="broadcast")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        linked.explain()
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate(keys=[surface_norm" not in plan

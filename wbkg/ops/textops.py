@@ -90,6 +90,81 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-quality rules (Rae et al. 2021, appendix A1.1 —
+    the standard web-scale pretraining filter set), all pure Catalyst:
+
+    - word-count bounds, mean word length bounds
+    - symbol-to-word ratio (#, ellipsis)
+    - fraction of lines starting with a bullet / ending with an ellipsis
+    - minimum stopword hits (en)
+    - repetition: fraction of duplicated word 3-grams
+
+    Adds the signal columns + `gopher_ok`. Thresholds follow the paper
+    (relaxed word-count floor for this corpus's short synthetic docs is the
+    caller's job via the returned raw signals)."""
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(c)
+    mean_word_len = F.round((n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 4)
+    symbol_ratio = F.round(
+        F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines, 4
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines, 4
+    )
+    stop_hits = _marker_hits(c, EN_STOPWORDS)
+    idx = F.sequence(F.lit(0), F.greatest(n_words - 3, F.lit(0)))
+    grams = F.when(
+        n_words >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, (i + 1).cast("int")),
+                F.element_at(words, (i + 2).cast("int")),
+                F.element_at(words, (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array())
+    dup_3gram_frac = F.round(
+        F.when(
+            F.size(grams) > 0,
+            1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    ok = (
+        (n_words >= 10)
+        & (n_words <= 100000)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 12.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (stop_hits >= 2)
+        & (dup_3gram_frac < 0.3)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_frac", ellipsis_frac)
+        .withColumn("stop_hits", stop_hits)
+        .withColumn("dup_3gram_frac", dup_3gram_frac)
+        .withColumn("gopher_ok", ok)
+    )
+
+
 @F.pandas_udf(LongType())
 def rolling_fingerprint(text: pd.Series) -> pd.Series:
     """Rabin-Karp polynomial rolling hash of the whole normalized document
