@@ -745,6 +745,12 @@ def q_kg_pipeline_edges(spark, sf_dir):
     pats = build_pattern_rows(build_entity_dict_rows(n_docs), build_unbis_rows())
     edges = run_pipeline(spark, docs, edict, pats, metadata_df=meta, cache=False)["edges"]
 
+    return _edges_vs_oracle(spark, edges, n_docs)
+
+
+def _edges_vs_oracle(spark, edges, n_docs):
+    from wbkg.oracle import oracle_pipeline
+
     exp = spark.createDataFrame(
         list(oracle_pipeline(n_docs)), "subj string, pred string, obj string"
     )
@@ -755,6 +761,31 @@ def q_kg_pipeline_edges(spark, sf_dir):
         F.count("*").alias("n_matched")
     )
     return n_spark.crossJoin(n_oracle).crossJoin(n_matched)
+
+
+def q_kg_pipeline_salted_edges(spark, sf_dir):
+    """The SAME full-pipeline-vs-Python-oracle gate, but through the salted
+    shuffle-join strategy — the 100x-scale (non-broadcastable-dictionary)
+    path is hard-gated by the driver, not just equivalence-tested in CI."""
+    from wbkg.extract import build_pattern_rows
+    from wbkg.pipeline import run_pipeline
+    from wbkg.synth import (
+        build_entity_dict_rows,
+        build_unbis_rows,
+        entity_dict_df,
+        gen_documents_df,
+        gen_metadata_df,
+    )
+
+    n_docs = KG_N_DOCS
+    docs = gen_documents_df(spark, n_docs)
+    edict = entity_dict_df(spark, n_docs)
+    meta = gen_metadata_df(spark, n_docs)
+    pats = build_pattern_rows(build_entity_dict_rows(n_docs), build_unbis_rows())
+    edges = run_pipeline(
+        spark, docs, edict, pats, metadata_df=meta, cache=False, link_strategy="salted"
+    )["edges"]
+    return _edges_vs_oracle(spark, edges, n_docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -800,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
         "kg_pipeline_edges": q_kg_pipeline_edges,
+        "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
     }
 
 
@@ -1155,6 +1187,7 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 29) d(g), generate_series(0, 4) f(g)
         """,
         "kg_pipeline_edges": _kg_expected_sql(),
+        "kg_pipeline_salted_edges": _kg_expected_sql(),
     }
 
 

@@ -101,9 +101,12 @@ def build_ivf_centroids(
     emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding", seed: int = 13
 ) -> np.ndarray:
     """Deterministic centroid selection: sample rows, one k-means++-ish
-    farthest-point sweep (driver-side over the small sample only)."""
+    farthest-point sweep (driver-side over the small sample only). The sample
+    is id-ordered so the index build is partition-order-independent."""
+    id_cols = [f.name for f in emb.schema.fields if f.name != vec_col]
+    ordered = emb.orderBy(*id_cols[:1]) if id_cols else emb
     sample = np.vstack(
-        [r[vec_col] for r in emb.select(vec_col).limit(max(n_centroids * 20, 256)).collect()]
+        [r[vec_col] for r in ordered.select(vec_col).limit(max(n_centroids * 20, 256)).collect()]
     )
     rng = np.random.RandomState(seed)
     cents = [sample[rng.randint(len(sample))]]
