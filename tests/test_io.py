@@ -29,3 +29,21 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_mentions")
         spark.sql("DROP TABLE IF EXISTS b_dim")
+
+
+def test_compact_table(spark, tmp_path):
+    """Many small files -> one compaction pass -> near-target file count,
+    identical rows."""
+    from pyspark.sql import functions as F
+
+    from wbkg.io import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.mode("overwrite").parquet(path)  # 64 tiny files
+    before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+
+    n_files = compact_table(spark, path, target_file_mb=256)
+    assert n_files <= 2  # ~80KB of data -> one target-size file
+    after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before

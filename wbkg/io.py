@@ -54,3 +54,40 @@ def bucketed_join_plan_has_no_exchange(spark: SparkSession, left: str, right: st
     with redirect_stdout(buf):
         df.explain()
     return "Exchange" not in buf.getvalue()
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE/rewrite_data_files maintenance op
+    an Iceberg deployment runs): rewrite a parquet table so data files
+    approach `target_file_mb`. Streaming sinks and per-batch appends leave
+    thousands of small files; at 100 TB the scan's task-scheduling overhead
+    and NameNode/manifest pressure come from file COUNT, not bytes.
+
+    Rewrites via coalesce(ceil(bytes/target)) into a temp dir, then swaps —
+    the read stays a single pruned scan, no shuffle. Returns the new file
+    count."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    w = df.coalesce(n_files).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+    out = spark.read.parquet(path)
+    return len([f for f in fs.listStatus(dst) if f.getPath().getName().endswith(".parquet")]) if not partition_by else out.rdd.getNumPartitions()
