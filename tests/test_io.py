@@ -47,3 +47,30 @@ def test_compact_table(spark, tmp_path):
     assert n_files <= 2  # ~80KB of data -> one target-size file
     after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_compact_table_partitioned_and_atomic(spark, tmp_path):
+    """Partitioned compaction returns the real data-file count (recursive),
+    and the swap leaves no backup/tmp dirs behind."""
+    import os
+
+    from wbkg.io import compact_table
+
+    path = str(tmp_path / "frag_part")
+    df = spark.range(10000).withColumn("part", F.col("id") % 3).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.mode("overwrite").partitionBy("part").parquet(path)
+    before = {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()}
+
+    n_files = compact_table(spark, path, target_file_mb=256, partition_by=["part"])
+    # one coalesced input split fanned into 3 partition dirs -> >=3 real files,
+    # but far fewer than the 48 fragments written above
+    assert 3 <= n_files <= 6
+    got = sum(
+        f.endswith(".parquet")
+        for root, _, files in os.walk(path)
+        for f in files
+    )
+    assert got == n_files  # count is real files, not read splits
+    assert {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()} == before
+    siblings = os.listdir(os.path.dirname(path))
+    assert not [s for s in siblings if "__compact" in s]  # no leftover tmp/backup

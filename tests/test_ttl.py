@@ -14,6 +14,11 @@ def tricky_edges(spark):
         ("http://ex.org/a", "http://schema.org/alt", 'trailing backslash\\', True, None),
         ("http://ex.org/a", "http://schema.org/label", "bonjour", True, "fr"),
         ("http://ex.org/a", "http://schema.org/note", 'mix "q" and \\ and @en inside', True, None),
+        # control chars must survive (ADVICE r02: unescaped \n split a triple
+        # across lines and silently dropped both halves)
+        ("http://ex.org/a", "http://schema.org/abstract", "line one\nline two\nthree", True, None),
+        ("http://ex.org/a", "http://schema.org/csv", "a\tb\tc\r\nnext", True, None),
+        ("http://ex.org/a", "http://schema.org/hard", "backslash-n literal: \\n vs real\n", True, None),
         ("http://ex.org/a", "http://schema.org/endsat", 'looks tagged\\"@en', True, None),
         ("http://ex.org/a", "rdf:type", "http://schema.org/Thing", False, None),
         ("http://ex.org/a", "http://schema.org/isPartOf", "http://ex.org/b", False, None),

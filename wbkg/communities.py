@@ -101,9 +101,13 @@ def label_propagation(
         if changed == 0:
             break
 
+    # structural id: the converged min-label (a member chunk_id) IS the
+    # community id — injective by construction, no hash-collision risk
+    # (ADVICE r02: a cross-parent xxhash64 collision could silently merge
+    # two communities and break the max_cluster_size bound)
     return labels.select(
         F.col("node").alias("chunk_id"),
-        F.abs(F.xxhash64("label")).alias("community_id"),
+        F.col("label").alias("community_id"),
     )
 
 
@@ -118,9 +122,10 @@ def _ntile_split(mem: DataFrame, max_cluster_size: int) -> DataFrame:
     bucket = F.floor((F.row_number().over(w) - 1) * nb / n)
     return mem.select(
         "chunk_id",
-        F.abs(
-            F.xxhash64(F.concat_ws(":", F.col("parent").cast("string"), bucket.cast("string")))
-        ).alias("community_id"),
+        # structural id: parent id + bucket ordinal, unique across parents
+        F.concat_ws(":", F.col("parent").cast("string"), bucket.cast("string")).alias(
+            "community_id"
+        ),
     )
 
 
@@ -187,7 +192,7 @@ def hierarchical_communities(
             sub = label_propagation(kept, num_partitions=num_partitions).withColumnRenamed(
                 "community_id", "sub_label"
             )
-            singleton = F.abs(F.xxhash64(F.concat_ws("#", "parent", "chunk_id")))
+            singleton = F.concat_ws("#", "parent", "chunk_id")
             refined0 = refine_mem.join(sub, "chunk_id", "left").select(
                 "chunk_id", "parent", F.coalesce("sub_label", singleton).alias("sub_label")
             )
@@ -200,12 +205,10 @@ def hierarchical_communities(
             stuck = nsub.filter(F.col("nsub") <= 1).select("parent")
             split_ok = refined0.join(stuck, "parent", "left_anti").select(
                 "chunk_id",
-                F.abs(
-                    F.xxhash64(
-                        F.concat_ws("/", F.col("parent").cast("string"),
-                                    F.col("sub_label").cast("string"))
-                    )
-                ).alias("community_id"),
+                # structural id: parent id + refinement sub-label (itself a
+                # member chunk_id) — unique across parents by construction
+                F.concat_ws("/", F.col("parent").cast("string"),
+                            F.col("sub_label").cast("string")).alias("community_id"),
             )
             ntile_all = ntile_mem.unionByName(
                 refine_mem.join(stuck, "parent", "left_semi")

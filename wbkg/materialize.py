@@ -445,8 +445,14 @@ def to_turtle_lines(edges: DataFrame) -> DataFrame:
     """Distributed TTL formatting via native expressions (one line per triple,
     N-Triples-ish; prefixes resolved inline). Write with df.write.text."""
     # java-regex replacement strings: '\\\\' in the replacement emits one
-    # literal backslash, so escaping a quote needs four-then-quote
+    # literal backslash, so escaping a quote needs four-then-quote.
+    # \n/\r/\t must be escaped too (N-Triples string grammar): an unescaped
+    # newline splits one triple across two lines and the parser would drop
+    # both halves (ADVICE r02).
     esc = F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
     obj_term = F.when(
         F.col("obj_is_literal") & F.col("lang").isNotNull(),
         F.concat(F.lit('"'), esc, F.lit('"@'), F.col("lang")),

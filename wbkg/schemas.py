@@ -144,7 +144,9 @@ DOC_METADATA = StructType(
 COMMUNITIES = StructType(
     [
         StructField("chunk_id", StringType()),
-        StructField("community_id", LongType()),
+        # structural string id (parent/sub-label path), injective by
+        # construction — no hashed-long collision risk (ADVICE r02)
+        StructField("community_id", StringType()),
     ]
 )
 

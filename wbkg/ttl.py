@@ -28,8 +28,20 @@ _LIT_RE = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*))?$'
 
 
 def _unescape(col):
-    # \" -> " and \\ -> \ in one pass (java replacement $1)
-    return F.regexp_replace(col, r"\\(.)", "$1")
+    """Inverse of the sink's escape chain: \\\\ \\" \\n \\r \\t.
+
+    regexp_replace can't do a single-pass multi-escape, so escaped
+    backslashes are parked on a \\x00 sentinel first — otherwise the '\\\\n'
+    in an escaped backslash-then-n would wrongly become a newline. \\x00
+    never occurs in sink output (it would have arrived as a raw control char
+    and the sink escapes nothing to \\x00)."""
+    _S = "\u0000"  # sentinel: never present in sink output
+    s = F.regexp_replace(col, r"\\\\", _S)
+    s = F.regexp_replace(s, r"\\n", "\n")
+    s = F.regexp_replace(s, r"\\r", "\r")
+    s = F.regexp_replace(s, r"\\t", "\t")
+    s = F.regexp_replace(s, r"\\(.)", "$1")  # \" and any other \x -> x
+    return F.regexp_replace(s, _S, r"\\")
 
 
 def from_turtle_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
