@@ -40,6 +40,9 @@ EMB_PLANT_OFFSET = 1_000_000
 import numpy as np
 
 _LSH_PLANES = np.random.RandomState(7).randn(8, 64)
+# the banded near-dup operator consumes RandomState(7).randn(n_bands*band_planes, dim)
+_DEDUP_N_BANDS, _DEDUP_BAND_PLANES = 6, 8
+_DEDUP_PLANES = np.random.RandomState(7).randn(_DEDUP_N_BANDS * _DEDUP_BAND_PLANES, 64)
 
 
 def _plane_sql(p) -> str:
@@ -51,6 +54,17 @@ def _bucket_sql(col: str = "embedding") -> str:
         f"(CASE WHEN list_dot_product({col}::DOUBLE[], {_plane_sql(_LSH_PLANES[i])}) > 0"
         f" THEN {1 << i} ELSE 0 END)"
         for i in range(8)
+    )
+
+
+def _band_bucket_sql(band: int, col: str = "embedding") -> str:
+    """DuckDB replay of band k's sign-bit bucket (rows [k*bp, (k+1)*bp) of
+    the operator's plane matrix)."""
+    bp = _DEDUP_BAND_PLANES
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({col}::DOUBLE[], {_plane_sql(_DEDUP_PLANES[band * bp + i])}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i in range(bp)
     )
 
 
@@ -553,17 +567,24 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
-    verify. Identical-vector copies are planted (same bucket guaranteed, any
-    seed), and the LSH bucket itself is restated in the DuckDB oracle with
-    the literal hyperplanes — full value-hash check, no longer rows-only."""
+    """Embedding-cosine near-dup pairs via BANDED multi-table hyperplane LSH
+    (6 bands x 8 planes, per-bucket size cap) + exact verify. Identical-vector
+    copies are planted (they collide in every band, any seed), and the full
+    banded scheme — per-band buckets, cap, cross-band dedup — is restated in
+    the DuckDB oracle with the literal hyperplanes: full value-hash check."""
     from wbkg.ops.dedup import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + EMB_PLANT_OFFSET).alias("vec_id"), "embedding"
     )
-    return embedding_near_dup_pairs(emb.unionByName(copies), threshold=0.95)
+    return embedding_near_dup_pairs(
+        emb.unionByName(copies),
+        threshold=0.95,
+        n_bands=_DEDUP_N_BANDS,
+        band_planes=_DEDUP_BAND_PLANES,
+        max_bucket_size=1000,
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1153,18 +1174,32 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT text) FROM documents)::BIGINT AS n_distinct_fp
             FROM documents WHERE doc_id % 10 = 0
         """,
-        # the LSH bucket restated with literal hyperplanes (exact replay of
-        # the Spark-side sign-bit computation)
+        # the banded LSH restated with literal hyperplanes: per-band buckets,
+        # per-(band,bucket) size cap, cross-band candidate dedup, exact verify
+        # — exact replay of the Spark operator's plan
         "dedup_embedding": f"""
             WITH allv AS (
               SELECT vec_id, embedding FROM embeddings
               UNION ALL
               SELECT vec_id + {EMB_PLANT_OFFSET}, embedding FROM embeddings WHERE vec_id % 10 = 0),
-            b AS (SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM allv)
-            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-                   round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-            WHERE round(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.95
+            bb AS ({" UNION ALL ".join(
+                f"SELECT vec_id, {k} AS band, ({_band_bucket_sql(k)}) AS bucket FROM allv"
+                for k in range(_DEDUP_N_BANDS))}),
+            capped AS (
+              SELECT vec_id, band, bucket FROM (
+                SELECT vec_id, band, bucket,
+                       count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bb)
+              WHERE bsz <= 1000),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT c.vec_a, c.vec_b,
+                   round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+            FROM cand c
+            JOIN allv ea ON ea.vec_id = c.vec_a
+            JOIN allv eb ON eb.vec_id = c.vec_b
+            WHERE round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.95
         """,
         "ann_lsh_topk": f"""
             WITH b AS (SELECT vec_id, embedding, ({_bucket_sql()}) AS bucket FROM embeddings)

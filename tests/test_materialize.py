@@ -147,3 +147,48 @@ def test_sanitize_full_latin_fold(spark):
     assert got[0] == "Lodz_Azuolas_Cam"
     assert got[1] == "Dorde_Thing_sstrasse"
     assert got[2] == "OEuvre_AEro_senor"
+
+
+def test_incremental_equals_full_canonical_map(spark):
+    """incremental_canonical_map folded over batches == one full
+    canonical_map_from_edges over all history — including a LATE MERGE of
+    two components built in earlier batches, and qid-preference across the
+    merge (the streaming state-advance correctness contract)."""
+    import random
+
+    from wbkg.canonicalize import canonical_map_from_edges, incremental_canonical_map
+
+    def df(rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    batches = [
+        # batch 1: component A (has a qid) + separate pair
+        [("surf::a", "qid::Q1"), ("surf::b", "surf::a"), ("surf::x", "surf::y")],
+        # batch 2: new isolated component, plus a repeat of an old edge
+        [("surf::m", "surf::n"), ("surf::a", "qid::Q1")],
+        # batch 3: LATE MERGE — x/y joins the Q1 component; m gets a qid
+        [("surf::y", "surf::b"), ("surf::n", "qid::Q0")],
+    ]
+    state = None
+    for b in batches:
+        state = incremental_canonical_map(state, df(b))
+    got = {(r.member, r.canonical_id) for r in state.collect()}
+    full = canonical_map_from_edges(df([e for b in batches for e in b]))
+    want = {(r.member, r.canonical_id) for r in full.collect()}
+    assert got == want
+    # qid preference survived the late merge
+    as_map = dict(got)
+    assert as_map["surf::x"] == "qid::Q1" and as_map["surf::m"] == "qid::Q0"
+
+    # randomized: any edge stream, any batch split -> same converged map
+    rng = random.Random(42)
+    nodes = [f"surf::{i}" for i in range(30)] + ["qid::Q7", "qid::Q3"]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)]
+    edges = [e for e in edges if e[0] != e[1]]
+    cut1, cut2 = len(edges) // 3, 2 * len(edges) // 3
+    state = None
+    for b in (edges[:cut1], edges[cut1:cut2], edges[cut2:]):
+        state = incremental_canonical_map(state, df(b))
+    got = {(r.member, r.canonical_id) for r in state.collect()}
+    want = {(r.member, r.canonical_id) for r in canonical_map_from_edges(df(edges)).collect()}
+    assert got == want

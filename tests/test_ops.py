@@ -87,6 +87,22 @@ def test_embedding_near_dup(spark):
     assert (1, 3) not in pairs
 
 
+def test_embedding_near_dup_bucket_cap(spark):
+    """The per-(band,bucket) size cap drops a degenerate hot bucket instead
+    of exploding into |bucket|^2 candidate pairs (VERDICT r02)."""
+    from wbkg.ops.dedup import embedding_near_dup_pairs
+
+    v = np.ones(16) / 4.0  # 40 identical vectors -> one bucket per band
+    emb = spark.createDataFrame(
+        [(i, v.astype("float32").tolist()) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = embedding_near_dup_pairs(emb, threshold=0.95, max_bucket_size=10)
+    assert capped.count() == 0  # hot bucket dropped in every band
+    uncapped = embedding_near_dup_pairs(emb, threshold=0.95, max_bucket_size=100)
+    assert uncapped.count() == 40 * 39 // 2
+
+
 def test_similarity_lsh_vs_brute_force(spark):
     from wbkg.ops.similarity import add_lsh_bucket, brute_force_topk, lsh_topk
 

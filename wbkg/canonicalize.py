@@ -193,10 +193,50 @@ def canonical_map_from_edges(edges: DataFrame) -> DataFrame:
         F.min(F.when(F.col("member").startswith("qid::"), F.col("member"))).alias("q_rep"),
         F.min("member").alias("any_rep"),
     )
-    return (
-        comp.join(rep, "component")
-        .select("member", F.coalesce("q_rep", "any_rep").alias("canonical_id"))
+    out = comp.join(rep, "component").select(
+        "member", F.coalesce("q_rep", "any_rep").alias("canonical_id")
     )
+    # size hint for apply_canonicalization's broadcast gate: members <= 2x
+    # edges, known here for free — saves the gating count() job downstream
+    out._wbkg_rows_upper_bound = 2 * n_edges
+    return out
+
+
+def incremental_canonical_map(prev: DataFrame | None, new_edges: DataFrame) -> DataFrame:
+    """Advance a converged (member, canonical_id) map by one batch of alias
+    edges WITHOUT recomputing over history (ADVICE/VERDICT r02).
+
+    1. collapse each endpoint to its representative via `prev`,
+    2. drop self-loops — edges inside an existing component vanish, so CC
+       only sees the batch's genuinely new merges,
+    3. CC the residue, relabel prev's canonical ids through the result,
+       append the new members.
+
+    Equal to canonical_map_from_edges over the full history: representatives
+    carry the min-qid-else-min-member rule, so merging reps is the same as
+    merging their components (proved by test_incremental_equals_full)."""
+    if prev is None:
+        return canonical_map_from_edges(new_edges.select("src", "dst"))
+    src_m = prev.select(F.col("member").alias("src"), F.col("canonical_id").alias("_sc"))
+    dst_m = prev.select(F.col("member").alias("dst"), F.col("canonical_id").alias("_dc"))
+    residue = (
+        new_edges.select("src", "dst")
+        .join(src_m, "src", "left")
+        .join(dst_m, "dst", "left")
+        .select(
+            F.coalesce("_sc", "src").alias("src"),
+            F.coalesce("_dc", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    delta = canonical_map_from_edges(residue)
+    relabel = delta.select(F.col("member").alias("_old"), F.col("canonical_id").alias("_new"))
+    updated = prev.join(relabel, prev["canonical_id"] == F.col("_old"), "left").select(
+        "member", F.coalesce("_new", "canonical_id").alias("canonical_id")
+    )
+    fresh = delta.join(prev.select("member"), "member", "left_anti")
+    return updated.unionByName(fresh)
 
 
 def canonical_map(
@@ -207,14 +247,28 @@ def canonical_map(
     return canonical_map_from_edges(build_alias_edges(entity_dict, acronyms, linked))
 
 
-def apply_canonicalization(linked: DataFrame, cmap: DataFrame) -> DataFrame:
+def apply_canonicalization(
+    linked: DataFrame, cmap: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
     """Re-key linked mentions: a mention whose surface belongs to a component
     containing a QID inherits that QID (e.g. unlinked 'STEP' joins its
-    expansion's entity). Adds canonical qid_c / rdf_safe_c columns."""
+    expansion's entity). Adds canonical qid_c / rdf_safe_c columns.
+
+    The canonical map is vocabulary-bounded, so it usually broadcasts; the
+    dispatch is size-gated like link_mentions' (VERDICT r02: an unconditional
+    broadcast would OOM the driver on a genuinely huge alias vocabulary).
+    Pass broadcast=True/False to skip the gating count when the caller
+    already knows the size."""
+    from wbkg.link import AUTO_BROADCAST_MAX_ROWS
+
+    if broadcast is None:
+        rows = getattr(cmap, "_wbkg_rows_upper_bound", None)
+        broadcast = (rows if rows is not None else cmap.count()) <= AUTO_BROADCAST_MAX_ROWS
+    build = F.broadcast(cmap) if broadcast else cmap
     surf_key = F.concat(F.lit("surf::"), F.lower(F.col("surface_norm")))
     out = (
         linked.withColumn("_key", surf_key)
-        .join(F.broadcast(cmap).withColumnRenamed("member", "_key"), "_key", "left")
+        .join(build.withColumnRenamed("member", "_key"), "_key", "left")
     )
     canon_qid = F.when(
         F.col("canonical_id").startswith("qid::"),

@@ -16,7 +16,9 @@ Five strategies, scale-ranked:
 - simhash64: 64-bit simhash fingerprint; near-dups differ in <= 3 bits.
   Banded into 4x16-bit keys for the same bucket-join pattern.
 - embedding_near_dup: cosine >= threshold pairs over normalized embeddings;
-  LSH (random hyperplane sign bits) buckets candidates, exact dot verifies.
+  banded multi-table hyperplane LSH (n_bands independent sign-bit tables,
+  per-bucket size cap) generates candidates, exact dot verifies — candidate
+  volume is capped per bucket, never Sigma|bucket|^2 over one small table.
 """
 
 from __future__ import annotations
@@ -287,45 +289,91 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int = 6,
+    band_planes: int = 8,
     seed: int = 7,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """cosine >= threshold pairs. Random-hyperplane LSH buckets candidates
-    (near-identical vectors share all sign bits with high prob.), exact dot
-    product verifies. Vectors are assumed L2-normalized."""
+    """cosine >= threshold pairs over L2-normalized embeddings.
+
+    Banded multi-table random-hyperplane LSH (VERDICT r02: the old single
+    8-plane table maxed out at 256 buckets with an UNCAPPED quadratic
+    within-bucket join — a scale-killer at 1B vectors):
+
+    - n_bands independent tables of band_planes sign bits each. A pair is a
+      candidate if it collides in ANY band. For cos=t the per-band collision
+      prob is (1 - acos(t)/pi)^band_planes; at t=0.95 with 6x8 defaults,
+      P(>=1 of 6 bands) ~ 0.965 — and identical vectors collide in every
+      band. Raise band_planes with corpus size: bucket count is 2^band_planes
+      PER BAND, so bits scale without touching recall-critical n_bands.
+    - per-(band, bucket) frequency cap (`max_bucket_size`) mirrors the
+      ngram path's max_df: a degenerate hot bucket (duplicate-heavy or
+      zero-vector pileup) is dropped instead of exploding into |bucket|^2
+      pairs. The cap count reuses the band-shuffle exchange (window, not a
+      second groupBy).
+    - the band shuffle carries only (vec_id, band, bucket) — vectors are
+      rejoined once, AFTER cross-band candidate dedup, so each surviving
+      pair is verified exactly once (same sig-free-shuffle trick as
+      minhash_lsh_pairs).
+    """
+    from pyspark.sql import Window
+
     dim_df = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_df[0]["d"] if dim_df else 0
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    planes = rng.randn(n_bands * band_planes, dim)  # band k = rows [k*bp, (k+1)*bp)
 
     def bucket_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(band_planes)
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"vec_id": [], "embedding": [], "bucket": []})
                 continue
             mat = np.vstack(pdf[vec_col].values)
-            signs = (mat @ planes.T) > 0
-            buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            signs = (mat @ planes.T) > 0  # (n, n_bands*band_planes)
+            out_ids, out_band, out_bucket = [], [], []
+            ids = pdf[id_col].values
+            for k in range(n_bands):
+                bk = signs[:, k * band_planes : (k + 1) * band_planes]
+                out_ids.append(ids)
+                out_band.append(np.full(len(ids), k, dtype=np.int32))
+                out_bucket.append((bk * weights).sum(axis=1))
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col].values, "embedding": list(pdf[vec_col].values), "bucket": buckets}
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "band": np.concatenate(out_band),
+                    "bucket": np.concatenate(out_bucket),
+                }
             )
 
-    bucketed = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")).mapInPandas(
-        bucket_batches, schema=f"vec_id long, embedding array<float>, bucket long"
+    keyed = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    bucketed = keyed.mapInPandas(bucket_batches, schema="vec_id long, band int, bucket long")
+    # skew guard: drop over-full buckets; window reuses the (band, bucket)
+    # exchange the self-join needs anyway
+    w = Window.partitionBy("band", "bucket")
+    capped = (
+        bucketed.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
     )
     cand = (
-        bucketed.alias("a")
-        .join(bucketed.alias("b"), "bucket")
+        capped.alias("a")
+        .join(capped.alias("b"), ["band", "bucket"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])  # across bands, BEFORE the verify join
+    )
+    with_vecs = cand.join(
+        keyed.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("embedding", "emb_a"), "vec_a"
+    ).join(
+        keyed.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("embedding", "emb_b"), "vec_b"
     )
     dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x.cast("double") * y),
+        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     return (
-        cand.withColumn("cosine", F.round(dot, 4))
+        with_vecs.withColumn("cosine", F.round(dot, 4))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"), "cosine")
-        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", "cosine")
     )

