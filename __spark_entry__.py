@@ -441,6 +441,81 @@ def q_k1_ttl_roundtrip(spark, sf_dir):
     return from_turtle_lines(to_turtle_lines(edges))
 
 
+def q_answer_synthesis(spark, sf_dir):
+    """Deterministic chat-path surrogate (VERDICT r02 missing #2): retrieval
+    + extractive compact-response composition with citations (ref
+    src/query.py:31-36,66-72 — the LLM itself is the documented
+    non-reproducible boundary). Sentence-structured docs are built from
+    nation on BOTH sides; region-2 nations carry the extra query terms, so
+    chunk ranking, sentence ranking and tie-breaks are all exercised."""
+    from wbkg.query import synthesize_answer
+
+    n = _read(spark, sf_dir, "nation")
+    body = F.concat(
+        F.lit("The "),
+        F.col("n_name"),
+        F.lit(" project builds wind turbines. "),
+        F.when(
+            F.col("n_regionkey") == 2,
+            F.lit("Environmental impact assessment of the wind farm is complete. "),
+        ).otherwise(F.lit("The committee report is pending review. ")),
+        F.lit("Total emissions fall as the "),
+        F.lower("n_name"),
+        F.lit(" turbines spin."),
+    )
+    docs = n.select(F.col("n_nationkey").alias("chunk_id"), body.alias("text"))
+    return synthesize_answer(
+        docs, "wind turbines environmental impact emissions", k_chunks=3, n_sentences=4
+    )
+
+
+def q_k1_ttl_pretty_roundtrip(spark, sf_dir):
+    """K1 full-grammar round-trip — serialize edges as REAL Turtle
+    (@prefix header, `a`, `;`/`,` subject grouping, prefixed predicates)
+    and re-ingest through the Turtle 1.1 grammar parser (per-file
+    mapInPandas). Covers the reference's actual resume format (rdflib
+    serializer, ref src/graph.py:771-779 + :67). Literals are spiked with
+    quotes, backslashes AND newlines/tabs so the full escape chain is
+    exercised; the oracle reconstructs the expected edges from nation."""
+    from wbkg.ttl import load_turtle_full, save_turtle_pretty
+
+    n = _read(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("http://ex.org/nation/"), F.col("n_nationkey").cast("string"))
+    name_lit = F.concat(F.lit('say "'), F.col("n_name"), F.lit('" \\ multi\nline\ttab'))
+    lit1 = n.select(
+        subj.alias("subj"),
+        F.lit("http://schema.org/name").alias("pred"),
+        name_lit.alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    lit2 = n.select(
+        subj.alias("subj"),
+        F.lit("http://schema.org/alternateName").alias("pred"),
+        F.lower("n_name").alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit("en").alias("lang"),
+    )
+    uri1 = n.select(
+        subj.alias("subj"),
+        F.lit("http://schema.org/isPartOf").alias("pred"),
+        F.concat(F.lit("http://ex.org/region/"), F.col("n_regionkey").cast("string")).alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    typ = n.select(
+        subj.alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("http://schema.org/Country").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    edges = lit1.unionByName(lit2).unionByName(uri1).unionByName(typ)
+    path = "/tmp/wbkg_q_pretty_ttl"
+    save_turtle_pretty(edges, path)
+    return load_turtle_full(spark, path)
+
+
 def q_p1_sanitize(spark, sf_dir):
     """P1 — identifier sanitize chain (ref src/graph.py:141-149)."""
     c = _read(spark, sf_dir, "customer")
@@ -830,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2hop_neighborhood": q_graph_2hop_neighborhood,
         "graph_sibling_docs": q_graph_sibling_docs,
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
+        "k1_ttl_pretty_roundtrip": q_k1_ttl_pretty_roundtrip,
+        "answer_synthesis": q_answer_synthesis,
         "p1_sanitize": q_p1_sanitize,
         "p2_p3_filter_chain": q_p2_p3_filter_chain,
         "w2_topk_similarity": q_w2_topk_similarity,
@@ -986,6 +1063,50 @@ def oracle_sql() -> dict[str, str]:
                    true AS obj_is_literal, NULL::VARCHAR AS lang FROM s
             UNION ALL
             SELECT subj, 'http://schema.org/label', lower(n_name), true, 'en' FROM s
+            UNION ALL
+            SELECT subj, 'http://schema.org/isPartOf',
+                   'http://ex.org/region/' || n_regionkey, false, NULL FROM s
+            UNION ALL
+            SELECT subj, 'rdf:type', 'http://schema.org/Country', false, NULL FROM s
+        """,
+        "answer_synthesis": r"""
+            WITH docs AS (
+              SELECT n_nationkey AS chunk_id,
+                     'The ' || n_name || ' project builds wind turbines. ' ||
+                     CASE WHEN n_regionkey = 2
+                          THEN 'Environmental impact assessment of the wind farm is complete. '
+                          ELSE 'The committee report is pending review. ' END ||
+                     'Total emissions fall as the ' || lower(n_name) || ' turbines spin.' AS text
+              FROM nation),
+            scored AS (
+              SELECT chunk_id, text,
+                     len(list_intersect(list_distinct(string_split_regex(lower(text), '\W+')),
+                         ['emissions','environmental','impact','turbines','wind'])) AS chunk_score
+              FROM docs),
+            top3 AS (SELECT * FROM scored ORDER BY chunk_score DESC, chunk_id LIMIT 3),
+            sents AS (
+              SELECT chunk_id,
+                     unnest(string_split_regex(text, '[.!?]\s+')) AS sentence,
+                     unnest(range(len(string_split_regex(text, '[.!?]\s+')))) AS pos
+              FROM top3),
+            ss AS (
+              SELECT chunk_id, pos, sentence,
+                     len(list_intersect(list_distinct(string_split_regex(lower(sentence), '\W+')),
+                         ['emissions','environmental','impact','turbines','wind']))::INTEGER AS sent_score
+              FROM sents WHERE trim(sentence) <> '')
+            SELECT * FROM (
+              SELECT row_number() OVER (ORDER BY sent_score DESC, chunk_id, pos)::INTEGER AS rank,
+                     sentence, chunk_id AS citation, sent_score
+              FROM ss)
+            WHERE rank <= 4
+        """,
+        "k1_ttl_pretty_roundtrip": r"""
+            WITH s AS (SELECT 'http://ex.org/nation/' || n_nationkey AS subj, * FROM nation)
+            SELECT subj, 'http://schema.org/name' AS pred,
+                   'say "' || n_name || '" \ multi' || chr(10) || 'line' || chr(9) || 'tab' AS obj,
+                   true AS obj_is_literal, NULL::VARCHAR AS lang FROM s
+            UNION ALL
+            SELECT subj, 'http://schema.org/alternateName', lower(n_name), true, 'en' FROM s
             UNION ALL
             SELECT subj, 'http://schema.org/isPartOf',
                    'http://ex.org/region/' || n_regionkey, false, NULL FROM s

@@ -96,3 +96,30 @@ def test_community_sibling_chunks(spark):
     )
     sibs = {r.chunk_uri for r in community_sibling_chunks(edges, "world bank").collect()}
     assert sibs == {c + "c1", c + "c2"}
+
+
+def test_synthesize_answer_extractive(spark):
+    """Chat-path surrogate: best-matching sentences win, each cited with its
+    source chunk; chunk retrieval happens BEFORE sentence extraction (a
+    high-overlap sentence in a low-overlap chunk outside top-k never leaks
+    in); ties break on (chunk_id, pos)."""
+    from wbkg.query import synthesize_answer
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Solar is fine. Wind turbines cut emissions fast. Coal is old."),
+            (2, "Wind wind wind. The turbines impact nothing here."),
+            (3, "Unrelated text entirely. Nothing matches at all. Filler words."),
+            # chunk 4 holds the single best sentence but almost no overall
+            # overlap mass spread -> still in top-3 chunks here (3 > chunk 3)
+            (4, "Wind turbines emissions impact report. Filler. Filler again."),
+        ],
+        "chunk_id long, text string",
+    )
+    out = synthesize_answer(docs, "wind turbines emissions impact", k_chunks=3, n_sentences=2)
+    rows = [(r.rank, r.citation, r.sentence) for r in out.orderBy("rank").collect()]
+    assert rows[0][1] == 4 and rows[0][2].startswith("Wind turbines emissions")
+    assert rows[1][1] == 1 and "cut emissions" in rows[1][2]
+    # chunk 3 (no overlap) was never retrieved: no citation to it anywhere
+    full = synthesize_answer(docs, "wind turbines emissions impact", k_chunks=3, n_sentences=10)
+    assert 3 not in {r.citation for r in full.collect()}

@@ -155,3 +155,63 @@ def acronym_section_chunks(chunks: DataFrame, embeddings: DataFrame, doc_id: str
         "These sections may be called 'Abbreviations', 'Acronyms', or 'List of Acronyms'."
     )
     return retrieve_topk(embeddings, query, k=5, doc_id=doc_id)
+
+
+def synthesize_answer(
+    chunks: DataFrame,
+    query_text: str,
+    k_chunks: int = 3,
+    n_sentences: int = 3,
+    id_col: str = "chunk_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic surrogate for the reference chat engine's compact
+    response composition (ref src/query.py:31-36 RetrieverQueryEngine
+    response_mode='compact' over similarity_top_k=3, plus the cited source
+    snippets at :66-72). The LLM itself is a documented non-reproducible
+    boundary (SURVEY §2.8); this is the extractive analogue:
+
+      1. score chunks by distinct-query-term overlap, keep top k_chunks
+         (the retrieval step — swap in retrieve_topk's vector scoring when
+         an embedding column exists),
+      2. split the survivors into sentences, score each sentence the same
+         way,
+      3. emit the n_sentences best, rank-ordered, each carrying its source
+         chunk id as the citation.
+
+    -> (rank, sentence, citation, sent_score). Pure Catalyst: tokenize /
+    intersect / posexplode + one TakeOrdered for the chunk top-k; the final
+    window orders k_chunks' worth of sentences — a bounded set, never the
+    corpus."""
+    import re
+
+    from pyspark.sql import Window
+
+    qterms = sorted({t for t in re.split(r"\W+", query_text.lower()) if t})
+    q_arr = F.array(*[F.lit(t) for t in qterms])
+
+    def toks(c):
+        return F.array_distinct(F.split(F.lower(c), r"\W+"))
+
+    scored = chunks.select(id_col, text_col).withColumn(
+        "chunk_score", F.size(F.array_intersect(toks(F.col(text_col)), q_arr))
+    )
+    top = scored.orderBy(F.desc("chunk_score"), F.col(id_col)).limit(k_chunks)
+    sent = top.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"[.!?]\s+")).alias("pos", "sentence"),
+    ).filter(F.trim("sentence") != "")
+    sent = sent.withColumn(
+        "sent_score", F.size(F.array_intersect(toks(F.col("sentence")), q_arr))
+    )
+    w = Window.orderBy(F.desc("sent_score"), F.col(id_col), F.col("pos"))
+    return (
+        sent.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_sentences)
+        .select(
+            "rank",
+            F.col("sentence"),
+            F.col(id_col).alias("citation"),
+            "sent_score",
+        )
+    )
