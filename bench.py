@@ -152,6 +152,7 @@ def headline(sf_dir: str) -> dict:
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash",
+        "dedup_embedding",
         "text_quality",
         "lang_id",
         "token_count",

@@ -48,3 +48,34 @@ def test_build_zip(tmp_path):
     names = zipfile.ZipFile(z).namelist()
     assert "wbkg/pipeline.py" in names
     assert "wbkg/ops/dedup.py" in names
+
+
+def test_job_pred_partitioned_edges(spark, tmp_path, capsys):
+    """--partition-edges-by-pred lays edges out by predicate bucket: same
+    edge set, and a pred-filtered read plans a PartitionFilters prune (one
+    directory scanned, not the table)."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    flat = str(tmp_path / "run_flat")
+    part = str(tmp_path / "run_part")
+    main(["--n-docs", "20", "--work-dir", flat], spark=spark)
+    main(["--n-docs", "20", "--work-dir", part, "--partition-edges-by-pred"], spark=spark)
+    capsys.readouterr()
+
+    flat_edges = spark.read.parquet(os.path.join(flat, "edges"))
+    part_edges = spark.read.parquet(os.path.join(part, "edges"))
+    a = {(r.subj, r.pred, r.obj) for r in flat_edges.collect()}
+    b = {(r.subj, r.pred, r.obj) for r in part_edges.collect()}
+    assert a == b
+
+    # pruning: the pred filter becomes a partition filter, not a data filter
+    q = part_edges.filter(part_edges.pred_bucket == "mentions")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(pred_bucket" in plan
+    assert q.count() > 0
+    # partition dirs exist on disk
+    assert any(d.startswith("pred_bucket=") for d in os.listdir(os.path.join(part, "edges")))

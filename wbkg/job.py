@@ -47,6 +47,15 @@ def main(argv=None, spark=None):
     p.add_argument("--work-dir", required=False, default="/tmp/wbkg_run")
     p.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted"])
     p.add_argument("--with-communities", action="store_true")
+    p.add_argument(
+        "--partition-edges-by-pred",
+        action="store_true",
+        help="lay the edges table out partitioned by a low-cardinality "
+        "predicate bucket: queries that filter on pred (docs_mentioning, "
+        "J9 self-join, graph hops) prune whole partitions at the scan. "
+        "Off by default so the flat edges/*.parquet layout stays "
+        "glob-queryable by external consumers.",
+    )
     p.add_argument("--make-zip", default=None)
     args = p.parse_args(argv)
 
@@ -153,8 +162,20 @@ def main(argv=None, spark=None):
         frames.append(summary_triples(summarize_communities(comms, chunks)))
 
     edges = union_distinct(*frames)
-    edges.write.mode("overwrite").parquet(os.path.join(work_dir, "edges"))
-    edges_out = spark.read.parquet(os.path.join(work_dir, "edges"))
+    if args.partition_edges_by_pred:
+        # partition key = terminal pred segment (schema.org/mentions ->
+        # 'mentions'): ~15 distinct values, so the layout stays wide-file,
+        # and every pred-filtered query prunes to one directory. In an
+        # Iceberg deployment this is `PARTITIONED BY (pred_bucket)` with
+        # the same derived column.
+        pred_bucket = F.regexp_extract(F.col("pred"), r"([^/#]+)$", 1)
+        edges.withColumn("pred_bucket", pred_bucket).write.mode("overwrite").partitionBy(
+            "pred_bucket"
+        ).parquet(os.path.join(work_dir, "edges"))
+        edges_out = spark.read.parquet(os.path.join(work_dir, "edges")).drop("pred_bucket")
+    else:
+        edges.write.mode("overwrite").parquet(os.path.join(work_dir, "edges"))
+        edges_out = spark.read.parquet(os.path.join(work_dir, "edges"))
     nodes_from_edges(edges_out).write.mode("overwrite").parquet(os.path.join(work_dir, "nodes"))
 
     n_edges = edges_out.count()
