@@ -588,6 +588,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.35)
 
 
+def q_dedup_keep_list(spark, sf_dir):
+    """Dedup end-to-end: near-dup pairs -> TRANSITIVE clusters (connected
+    components over the pair graph) -> keep/drop list with the min-id
+    representative per cluster. The oracle replays the full ngram pair set
+    in SQL and closes it with WITH RECURSIVE — so cluster transitivity, the
+    representative rule and the keep flags are all value-hash-checked."""
+    from wbkg.ops.dedup import near_dup_keep_list, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.35)
+    return near_dup_keep_list(docs, pairs)
+
+
 def _planted_docs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
@@ -907,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "k1_ttl_pretty_roundtrip": q_k1_ttl_pretty_roundtrip,
         "answer_synthesis": q_answer_synthesis,
+        "dedup_keep_list": q_dedup_keep_list,
         "p1_sanitize": q_p1_sanitize,
         "p2_p3_filter_chain": q_p2_p3_filter_chain,
         "w2_topk_similarity": q_w2_topk_similarity,
@@ -1165,6 +1179,37 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.35
+        """,
+        "dedup_keep_list": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+            df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            kept AS (SELECT sh.* FROM sh JOIN df USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) n_sh FROM kept GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+              FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT doc_a, doc_b
+              FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                         JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.35),
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+            comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   coalesce(c.keep_id, d.doc_id) AS keep_id,
+                   coalesce(c.keep_id, d.doc_id) = d.doc_id AS is_kept
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         "text_quality": rf"""
             WITH t AS (

@@ -262,3 +262,54 @@ def test_gopher_quality_signals(spark):
     assert out[2].bullet_frac == 1.0 and not out[2].gopher_ok
     assert out[3].dup_3gram_frac > 0.5 and not out[3].gopher_ok
     assert out[4].ellipsis_frac >= 0.5 and not out[4].gopher_ok
+
+
+def test_near_dup_keep_list_transitive(spark):
+    """Pairs -> transitive clusters -> keep/drop list: A~B and B~C (no
+    direct A~C pair) collapse into one cluster; representative is the
+    NUMERIC min id (99 < 100 — would fail with naive lexicographic string
+    CC); unpaired docs keep themselves."""
+    from wbkg.ops.dedup import near_dup_keep_list
+
+    docs = spark.createDataFrame(
+        [(3, "x"), (99, "x"), (100, "x"), (101, "x"), (200, "x")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(99, 100), (100, 101)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.keep_id, r.is_kept) for r in near_dup_keep_list(docs, pairs).collect()}
+    assert out == {
+        3: (3, True),
+        99: (99, True),
+        100: (99, False),
+        101: (99, False),
+        200: (200, True),
+    }
+
+
+def test_embedding_lsh_plan_id_only_band_shuffle(spark):
+    """CI-assert the banded-LSH physical plan properties (PLANS.md): the
+    candidate-generation exchange is keyed on (band, bucket) and carries
+    ONLY ids — the embedding array must never ride a shuffle before the
+    post-dedup verify join."""
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+
+    from wbkg.ops.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        embedding_near_dup_pairs(emb, threshold=0.95).explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"hashpartitioning\(band#\d+, bucket#\d+", plan)
+    # every numbered Exchange block keyed on (band, bucket) must input only
+    # (vec_id, band, bucket) — no embedding column
+    for block in plan.split("\n\n"):
+        if "Exchange" in block and "hashpartitioning(band" in block:
+            inputs = [l for l in block.splitlines() if l.startswith("Input")]
+            assert inputs and all("embedding" not in l for l in inputs), block

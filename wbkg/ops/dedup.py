@@ -377,3 +377,60 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def near_dup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """The last stage of the dedup pipeline: candidate pairs (from ANY of the
+    five strategies above) -> transitive near-dup clusters -> keep/drop list.
+
+    -> (doc_id, keep_id, is_kept): every doc mapped to its cluster
+    representative (min id over the connected component of the pair graph);
+    docs with no near-dup pair keep themselves. A 100 TB dedup run feeds the
+    drop set (is_kept = false) straight into an anti-join on the corpus.
+
+    The component computation is size-gated exactly like alias
+    canonicalization (wbkg/canonicalize.py): pair sets small enough for the
+    driver take one union-find job, bigger ones take the iterative
+    DataFrame min-label loop. Near-dup pair graphs are pair-bounded, not
+    corpus-bounded — dup clusters are tiny and most docs never appear."""
+    from wbkg.canonicalize import (
+        LOCAL_CC_THRESHOLD,
+        connected_components,
+        connected_components_local,
+    )
+
+    id_type = dict(docs.dtypes)[id_col]
+    numeric = id_type in ("tinyint", "smallint", "int", "bigint")
+    # CC's representative is the lexicographic min member — zero-pad numeric
+    # ids so that equals the numeric min ("100" < "99" otherwise; assumes
+    # non-negative ids). String ids keep plain lexicographic-min semantics.
+    key = (
+        (lambda c: F.lpad(F.col(c).cast("string"), 25, "0"))
+        if numeric
+        else (lambda c: F.col(c).cast("string"))
+    )
+    edges = pairs.select(key(pair_a).alias("src"), key(pair_b).alias("dst")).persist()
+    n = edges.count()
+    comp = (
+        connected_components_local(edges)
+        if n <= LOCAL_CC_THRESHOLD
+        else connected_components(edges)
+    )
+    edges.unpersist()
+    comp_typed = comp.select(
+        F.col("member").cast(id_type).alias(id_col),
+        F.col("component").cast(id_type).alias("_rep"),
+    )
+    out = docs.select(id_col).join(comp_typed, id_col, "left")
+    keep = F.coalesce(F.col("_rep"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        keep.alias("keep_id"),
+        (keep == F.col(id_col)).alias("is_kept"),
+    )
