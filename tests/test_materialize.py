@@ -192,3 +192,21 @@ def test_incremental_equals_full_canonical_map(spark):
     got = {(r.member, r.canonical_id) for r in state.collect()}
     want = {(r.member, r.canonical_id) for r in canonical_map_from_edges(df(edges)).collect()}
     assert got == want
+
+
+def test_incremental_canonical_map_idempotent_replay(spark):
+    """Replay semantics: re-advancing the map with the SAME batch (the
+    at-least-once foreachBatch case) or with no new edges leaves it
+    bit-identical — no drift, no spurious relabels."""
+    from wbkg.canonicalize import incremental_canonical_map
+
+    def df(rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    b1 = [("surf::a", "qid::Q1"), ("surf::x", "surf::y")]
+    state = incremental_canonical_map(None, df(b1))
+    snap = {(r.member, r.canonical_id) for r in state.collect()}
+    replay = incremental_canonical_map(state, df(b1))
+    assert {(r.member, r.canonical_id) for r in replay.collect()} == snap
+    empty = incremental_canonical_map(state, df([]).limit(0))
+    assert {(r.member, r.canonical_id) for r in empty.collect()} == snap

@@ -313,3 +313,36 @@ def test_embedding_lsh_plan_id_only_band_shuffle(spark):
         if "Exchange" in block and "hashpartitioning(band" in block:
             inputs = [l for l in block.splitlines() if l.startswith("Input")]
             assert inputs and all("embedding" not in l for l in inputs), block
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF layout prunes at the scan: probing n_probe lists
+    plans PartitionFilters on ivf_list and returns the same top-k as the
+    in-memory assigned table."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from wbkg.ops.similarity import (
+        assign_ivf,
+        build_ivf_centroids,
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = build_ivf_centroids(emb, n_centroids=8)
+    assigned = assign_ivf(emb, cents)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(assigned, path)
+
+    q = [1.0 if i % 3 == 0 else 0.2 for i in range(64)]
+    from_index = ivf_topk_from_index(spark, path, cents, q, k=5, n_probe=3)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        from_index.explain()
+    pf_lines = [l for l in buf.getvalue().splitlines() if "PartitionFilters" in l]
+    assert pf_lines and "ivf_list" in pf_lines[0]  # probe filter prunes partitions
+    mem = [(r.vec_id, r.score) for r in ivf_topk(assigned, cents, q, k=5, n_probe=3).collect()]
+    idx = [(r.vec_id, r.score) for r in from_index.collect()]
+    assert mem == idx

@@ -166,3 +166,29 @@ def ivf_topk(
     probe = [int(x) for x in order[:n_probe]]
     pruned = emb_assigned.filter(F.col("ivf_list").isin(probe))
     return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def write_ivf_index(emb_assigned: DataFrame, path: str) -> None:
+    """Persist the IVF-assigned table PARTITIONED BY ivf_list — the index
+    layout: a query probing n_probe lists scans n_probe directories
+    (partition pruning at the file index, before any IO), the same pruning
+    story as the persisted LSH bucket column. With ~k centroids the layout
+    stays wide-file; in an Iceberg deployment this is
+    PARTITIONED BY (ivf_list)."""
+    emb_assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted IVF index: the ivf_list IN (...) probe filter is a
+    partition filter — only the probed lists' files are read."""
+    emb = spark.read.parquet(path)
+    return ivf_topk(emb, centroids, query, k, n_probe, id_col, vec_col)
