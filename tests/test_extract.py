@@ -162,3 +162,37 @@ def test_unicode_acronym_survives_jvm_recheck(spark):
     out = {r.abbr: r.expansion for r in extract_acronyms(chunks).collect()}
     assert "ÉSMF" in out
     assert out["ÉSMF"] == "École de Santé Mondiale Fédérale"
+
+
+def test_token_index_matcher_equals_aho_corasick():
+    """The engine's word-trie matcher (TokenIndexMatcher) is semantically
+    identical to the AhoCorasick implementation the fidelity oracle keeps —
+    randomized phrase sets x randomized texts, including punctuation-initial
+    phrases, accents, uppercase folds and glued tokens."""
+    import random
+
+    from wbkg.extract import AhoCorasick, TokenIndexMatcher
+
+    rng = random.Random(20260816)
+    vocab = [
+        "world", "bank", "group", "trade", "org", "a", "ab", "x-y", "de",
+        "été", "un", "ação", "climate", "fund", "the", "of", "(wb)", "s&p",
+        "w.h.o", "2030", "-x", ".net", "green v.",
+    ]
+    for _ in range(300):
+        pats = [
+            (" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))),
+             rng.choice(["ORG", "GPE", "TERM"]), f"R{i}")
+            for i in range(rng.randint(1, 14))
+        ]
+        text = " ".join(
+            rng.choice(vocab + [",", ".", "xx", "worldbank"])
+            for _ in range(rng.randint(0, 40))
+        )
+        if rng.random() < 0.3:
+            text = text.replace(" ", "", 1)
+        if rng.random() < 0.2:
+            text = text.upper()
+        assert AhoCorasick(pats).find(text) == TokenIndexMatcher(pats).find(text), (
+            pats, text,
+        )

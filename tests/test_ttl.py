@@ -160,3 +160,19 @@ def test_load_or_build_auto_dispatch(spark, tmp_path, tricky_edges):
     save_turtle_pretty(tricky_edges, path)
     loaded = load_or_build(spark, path, lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")))
     assert _as_set(loaded) == _as_set(tricky_edges)
+
+
+def test_parse_turtle_prefix_named_prefix():
+    """A legal prefixed name whose prefix is literally 'prefix'/'base' must
+    not be misparsed as a SPARQL-form directive (directive keywords require
+    trailing whitespace)."""
+    from wbkg.ttl import parse_turtle_text
+
+    t = (
+        "@prefix prefix: <http://p.example/> .\n"
+        "@prefix base: <http://b.example/> .\n"
+        "prefix:foo <http://pred> base:bar .\n"
+    )
+    assert parse_turtle_text(t) == [
+        ("http://p.example/foo", "http://pred", "http://b.example/bar", False, None, None)
+    ]

@@ -136,7 +136,10 @@ _TTL_PNAME = _re.compile(r"((?:[A-Za-z0-9_\-.\u00C0-\uFFFF]*)?:)((?:[A-Za-z0-9_\
 _TTL_BLANK = _re.compile(r"_:([A-Za-z0-9_\-.\u00C0-\uFFFF]+)")
 _TTL_LANG = _re.compile(r"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)")
 _TTL_NUM = _re.compile(r"[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.?\d+(?:[eE][+-]?\d+)?|\d+)")
-_TTL_DIRECTIVE = _re.compile(r"@(prefix|base)\b|\b(PREFIX|BASE)\b", _re.IGNORECASE)
+# SPARQL-form PREFIX/BASE must be followed by whitespace — otherwise a legal
+# prefixed name whose prefix is literally 'prefix'/'base' (prefix:foo) would
+# be misparsed as a directive
+_TTL_DIRECTIVE = _re.compile(r"@(prefix|base)\b|\b(PREFIX|BASE)(?=\s)", _re.IGNORECASE)
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 _RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
