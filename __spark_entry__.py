@@ -588,6 +588,36 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.35)
 
 
+def q_dedup_ngram_prefiltered(spark, sf_dir):
+    """MinHash-prefiltered exact n-gram jaccard: LSH candidates (64 sigs, 32
+    bands), then the EXACT df-capped jaccard per candidate pair. Runs over
+    the planted corpus (verbatim copies guarantee jaccard-1.0 pairs that
+    collide in every band); the oracle is the full exact-jaccard SQL at the
+    same threshold over the same corpus — so the value hash asserts the
+    prefilter LOSES NOTHING at this threshold, not merely that planted pairs
+    come back."""
+    from wbkg.ops.dedup import ngram_jaccard_pairs_prefiltered
+
+    return ngram_jaccard_pairs_prefiltered(_planted_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_decontam_report(spark, sf_dir):
+    """Benchmark decontamination: 8-gram containment of a small eval set in
+    the corpus. The eval set is derived deterministically in-query (words
+    4..15 of every 25th document — planted contamination with overlap 1.0
+    for the source doc), so the oracle replays the whole report in SQL:
+    per-doc arg-max item, containment fraction, contaminated flag."""
+    from wbkg.ops.decontam import contamination_report
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    bench = (
+        docs.filter((F.col("doc_id") % 25 == 0) & (F.size(words) >= 15))
+        .select(F.col("doc_id").alias("bench_id"), F.concat_ws(" ", F.slice(words, 4, 12)).alias("text"))
+    )
+    return contamination_report(docs, bench, n=8, threshold=0.5)
+
+
 def q_dedup_keep_list(spark, sf_dir):
     """Dedup end-to-end: near-dup pairs -> TRANSITIVE clusters (connected
     components over the pair graph) -> keep/drop list with the min-id
@@ -928,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_connected_components": q_g4_connected_components,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_prefiltered": q_dedup_ngram_prefiltered,
+        "decontam_report": q_decontam_report,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1179,6 +1211,64 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = doc_a
                        JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.35
+        """,
+        # full exact-jaccard replay over the PLANTED corpus at threshold 0.8:
+        # passing the value hash proves the minhash prefilter loses no pair
+        # the exact inverted-index formulation finds at this threshold
+        "dedup_ngram_prefiltered": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {PLANT_OFFSET}, text FROM documents WHERE doc_id % 10 = 0),
+            words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM corpus),
+            sh AS (
+              SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+              FROM words, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+            df AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+            kept AS (SELECT sh.* FROM sh JOIN df USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) n_sh FROM kept GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+              FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                       JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8
+        """,
+        "decontam_report": r"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+            bench AS (
+              SELECT doc_id AS bench_id,
+                     string_split_regex(trim(array_to_string(w[4:15], ' ')), '\s+') AS bw
+              FROM w WHERE doc_id % 25 = 0 AND len(w) >= 15),
+            bsh AS (
+              SELECT DISTINCT bench_id,
+                     bw[i]||' '||bw[i+1]||' '||bw[i+2]||' '||bw[i+3]||' '||bw[i+4]||' '||bw[i+5]||' '||bw[i+6]||' '||bw[i+7] AS shingle
+              FROM bench, unnest(generate_series(1, greatest(len(bw) - 7, 0))) AS t(i)),
+            dsh AS (
+              SELECT DISTINCT doc_id,
+                     w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7] AS shingle
+              FROM w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)),
+            sizes AS (SELECT bench_id, count(*) bench_n FROM bsh GROUP BY bench_id),
+            m AS (
+              SELECT d.doc_id, b.bench_id, count(*) matched
+              FROM dsh d JOIN bsh b USING (shingle) GROUP BY 1, 2),
+            ov AS (
+              SELECT doc_id, bench_id, round(matched / bench_n, 4) AS overlap
+              FROM m JOIN sizes USING (bench_id)),
+            best AS (
+              SELECT doc_id, bench_id, overlap,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, bench_id) AS rn
+              FROM ov)
+            SELECT d.doc_id,
+                   b.bench_id AS top_bench_id,
+                   coalesce(b.overlap, 0.0)::DOUBLE AS max_overlap,
+                   coalesce(b.overlap, 0.0) >= 0.5 AS contaminated
+            FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         """,
         "dedup_keep_list": r"""
             WITH RECURSIVE words AS (

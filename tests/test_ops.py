@@ -346,3 +346,62 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     mem = [(r.vec_id, r.score) for r in ivf_topk(assigned, cents, q, k=5, n_probe=3).collect()]
     idx = [(r.vec_id, r.score) for r in from_index.collect()]
     assert mem == idx
+
+
+def test_ngram_prefiltered_equals_exact(spark, docs_with_dups):
+    """The minhash-prefiltered exact verify must reproduce the exact
+    operator's pair set bit-for-bit at its threshold (the sf0.01 oracle
+    asserts the same equivalence against DuckDB; this is the in-repo guard
+    at a second threshold/corpus)."""
+    from wbkg.ops.dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_prefiltered
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    pre = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs_prefiltered(docs_with_dups, threshold=0.5).collect()
+    }
+    assert pre == exact
+    assert pre[(1, 2)] == 1.0  # non-trivial: the planted exact dup is present
+
+
+def test_contamination_report(spark):
+    from wbkg.ops.decontam import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+            (2, "one two three four five six seven eight nine ten eleven twelve"),
+            (3, "totally unrelated words nothing shared with any benchmark item at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # item 100 is fully contained in doc 1; item 200 matches nothing
+    bench = spark.createDataFrame(
+        [
+            (100, "beta gamma delta epsilon zeta eta theta iota kappa"),
+            (200, "xxx yyy zzz www vvv uuu ttt sss rrr qqq"),
+        ],
+        "bench_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_report(docs, bench, n=8, threshold=0.5).collect()}
+    assert len(out) == 3  # every doc reported, matched or not
+    assert out[1].contaminated and out[1].max_overlap == 1.0 and out[1].top_bench_id == 100
+    assert not out[2].contaminated and out[2].top_bench_id is None and out[2].max_overlap == 0.0
+    assert not out[3].contaminated
+
+
+def test_contamination_broadcast_plan(spark):
+    """The benchmark side must reach the probe as a broadcast — the corpus
+    shingle stream may not shuffle for the match join at 100 TB."""
+    from wbkg.ops.decontam import contamination_report
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.concat(F.lit(f"w{j}d"), F.col("id")) for j in range(12)]).alias("text"),
+    )
+    bench = docs.limit(2).select(F.col("doc_id").alias("bench_id"), "text")
+    plan = contamination_report(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
