@@ -212,3 +212,53 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     got2 = drain()
     # second drain adds ONLY delta: 'alpha' is suppressed by the state store
     assert {kid for _, kid in got2} == {1, 3, 4, 6}
+
+
+def test_compact_stream_output(spark, tmp_path):
+    """Streaming-sink maintenance: a multi-batch drain leaves one file set
+    per micro-batch; compact_stream_output rewrites toward the target file
+    size with the identical row set AND the batch_id=N layout intact, so a
+    later checkpoint replay still overwrites only its own partition."""
+    from wbkg.streaming import compact_stream_output
+
+    in_dir = str(tmp_path / "in4")
+    out_dir = str(tmp_path / "out4")
+    ckpt = str(tmp_path / "ckpt4")
+    # 8 input files, 2 per trigger -> 4 micro-batches. AQE partition
+    # coalescing is switched off for the drain so each batch writes one file
+    # per non-empty shuffle partition — the fragmented sink a real
+    # large-batch stream produces (where post-shuffle partitions are full
+    # and AQE does NOT collapse them to one).
+    gen_documents_df(spark, 16, partitions=8).write.parquet(in_dir)
+    edict = entity_dict_df(spark, 16)
+    pats = build_pattern_rows(build_entity_dict_rows(16), build_unbis_rows())
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        q = stream_extract_edges(
+            spark, in_dir, out_dir, ckpt, edict, pats, max_files_per_trigger=2
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    def parquet_files(root):
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    before_rows = {
+        tuple(r) for r in spark.read.parquet(out_dir).select("subj", "pred", "obj", "batch_id").collect()
+    }
+    n_batches = len({r.batch_id for r in spark.read.parquet(out_dir).select("batch_id").distinct().collect()})
+    assert n_batches >= 3  # genuinely multi-batch
+    n_before = len(parquet_files(out_dir))
+
+    n_after = compact_stream_output(spark, out_dir)
+    assert n_after == len(parquet_files(out_dir)) < n_before
+    after_rows = {
+        tuple(r) for r in spark.read.parquet(out_dir).select("subj", "pred", "obj", "batch_id").collect()
+    }
+    assert after_rows == before_rows
+    # hive layout preserved: replay of a batch overwrites its own partition
+    assert any(d.startswith("batch_id=") for d in os.listdir(out_dir))

@@ -45,14 +45,24 @@ def write_bucketed(
 
 
 def bucketed_join_plan_has_no_exchange(spark: SparkSession, left: str, right: str, key: str) -> bool:
-    """True when the bucketed-table join compiles without a shuffle."""
+    """True when the bucketed-table join compiles without a shuffle.
+
+    Broadcast is disabled while compiling the probe plan: the property being
+    asserted is exchange-freedom when NEITHER side fits in memory (the
+    100 TB case) — at toy sizes Spark would otherwise pick a
+    BroadcastExchange and mask a bad bucketing."""
     import io as _io
     from contextlib import redirect_stdout
 
-    df = spark.table(left).join(spark.table(right), key)
-    buf = _io.StringIO()
-    with redirect_stdout(buf):
-        df.explain()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.table(left).join(spark.table(right), key)
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     return "Exchange" not in buf.getvalue()
 
 

@@ -56,6 +56,21 @@ def main(argv=None, spark=None):
         "Off by default so the flat edges/*.parquet layout stays "
         "glob-queryable by external consumers.",
     )
+    p.add_argument(
+        "--bucket-tables",
+        type=int,
+        default=0,
+        metavar="N_BUCKETS",
+        help="additionally persist the chunks and linked-mentions tables as "
+        "session-catalog tables bucketed (and sorted) on chunk_id with "
+        "N_BUCKETS buckets. Downstream chunk-granularity joins between the "
+        "two (mention-in-context retrieval, community summarization's "
+        "chunk-text join) then compile WITHOUT an exchange on either side — "
+        "at 100 TB that is the difference between re-shuffling the full "
+        "mention stream per consumer query and none. In an Iceberg "
+        "deployment this is `PARTITIONED BY (bucket(N, chunk_id))` with "
+        "storage-partitioned joins.",
+    )
     p.add_argument("--make-zip", default=None)
     args = p.parse_args(argv)
 
@@ -138,6 +153,27 @@ def main(argv=None, spark=None):
     cmap = canonical_map(edict, acronyms, linked)
     linked_c = apply_canonicalization(linked, cmap).persist()
 
+    bucketed_info = None
+    if args.bucket_tables:
+        # co-located layout for the chunk-granularity consumers: both tables
+        # hash into the same chunk_id buckets, so chunks ⋈ linked on chunk_id
+        # is exchange-free (asserted below, surfaced in the job report).
+        import re
+
+        from wbkg.io import bucketed_join_plan_has_no_exchange, write_bucketed
+
+        prefix = re.sub(r"\W+", "_", os.path.basename(work_dir.rstrip("/"))) or "wbkg"
+        t_chunks, t_linked = f"{prefix}_chunks_b", f"{prefix}_linked_b"
+        write_bucketed(chunks, t_chunks, ["chunk_id"], args.bucket_tables, sort_cols=["chunk_id"])
+        write_bucketed(linked_c, t_linked, ["chunk_id"], args.bucket_tables, sort_cols=["chunk_id"])
+        bucketed_info = {
+            "tables": [t_chunks, t_linked],
+            "n_buckets": args.bucket_tables,
+            "no_exchange_join": bucketed_join_plan_has_no_exchange(
+                spark, t_chunks, t_linked, "chunk_id"
+            ),
+        }
+
     ent_edges = entity_triples(linked_c).persist()
     typed = ent_edges.filter(F.col("pred") == RDF_TYPE).select(F.col("subj").alias("uri")).distinct()
     chk_edges = chunk_triples(chunks, linked_c, typed)
@@ -188,6 +224,7 @@ def main(argv=None, spark=None):
                 "triples_per_sec": round(n_edges / dt, 1),
                 "recomputed": recomputed,
                 "work_dir": work_dir,
+                **({"bucketed": bucketed_info} if bucketed_info else {}),
             }
         )
     )

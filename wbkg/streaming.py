@@ -163,6 +163,20 @@ def stream_extract_edges(
     )
 
 
+def compact_stream_output(spark: SparkSession, output_dir: str, target_file_mb: int = 256) -> int:
+    """Maintenance pass for the streaming edges sink: every micro-batch
+    leaves its own file set under `batch_id=N`, so a long-running stream
+    accretes files linearly with batch count — at 100 TB the scan cost of
+    the accumulated table is driven by file COUNT, not bytes. Rewrites the
+    sink toward `target_file_mb` files while PRESERVING the batch_id=N
+    hive layout, so a checkpoint replay of batch N still overwrites exactly
+    its own partition (idempotence is untouched). Returns the new data-file
+    count. The atomic backup-rename swap is compact_table's."""
+    from wbkg.io import compact_table
+
+    return compact_table(spark, output_dir, target_file_mb, partition_by=["batch_id"])
+
+
 def stream_dedup_first_seen(
     docs_stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
