@@ -398,6 +398,48 @@ def q_graph_sibling_docs(spark, sf_dir):
     return sibling_chunks_via_entities(mentions, "d:0")
 
 
+def q_sparql_bgp(spark, sf_dir):
+    """SPARQL basic-graph-pattern SELECT compiled to DataFrame joins
+    (wbkg/sparql.py — the query surface rdflib gives the reference's
+    finished graph). Four-pattern star+chain over a TPC-H-derived edge
+    list: customers and suppliers co-located in a nation, with the nation's
+    name and region. The oracle is the equivalent relational join, so the
+    hash match proves the BGP compiler's join/filter semantics, DISTINCT-
+    free multiplicity, ORDER BY and LIMIT all agree with SQL."""
+    from wbkg.sparql import sparql_select
+
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+
+    def _e(df, skey, sp, pred, okey, op, obj_cast=True):
+        obj = F.concat(F.lit(op), F.col(okey).cast("string")) if obj_cast else F.col(okey)
+        return df.select(
+            F.concat(F.lit(sp), F.col(skey).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+        )
+
+    edges = (
+        _e(c, "c_custkey", "c:", "urn:p:in_nation", "c_nationkey", "n:")
+        .unionByName(_e(s, "s_suppkey", "s:", "urn:p:sup_nation", "s_nationkey", "n:"))
+        .unionByName(_e(n, "n_nationkey", "n:", "urn:p:in_region", "n_regionkey", "r:"))
+        .unionByName(_e(n, "n_nationkey", "n:", "urn:p:name", "n_name", "", obj_cast=False))
+    )
+    return sparql_select(
+        edges,
+        """
+        PREFIX p: <urn:p:>
+        SELECT ?c ?s ?nm ?r WHERE {
+            ?c p:in_nation ?n .
+            ?s p:sup_nation ?n .
+            ?n p:name ?nm .
+            ?n p:in_region ?r .
+        } ORDER BY ?c ?s LIMIT 500
+        """,
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -838,6 +880,18 @@ def q_split_assign(spark, sf_dir):
     return d.select("doc_id", "split_bucket", "split")
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic domain-mixture downsampling to a 50/25/25 en/de/fr
+    target (es and zh dropped): md5-stable accepts against integer
+    thresholds, so the oracle replays the whole decision — per-domain rate
+    computation, scale binding, and every individual accept — exactly."""
+    from wbkg.ops.prep import sample_mixture
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sample_mixture(d, {"en": 0.5, "de": 0.25, "fr": 0.25}, domain_col="lang")
+    return out.select("doc_id", "lang", F.round("_mix_rate", 6).alias("mix_rate"))
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII scrub over text spiked with a deterministic email+URL per doc
     (so the redaction path is actually exercised)."""
@@ -947,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_hierarchical": q_g2_hierarchical,
         "graph_2hop_neighborhood": q_graph_2hop_neighborhood,
         "graph_sibling_docs": q_graph_sibling_docs,
+        "sparql_bgp": q_sparql_bgp,
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "k1_ttl_pretty_roundtrip": q_k1_ttl_pretty_roundtrip,
         "answer_synthesis": q_answer_synthesis,
@@ -971,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
+        "sample_mixture": q_sample_mixture,
         "scrub_pii": q_scrub_pii,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1385,6 +1441,29 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "sparql_bgp": """
+            SELECT 'c:' || c_custkey AS c,
+                   's:' || s_suppkey AS s,
+                   n_name AS nm,
+                   'r:' || n_regionkey AS r
+            FROM customer
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN supplier ON s_nationkey = n_nationkey
+            ORDER BY c, s LIMIT 500
+        """,
+        "sample_mixture": """
+            WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),
+            c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            s AS (SELECT min(n / w) AS s FROM c JOIN w USING (lang)),
+            r AS (
+              SELECT lang,
+                     round(w * s.s / n, 6) AS mix_rate,
+                     floor(w * s.s / n * 4294967296.0)::BIGINT AS thresh
+              FROM c JOIN w USING (lang), s)
+            SELECT d.doc_id, d.lang, r.mix_rate
+            FROM documents d JOIN r USING (lang)
+            WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT)::BIGINT < r.thresh
         """,
         "split_assign": """
             WITH b AS (

@@ -164,6 +164,8 @@ def headline(sf_dir: str) -> dict:
         "token_count",
         "g4_connected_components",
         "w5_running_budget",
+        "sparql_bgp",
+        "sample_mixture",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()

@@ -405,3 +405,35 @@ def test_contamination_broadcast_plan(spark):
     bench = docs.limit(2).select(F.col("doc_id").alias("bench_id"), "text")
     plan = contamination_report(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_mixture(spark):
+    """Mixture sampler: binding domain kept whole, others thinned toward the
+    target ratio, absent domains dropped, md5-determinism under
+    repartitioning."""
+    from wbkg.ops.prep import sample_mixture
+
+    rows = [(i, "en") for i in range(900)] + [(i + 1000, "de") for i in range(100)] + [
+        (i + 2000, "junk") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_mixture(df, {"en": 0.5, "de": 0.5}, domain_col="lang", id_col="doc_id")
+    got = out.groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in got}
+    # de binds (100/0.5 < 900/0.5): kept whole; en thinned to ~100
+    assert by["de"] == 100
+    assert 80 <= by["en"] <= 120  # md5-uniform, rate 1/9 of 900
+    assert "junk" not in by
+
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in sample_mixture(
+            df.repartition(7), {"en": 0.5, "de": 0.5}, domain_col="lang", id_col="doc_id"
+        ).collect()
+    }
+    assert ids1 == ids2  # order/partitioning independence
+
+    # the corpus side is never shuffled: rates broadcast into a map-side filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,108 @@
+import pytest
+from pyspark.sql import functions as F
+
+from wbkg.sparql import SparqlError, parse_sparql, sparql_select
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    rows = [
+        ("e:a", "rdf:type:T", "c:Org"),
+        ("e:b", "rdf:type:T", "c:Org"),
+        ("e:c", "rdf:type:T", "c:Person"),
+        ("e:a", "p:in", "n:1"),
+        ("e:b", "p:in", "n:1"),
+        ("e:c", "p:in", "n:2"),
+        ("n:1", "p:name", "alpha"),
+        ("n:2", "p:name", "beta"),
+        ("e:a", "p:knows", "e:a"),  # self-loop for repeated-var pattern
+        ("e:a", "p:knows", "e:b"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # real rdf:type triples for the `a` shorthand
+    typed = spark.createDataFrame(
+        [("e:a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "c:Org")],
+        "subj string, pred string, obj string",
+    )
+    return df.unionByName(typed)
+
+
+def test_chain_join_with_prefix(graph):
+    out = sparql_select(
+        graph,
+        """
+        PREFIX p: <p:>
+        SELECT ?e ?nm WHERE { ?e p:in ?n . ?n p:name ?nm . } ORDER BY ?e
+        """,
+    ).collect()
+    assert [(r.e, r.nm) for r in out] == [("e:a", "alpha"), ("e:b", "alpha"), ("e:c", "beta")]
+
+
+def test_constant_filters_and_literal(graph):
+    out = sparql_select(
+        graph, 'SELECT ?n WHERE { ?n <p:name> "alpha" . }'
+    ).collect()
+    assert [r.n for r in out] == ["n:1"]
+
+
+def test_rdf_type_shorthand(graph):
+    out = sparql_select(graph, "SELECT ?x WHERE { ?x a <c:Org> . }").collect()
+    assert [r.x for r in out] == ["e:a"]
+
+
+def test_distinct_and_star(graph):
+    out = sparql_select(
+        graph, "SELECT DISTINCT * WHERE { ?s <p:knows> ?o . ?s <p:in> ?n . } ORDER BY ?o"
+    )
+    assert out.columns == ["n", "o", "s"]  # star = sorted bound vars
+    assert [(r.s, r.o) for r in out.collect()] == [("e:a", "e:a"), ("e:a", "e:b")]
+
+
+def test_repeated_var_in_one_pattern(graph):
+    """?x ?p ?x must compile to an intra-scan equality, not a join."""
+    out = sparql_select(graph, "SELECT ?x WHERE { ?x <p:knows> ?x . }").collect()
+    assert [r.x for r in out] == ["e:a"]
+
+
+def test_existence_gate(graph):
+    present = sparql_select(
+        graph, 'SELECT ?n WHERE { "n:1" <p:name> "alpha" . ?n <p:name> ?v . } ORDER BY ?n'
+    ).collect()
+    assert [r.n for r in present] == ["n:1", "n:2"]  # gate passes, no row blow-up
+    absent = sparql_select(
+        graph, 'SELECT ?n WHERE { "n:9" <p:name> "zzz" . ?n <p:name> ?v . }'
+    ).collect()
+    assert absent == []
+
+
+def test_limit_and_iri_with_dots(graph):
+    """IRIs contain dots — pattern separation must be token-level."""
+    typed = sparql_select(
+        graph,
+        "SELECT ?x WHERE { ?x <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?c . } LIMIT 1",
+    ).collect()
+    assert [r.x for r in typed] == ["e:a"]
+
+
+def test_parse_errors(graph):
+    with pytest.raises(SparqlError, match="undeclared prefix"):
+        parse_sparql("SELECT ?x WHERE { ?x foo:bar ?y . }")
+    with pytest.raises(SparqlError, match="3 terms"):
+        parse_sparql("SELECT ?x WHERE { ?x <p:in> . }")
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(graph, "SELECT ?zzz WHERE { ?x <p:in> ?y . }")
+    with pytest.raises(SparqlError, match="empty WHERE"):
+        parse_sparql("SELECT ?x WHERE {  }")
+
+
+def test_constant_pred_pushed_to_scan(graph, tmp_path):
+    """A constant predicate must reach the parquet scan as a pushed filter
+    (and under the pred-partitioned layout, as a partition prune)."""
+    p = str(tmp_path / "edges")
+    graph.write.parquet(p)
+    edges = graph.sparkSession.read.parquet(p)
+    plan = (
+        sparql_select(edges, "SELECT ?e ?n WHERE { ?e <p:in> ?n . }")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,p:in)" in plan

@@ -17,6 +17,9 @@ oracle twins in __spark_entry__.py.
   splits (no RNG, no row order dependence).
 - scrub_pii: regex redaction of emails and URLs (RE2-compatible patterns so
   the DuckDB oracle applies the identical regexes).
+- sample_mixture: deterministic domain-mixture downsampling to target
+  proportions (md5-stable accept, integer thresholds, broadcast rate map —
+  the corpus is filtered in one map-side pass, never shuffled).
 """
 
 from __future__ import annotations
@@ -70,6 +73,60 @@ def split_assign(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling (the DoReMi/Pile-style static
+    mixing step): downsample each domain so the surviving corpus matches the
+    target proportions `weights`, keeping as much data as feasible.
+
+    The largest corpus at the target mixture keeps
+        kept_d = weight_d * scale,  scale = min_d(count_d / weight_d)
+    (the binding domain survives whole; every other domain is thinned to
+    match). Acceptance is md5-stable per id — like split_assign, no RNG and
+    no row-order dependence, so re-runs, re-partitioning and resumed jobs
+    keep exactly the same documents. Domains absent from `weights` are
+    dropped.
+
+    Scale shape: one tiny groupBy for the per-domain counts (partial-agg,
+    domain-cardinality rows), joined back as a BROADCAST onto the corpus —
+    the corpus itself is filtered in a single map-side pass, never shuffled.
+    The accept decision compares the 32-bit md5 bucket against an integer
+    threshold floor(rate * 2^32), so the DuckDB oracle reproduces it exactly
+    (no float-comparison edge).
+
+    -> input rows that survive, plus (_mix_rate) for audit."""
+    w_norm = {k: v / sum(weights.values()) for k, v in weights.items()}
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    wmap = F.create_map(*[F.lit(x) for kv in w_norm.items() for x in kv])
+    rates = counts.withColumn("_w", wmap[F.col(domain_col)]).filter(
+        F.col("_w").isNotNull()
+    )
+    # scale = min over domains of n/w  (double math, same association as oracle)
+    scale = rates.select(F.min(F.col("_n") / F.col("_w")).alias("s"))
+    rates = rates.crossJoin(F.broadcast(scale)).select(
+        domain_col,
+        (F.col("_w") * F.col("s") / F.col("_n")).alias("_mix_rate"),
+        F.floor(F.col("_w") * F.col("s") / F.col("_n") * F.lit(4294967296.0))
+        .cast("long")
+        .alias("_thresh"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("_thresh"))
+        .drop("_thresh")
+    )
 
 
 def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:

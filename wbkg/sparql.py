@@ -1,0 +1,175 @@
+"""SPARQL basic-graph-pattern queries compiled to DataFrame plans.
+
+The reference talks SPARQL in two places: outbound lookups against the
+public Wikidata endpoint (ref src/linker.py:184-199 — a network boundary
+this engine replaces with the dictionary join, SURVEY §2.3) and sanitizing
+entity text so it is SPARQL/Turtle-safe (ref src/utils.py:4-40, ported as
+P3). The graph it *builds* is an rdflib Graph, and rdflib's own query
+surface is SPARQL — so a user coming from the reference expects to ask the
+finished KG SPARQL questions. This module gives the edges table that
+surface, Spark-first: a SELECT over a basic graph pattern is parsed into
+triple patterns and compiled to scans + equi-joins that Catalyst/AQE then
+reorder and broadcast like any other relational plan.
+
+Supported grammar (the BGP core that covers rdflib-demo-style queries):
+
+    PREFIX pfx: <iri>
+    SELECT [DISTINCT] ?a ?b | *
+    WHERE { s p o . s2 p2 o2 . ... }     # `a` == rdf:type
+    ORDER BY ?a [?b ...]                 # ascending, for determinism
+    LIMIT n
+
+Terms: ?var, <iri>, pfx:local, "literal". No OPTIONAL/UNION/FILTER/paths —
+those are the DataFrame API's job (left joins / unions / filters); the
+point here is parity for the common "pattern-match the graph" ask, not a
+SPARQL engine.
+
+Plan shape at 100 TB: each triple pattern becomes one scan of the edges
+table with its constant terms pushed down as filters — a constant predicate
+prunes whole partitions under the --partition-edges-by-pred layout
+(wbkg/job.py) — and shared variables become join keys. Catalyst sees an
+ordinary star/chain join over one physical table: AQE picks
+broadcast-vs-shuffle per pattern from runtime sizes, so a selective pattern
+(rare predicate) broadcasts into the big ones. Variables repeated inside a
+single pattern compile to an intra-scan equality filter, not a join.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_TOKEN = re.compile(
+    r"""\?[A-Za-z_][\w]*   # variable
+      | <[^>\s]*>          # iri
+      | "(?:[^"\\]|\\.)*"  # literal
+      | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*   # prefixed name
+      | \ba\b              # rdf:type shorthand
+      | [.{}]""",
+    re.X,
+)
+
+
+@dataclass
+class _Term:
+    kind: str  # "var" | "const"
+    value: str
+
+
+class SparqlError(ValueError):
+    pass
+
+
+def _parse_term(tok: str, prefixes: dict[str, str]) -> _Term:
+    if tok.startswith("?"):
+        return _Term("var", tok[1:])
+    if tok.startswith("<") and tok.endswith(">"):
+        return _Term("const", tok[1:-1])
+    if tok.startswith('"'):
+        body = tok[1:-1]
+        return _Term("const", re.sub(r'\\(["\\])', r"\1", body))
+    if tok == "a":
+        return _Term("const", RDF_TYPE_IRI)
+    if ":" in tok:
+        pfx, local = tok.split(":", 1)
+        if pfx not in prefixes:
+            raise SparqlError(f"undeclared prefix '{pfx}:' in {tok}")
+        return _Term("const", prefixes[pfx] + local)
+    raise SparqlError(f"cannot parse term: {tok}")
+
+
+def parse_sparql(query: str):
+    """-> (select_vars | None for *, distinct, patterns, order_vars, limit).
+    patterns: list of (subj, pred, obj) _Term triples."""
+    prefixes: dict[str, str] = {}
+    for pfx, iri in re.findall(r"(?i)PREFIX\s+([A-Za-z_][\w-]*):\s*<([^>]*)>", query):
+        prefixes[pfx] = iri
+    body = re.sub(r"(?i)PREFIX\s+[A-Za-z_][\w-]*:\s*<[^>]*>", " ", query)
+
+    m = re.search(
+        r"(?is)SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*"
+        r"(?:ORDER\s+BY\s+((?:\?[\w]+\s*)+))?\s*(?:LIMIT\s+(\d+))?\s*$",
+        body.strip(),
+    )
+    if not m:
+        raise SparqlError("expected SELECT ... WHERE { ... } [ORDER BY ...] [LIMIT n]")
+    distinct = bool(m.group(1))
+    sel_raw, where, order_raw, limit = m.group(2), m.group(3), m.group(4), m.group(5)
+
+    if sel_raw.strip() == "*":
+        select_vars = None
+    else:
+        select_vars = [v[1:] for v in re.findall(r"\?[\w]+", sel_raw)]
+        if not select_vars:
+            raise SparqlError(f"empty SELECT clause: {sel_raw!r}")
+
+    # tokenize the whole block, then split on '.' TOKENS — splitting the raw
+    # string on '.' would cut IRIs like <http://schema.org/mentions> apart
+    patterns, group = [], []
+    for tok in _TOKEN.findall(where):
+        if tok == ".":
+            if group:
+                patterns.append(group)
+                group = []
+        else:
+            group.append(tok)
+    if group:
+        patterns.append(group)
+    if not patterns:
+        raise SparqlError("empty WHERE block")
+    for g in patterns:
+        if len(g) != 3:
+            raise SparqlError(f"triple pattern must have 3 terms: {g!r}")
+    patterns = [tuple(_parse_term(t, prefixes) for t in g) for g in patterns]
+
+    order_vars = [v[1:] for v in re.findall(r"\?[\w]+", order_raw or "")]
+    return select_vars, distinct, patterns, order_vars, (int(limit) if limit else None)
+
+
+def sparql_select(edges: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL BGP SELECT against an edges table with (subj, pred, obj)
+    string columns. Returns one column per selected variable."""
+    select_vars, distinct, patterns, order_vars, limit = parse_sparql(query)
+
+    bound: set[str] = set()
+    plan: DataFrame | None = None
+    for i, (s, p, o) in enumerate(patterns):
+        scan = edges.select("subj", "pred", "obj")
+        cols, rename = [], {}
+        for col, term in (("subj", s), ("pred", p), ("obj", o)):
+            if term.kind == "const":
+                scan = scan.filter(F.col(col) == term.value)
+            else:
+                if term.value in rename:  # repeated var inside one pattern
+                    scan = scan.filter(F.col(col) == F.col(rename[term.value]))
+                else:
+                    rename[term.value] = col
+                    cols.append(F.col(col).alias(term.value))
+        # a fully-constant pattern is an existence gate, not a multiplier
+        scan = scan.select(*cols) if cols else scan.select(F.lit(1).alias(f"_m{i}")).limit(1)
+        if plan is None:
+            plan, bound = scan, set(rename)
+        else:
+            keys = sorted(bound & set(rename))
+            plan = plan.join(scan, keys) if keys else plan.crossJoin(scan)
+            bound |= set(rename)
+    plan = plan.drop(*[c for c in plan.columns if c.startswith("_m")])
+
+    if select_vars is None:
+        select_vars = sorted(bound)
+    missing = [v for v in select_vars + order_vars if v not in bound]
+    if missing:
+        raise SparqlError(f"unbound variable(s) in SELECT/ORDER BY: {missing}")
+    out = plan.select(*select_vars)
+    if distinct:
+        out = out.distinct()
+    if order_vars:
+        out = out.orderBy(*order_vars)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
