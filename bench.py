@@ -103,6 +103,11 @@ def run_kg_pipeline(spark, n_docs: int, path: str, link_strategy: str = "broadca
     # are not in the returned dict — drop ALL cached blocks so back-to-back
     # canonical-scale runs don't accumulate into a broadcast OOM
     spark.catalog.clearCache()
+    # ... and force a full collection so the NEXT run isn't taxed with this
+    # run's old-gen garbage (torn-down cache blocks + dead broadcasts only
+    # go away when the JVM collects them; measured 32s vs 76s for an
+    # identical warm salted run depending on inherited heap state)
+    spark._jvm.System.gc()
     return {"seconds": dt, "triples": n_edges, "triples_per_sec": n_edges / dt}
 
 

@@ -113,17 +113,20 @@ def link_mentions(
         # salting so Zipf-hub surfaces spread over n_salt reducers. The
         # mention side gets a per-ROW salt (hash of its physical identity);
         # the dictionary side is exploded xN so every salted probe key finds
-        # its build row.
+        # its build row. Same J1+J2 dictionary-side merge as the broadcast
+        # branch (primary wins, aliases fill the gaps via a dictionary-sized
+        # anti-join), so the 100x-scale path shuffles the mention stream
+        # exactly ONCE — the earlier primary-join/filter/alias-join/union
+        # formulation probed it twice and recomputed the first join under
+        # both union branches (measured 2x+ slower on the canonical corpus).
+        merged = primary.unionByName(
+            aliases.join(primary.select("surface_norm"), "surface_norm", "left_anti")
+        ).select("surface_norm", "qid")
         salt = F.pmod(F.xxhash64("doc_id", "chunk_id", "begin"), F.lit(n_salt))
         salted_mentions = mentions.withColumn("_salt", salt)
         explode_salt = F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("_salt")
-        primary_x = primary.select("*", explode_salt)
-        aliases_x = aliases.select("*", explode_salt)
-        j1 = salted_mentions.join(primary_x, ["surface_norm", "_salt"], "left")
-        matched = j1.filter(F.col("qid").isNotNull())
-        rem = j1.filter(F.col("qid").isNull()).drop("qid", "qid_kind")
-        j2 = rem.join(aliases_x, ["surface_norm", "_salt"], "left")
-        linked = matched.unionByName(j2).drop("_salt")
+        merged_x = merged.select("*", explode_salt)
+        linked = salted_mentions.join(merged_x, ["surface_norm", "_salt"], "left").drop("_salt")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     # P4: rdf_safe = qid else sanitized surface (ner.py:46-54); rows whose
