@@ -440,6 +440,36 @@ def q_sparql_bgp(spark, sf_dir):
     )
 
 
+def q_sparql_optional(spark, sf_dir):
+    """OPTIONAL group = left join: every nation row survives with its
+    region; the supplier variable nulls out where the (suppkey-restricted)
+    optional pattern finds no match. Oracle is the equivalent LEFT JOIN."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    s = _read(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 5)
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:in_region").alias("pred"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("subj"),
+            F.lit("urn:p:sup_nation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?r ?s WHERE {
+            ?n <urn:p:in_region> ?r .
+            OPTIONAL { ?s <urn:p:sup_nation> ?n . }
+        } ORDER BY ?n ?s
+        """,
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -1002,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2hop_neighborhood": q_graph_2hop_neighborhood,
         "graph_sibling_docs": q_graph_sibling_docs,
         "sparql_bgp": q_sparql_bgp,
+        "sparql_optional": q_sparql_optional,
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "k1_ttl_pretty_roundtrip": q_k1_ttl_pretty_roundtrip,
         "answer_synthesis": q_answer_synthesis,
@@ -1451,6 +1482,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN supplier ON s_nationkey = n_nationkey
             ORDER BY c, s LIMIT 500
+        """,
+        "sparql_optional": """
+            SELECT 'n:' || n_nationkey AS n,
+                   'r:' || n_regionkey AS r,
+                   CASE WHEN s_suppkey IS NULL THEN NULL
+                        ELSE 's:' || s_suppkey END AS s
+            FROM nation
+            LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey < 5) sub
+                   ON s_nationkey = n_nationkey
+            ORDER BY n, s
         """,
         "sample_mixture": """
             WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),

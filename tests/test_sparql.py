@@ -106,3 +106,31 @@ def test_constant_pred_pushed_to_scan(graph, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,p:in)" in plan
+
+
+def test_optional_left_join(graph):
+    """OPTIONAL compiles to a left join: every required match survives,
+    optional vars null out when the group doesn't match."""
+    out = sparql_select(
+        graph,
+        """
+        PREFIX p: <p:>
+        SELECT ?e ?n ?k WHERE {
+            ?e p:in ?n .
+            OPTIONAL { ?e p:knows ?k . }
+        } ORDER BY ?e ?k
+        """,
+    ).collect()
+    assert [(r.e, r.k) for r in out] == [
+        ("e:a", "e:a"),
+        ("e:a", "e:b"),
+        ("e:b", None),
+        ("e:c", None),
+    ]
+
+
+def test_optional_requires_shared_var(graph):
+    with pytest.raises(SparqlError, match="shares no variable"):
+        sparql_select(
+            graph, "SELECT ?e WHERE { ?e <p:in> ?n . OPTIONAL { ?x <p:name> ?y . } }"
+        )

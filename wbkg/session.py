@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("WBKG_DRIVER_MEM", "8g"))
+        # pin the initial heap to the max: on a big benchmark heap, GC-driven
+        # uncommit/re-expansion between runs adds tens-of-seconds page-fault
+        # noise to whichever run happens to re-grow it (observed 25s..46s for
+        # the identical warm pipeline); irrelevant at the 8g default
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('WBKG_DRIVER_MEM', '8g')}",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.warehouse.dir", "/tmp/wbkg_warehouse")

@@ -15,14 +15,15 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
 
     PREFIX pfx: <iri>
     SELECT [DISTINCT] ?a ?b | *
-    WHERE { s p o . s2 p2 o2 . ... }     # `a` == rdf:type
-    ORDER BY ?a [?b ...]                 # ascending, for determinism
+    WHERE { s p o . s2 p2 o2 . ...
+            OPTIONAL { s3 p3 o3 . ... } }   # `a` == rdf:type
+    ORDER BY ?a [?b ...]                    # ascending, for determinism
     LIMIT n
 
-Terms: ?var, <iri>, pfx:local, "literal". No OPTIONAL/UNION/FILTER/paths —
-those are the DataFrame API's job (left joins / unions / filters); the
-point here is parity for the common "pattern-match the graph" ask, not a
-SPARQL engine.
+Terms: ?var, <iri>, pfx:local, "literal". OPTIONAL groups compile to left
+joins on the shared variables. No UNION/FILTER/paths — those are the
+DataFrame API's job (unions / filters); the point here is parity for the
+common "pattern-match the graph" ask, not a SPARQL engine.
 
 Plan shape at 100 TB: each triple pattern becomes one scan of the edges
 table with its constant terms pushed down as filters — a constant predicate
@@ -83,9 +84,30 @@ def _parse_term(tok: str, prefixes: dict[str, str]) -> _Term:
     raise SparqlError(f"cannot parse term: {tok}")
 
 
+def _parse_patterns(block: str, prefixes: dict[str, str]):
+    """Tokenize a braces-free pattern block and split on '.' TOKENS —
+    splitting the raw string on '.' would cut IRIs like
+    <http://schema.org/mentions> apart."""
+    patterns, group = [], []
+    for tok in _TOKEN.findall(block):
+        if tok == ".":
+            if group:
+                patterns.append(group)
+                group = []
+        else:
+            group.append(tok)
+    if group:
+        patterns.append(group)
+    for g in patterns:
+        if len(g) != 3:
+            raise SparqlError(f"triple pattern must have 3 terms: {g!r}")
+    return [tuple(_parse_term(t, prefixes) for t in g) for g in patterns]
+
+
 def parse_sparql(query: str):
-    """-> (select_vars | None for *, distinct, patterns, order_vars, limit).
-    patterns: list of (subj, pred, obj) _Term triples."""
+    """-> (select_vars | None for *, distinct, patterns, optionals,
+    order_vars, limit). patterns: list of (subj, pred, obj) _Term triples;
+    optionals: list of such lists, one per OPTIONAL group."""
     prefixes: dict[str, str] = {}
     for pfx, iri in re.findall(r"(?i)PREFIX\s+([A-Za-z_][\w-]*):\s*<([^>]*)>", query):
         prefixes[pfx] = iri
@@ -108,34 +130,36 @@ def parse_sparql(query: str):
         if not select_vars:
             raise SparqlError(f"empty SELECT clause: {sel_raw!r}")
 
-    # tokenize the whole block, then split on '.' TOKENS — splitting the raw
-    # string on '.' would cut IRIs like <http://schema.org/mentions> apart
-    patterns, group = [], []
-    for tok in _TOKEN.findall(where):
-        if tok == ".":
-            if group:
-                patterns.append(group)
-                group = []
-        else:
-            group.append(tok)
-    if group:
-        patterns.append(group)
+    # lift OPTIONAL { ... } groups out of the required block (groups do not
+    # nest in this grammar)
+    optionals = []
+
+    def _lift(mo):
+        optionals.append(_parse_patterns(mo.group(1), prefixes))
+        return " "
+
+    required = re.sub(r"(?is)OPTIONAL\s*\{([^{}]*)\}", _lift, where)
+    if re.search(r"[{}]", required):
+        raise SparqlError("unbalanced braces / nested groups not supported")
+    patterns = _parse_patterns(required, prefixes)
     if not patterns:
         raise SparqlError("empty WHERE block")
-    for g in patterns:
-        if len(g) != 3:
-            raise SparqlError(f"triple pattern must have 3 terms: {g!r}")
-    patterns = [tuple(_parse_term(t, prefixes) for t in g) for g in patterns]
+    if any(not opt for opt in optionals):
+        raise SparqlError("empty OPTIONAL block")
 
     order_vars = [v[1:] for v in re.findall(r"\?[\w]+", order_raw or "")]
-    return select_vars, distinct, patterns, order_vars, (int(limit) if limit else None)
+    return (
+        select_vars,
+        distinct,
+        patterns,
+        optionals,
+        order_vars,
+        (int(limit) if limit else None),
+    )
 
 
-def sparql_select(edges: DataFrame, query: str) -> DataFrame:
-    """Run a SPARQL BGP SELECT against an edges table with (subj, pred, obj)
-    string columns. Returns one column per selected variable."""
-    select_vars, distinct, patterns, order_vars, limit = parse_sparql(query)
-
+def _compile_bgp(edges: DataFrame, patterns, tag: str):
+    """Compile one conjunctive pattern group to (plan, bound_vars)."""
     bound: set[str] = set()
     plan: DataFrame | None = None
     for i, (s, p, o) in enumerate(patterns):
@@ -151,7 +175,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                     rename[term.value] = col
                     cols.append(F.col(col).alias(term.value))
         # a fully-constant pattern is an existence gate, not a multiplier
-        scan = scan.select(*cols) if cols else scan.select(F.lit(1).alias(f"_m{i}")).limit(1)
+        scan = scan.select(*cols) if cols else scan.select(F.lit(1).alias(f"_m{tag}{i}")).limit(1)
         if plan is None:
             plan, bound = scan, set(rename)
         else:
@@ -159,6 +183,23 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             plan = plan.join(scan, keys) if keys else plan.crossJoin(scan)
             bound |= set(rename)
     plan = plan.drop(*[c for c in plan.columns if c.startswith("_m")])
+    return plan, bound
+
+
+def sparql_select(edges: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL BGP SELECT against an edges table with (subj, pred, obj)
+    string columns. Returns one column per selected variable; variables bound
+    only in an unmatched OPTIONAL group come back null, as in SPARQL."""
+    select_vars, distinct, patterns, optionals, order_vars, limit = parse_sparql(query)
+
+    plan, bound = _compile_bgp(edges, patterns, "r")
+    for gi, opt_patterns in enumerate(optionals):
+        opt_plan, opt_bound = _compile_bgp(edges, opt_patterns, f"o{gi}")
+        keys = sorted(bound & opt_bound)
+        if not keys:
+            raise SparqlError("OPTIONAL group shares no variable with the required patterns")
+        plan = plan.join(opt_plan, keys, "left")
+        bound |= opt_bound
 
     if select_vars is None:
         select_vars = sorted(bound)
