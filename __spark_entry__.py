@@ -470,6 +470,36 @@ def q_sparql_optional(spark, sf_dir):
     )
 
 
+def q_sparql_filter(spark, sf_dir):
+    """FILTER over a BGP: regex + disjunction + comparison, compiled to
+    Column predicates after the join (Catalyst pushes the sargable parts
+    back into the scans). Oracle replays it as the equivalent WHERE."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:name").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit("urn:p:in_region").alias("pred"),
+            F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?nm ?r WHERE {
+            ?n <urn:p:name> ?nm .
+            ?n <urn:p:in_region> ?r .
+            FILTER(REGEX(?nm, "^[A-C]") || ?r = "r:2" && ?nm != "CHINA")
+        } ORDER BY ?n
+        """,
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -1033,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sibling_docs": q_graph_sibling_docs,
         "sparql_bgp": q_sparql_bgp,
         "sparql_optional": q_sparql_optional,
+        "sparql_filter": q_sparql_filter,
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "k1_ttl_pretty_roundtrip": q_k1_ttl_pretty_roundtrip,
         "answer_synthesis": q_answer_synthesis,
@@ -1492,6 +1523,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey < 5) sub
                    ON s_nationkey = n_nationkey
             ORDER BY n, s
+        """,
+        "sparql_filter": """
+            SELECT 'n:' || n_nationkey AS n,
+                   n_name AS nm,
+                   'r:' || n_regionkey AS r
+            FROM nation
+            WHERE regexp_matches(n_name, '^[A-C]')
+               OR ('r:' || n_regionkey = 'r:2' AND n_name <> 'CHINA')
+            ORDER BY n
         """,
         "sample_mixture": """
             WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),

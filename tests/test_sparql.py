@@ -134,3 +134,63 @@ def test_optional_requires_shared_var(graph):
         sparql_select(
             graph, "SELECT ?e WHERE { ?e <p:in> ?n . OPTIONAL { ?x <p:name> ?y . } }"
         )
+
+
+def test_filter_comparison_and_regex(graph):
+    out = sparql_select(
+        graph,
+        """
+        PREFIX p: <p:>
+        SELECT ?n ?nm WHERE {
+            ?n p:name ?nm . FILTER(REGEX(?nm, "^a") || ?n = "n:2")
+        } ORDER BY ?n
+        """,
+    ).collect()
+    assert [(r.n, r.nm) for r in out] == [("n:1", "alpha"), ("n:2", "beta")]
+    only_regex = sparql_select(
+        graph, 'SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(REGEX(?nm, "^a")) }'
+    ).collect()
+    assert [r.n for r in only_regex] == ["n:1"]
+
+
+def test_filter_not_bound_after_optional(graph):
+    """!BOUND over an OPTIONAL var = SPARQL's negation idiom: entities with
+    NO p:knows edge."""
+    out = sparql_select(
+        graph,
+        """
+        SELECT ?e WHERE {
+            ?e <p:in> ?n .
+            OPTIONAL { ?e <p:knows> ?k . }
+            FILTER(!BOUND(?k))
+        } ORDER BY ?e
+        """,
+    ).collect()
+    assert [r.e for r in out] == ["e:b", "e:c"]
+
+
+def test_filter_precedence_and_parens(graph):
+    # && binds tighter than ||: a || (b && c)
+    out = sparql_select(
+        graph,
+        'SELECT ?n WHERE { ?n <p:name> ?nm . '
+        'FILTER(?nm = "alpha" || ?nm != "alpha" && ?n = "n:2") } ORDER BY ?n',
+    ).collect()
+    assert [r.n for r in out] == ["n:1", "n:2"]
+    grouped = sparql_select(
+        graph,
+        'SELECT ?n WHERE { ?n <p:name> ?nm . '
+        'FILTER((?nm = "alpha" || ?nm != "alpha") && ?n = "n:2") }',
+    ).collect()
+    assert [r.n for r in grouped] == ["n:2"]
+
+
+def test_filter_errors(graph):
+    with pytest.raises(SparqlError, match="unbound variable"):
+        sparql_select(graph, 'SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(?zz = "x") }')
+    with pytest.raises(SparqlError, match="unbalanced"):
+        parse_sparql('SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(?nm = "x" }')
+    with pytest.raises(SparqlError, match="FILTER inside OPTIONAL"):
+        parse_sparql(
+            'SELECT ?e WHERE { ?e <p:in> ?n . OPTIONAL { ?e <p:knows> ?k . FILTER(?k = "x") } }'
+        )

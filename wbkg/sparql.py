@@ -21,9 +21,13 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
     LIMIT n
 
 Terms: ?var, <iri>, pfx:local, "literal". OPTIONAL groups compile to left
-joins on the shared variables. No UNION/FILTER/paths — those are the
-DataFrame API's job (unions / filters); the point here is parity for the
-common "pattern-match the graph" ask, not a SPARQL engine.
+joins on the shared variables. FILTER(...) supports comparisons
+(= != < <= > >=, lexical string order — this graph stores strings),
+REGEX(?v, "pat"), BOUND(?v) and && || ! ( ), compiled to Column
+predicates applied over the joined pattern block — Catalyst then pushes
+the sargable ones down into the scans on its own. No UNION/paths — those
+are the DataFrame API's job; the point here is parity for the common
+"pattern-match the graph" ask, not a SPARQL engine.
 
 Plan shape at 100 TB: each triple pattern becomes one scan of the edges
 table with its constant terms pushed down as filters — a constant predicate
@@ -84,6 +88,117 @@ def _parse_term(tok: str, prefixes: dict[str, str]) -> _Term:
     raise SparqlError(f"cannot parse term: {tok}")
 
 
+_FILTER_TOKEN = re.compile(
+    r"""\?[A-Za-z_][\w]*
+      | <[^>\s]*>
+      | "(?:[^"\\]|\\.)*"
+      | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*
+      | (?i:REGEX|BOUND)\b
+      | !=|<=|>=|&&|\|\||[=<>!()]""",
+    re.X,
+)
+
+
+class _FilterParser:
+    """Recursive-descent parser for FILTER expressions -> pyspark Column.
+    Grammar: or := and (|| and)* ; and := not (&& not)* ;
+    not := '!' not | prim ; prim := '(' or ')' | REGEX(?v,"p") | BOUND(?v)
+    | term cmp term."""
+
+    def __init__(self, text: str, prefixes: dict[str, str], bound: set[str]):
+        self.toks = _FILTER_TOKEN.findall(text)
+        self.i = 0
+        self.prefixes = prefixes
+        self.bound = bound
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self):
+        tok = self._peek()
+        if tok is None:
+            raise SparqlError("unexpected end of FILTER expression")
+        self.i += 1
+        return tok
+
+    def _expect(self, tok: str):
+        got = self._next()
+        if got != tok:
+            raise SparqlError(f"expected {tok!r} in FILTER, got {got!r}")
+
+    def parse(self):
+        col = self._or()
+        if self._peek() is not None:
+            raise SparqlError(f"trailing tokens in FILTER: {self.toks[self.i:]}")
+        return col
+
+    def _or(self):
+        col = self._and()
+        while self._peek() == "||":
+            self._next()
+            col = col | self._and()
+        return col
+
+    def _and(self):
+        col = self._not()
+        while self._peek() == "&&":
+            self._next()
+            col = col & self._not()
+        return col
+
+    def _not(self):
+        if self._peek() == "!":
+            self._next()
+            return ~self._not()
+        return self._prim()
+
+    def _term_col(self, tok: str):
+        t = _parse_term(tok, self.prefixes)
+        if t.kind == "var":
+            if t.value not in self.bound:
+                raise SparqlError(f"unbound variable ?{t.value} in FILTER")
+            return F.col(t.value)
+        return F.lit(t.value)
+
+    def _prim(self):
+        tok = self._next()
+        if tok == "(":
+            col = self._or()
+            self._expect(")")
+            return col
+        if tok.upper() == "REGEX":
+            self._expect("(")
+            target = self._term_col(self._next())
+            pat_tok = self._next()
+            if not pat_tok.startswith('"'):
+                raise SparqlError("REGEX pattern must be a string literal")
+            pat = _parse_term(pat_tok, self.prefixes).value
+            self._expect(")")
+            return target.rlike(pat)
+        if tok.upper() == "BOUND":
+            self._expect("(")
+            var = self._next()
+            if not var.startswith("?"):
+                raise SparqlError("BOUND takes a variable")
+            col = self._term_col(var)
+            self._expect(")")
+            return col.isNotNull()
+        left = self._term_col(tok)
+        op = self._next()
+        right = self._term_col(self._next())
+        ops = {
+            "=": lambda a, b: a == b,
+            "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }
+        if op not in ops:
+            raise SparqlError(f"unsupported FILTER operator {op!r}")
+        return ops[op](left, right)
+
+
 def _parse_patterns(block: str, prefixes: dict[str, str]):
     """Tokenize a braces-free pattern block and split on '.' TOKENS —
     splitting the raw string on '.' would cut IRIs like
@@ -104,10 +219,45 @@ def _parse_patterns(block: str, prefixes: dict[str, str]):
     return [tuple(_parse_term(t, prefixes) for t in g) for g in patterns]
 
 
+def _extract_filters(where: str):
+    """Lift FILTER(...) blocks (balanced parens, string-literal aware) out
+    of a pattern block. -> (residual_text, [filter_expr_text, ...])."""
+    filters = []
+    pat = re.compile(r"(?i)\bFILTER\s*\(")
+    while True:
+        m = pat.search(where)
+        if not m:
+            return where, filters
+        depth, j, in_str, esc = 1, m.end(), False, False
+        while j < len(where) and depth:
+            c = where[j]
+            if in_str:
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == '"':
+                    in_str = False
+            else:
+                if c == '"':
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+            j += 1
+        if depth:
+            raise SparqlError("unbalanced parentheses in FILTER")
+        filters.append(where[m.end():j - 1])
+        where = where[:m.start()] + " " + where[j:]
+
+
 def parse_sparql(query: str):
     """-> (select_vars | None for *, distinct, patterns, optionals,
-    order_vars, limit). patterns: list of (subj, pred, obj) _Term triples;
-    optionals: list of such lists, one per OPTIONAL group."""
+    filters, prefixes, order_vars, limit). patterns: list of
+    (subj, pred, obj) _Term triples; optionals: list of such lists, one per
+    OPTIONAL group; filters: raw FILTER expression strings (compiled
+    against the bound variables in sparql_select)."""
     prefixes: dict[str, str] = {}
     for pfx, iri in re.findall(r"(?i)PREFIX\s+([A-Za-z_][\w-]*):\s*<([^>]*)>", query):
         prefixes[pfx] = iri
@@ -135,12 +285,15 @@ def parse_sparql(query: str):
     optionals = []
 
     def _lift(mo):
+        if re.search(r"(?i)\bFILTER\b", mo.group(1)):
+            raise SparqlError("FILTER inside OPTIONAL is not supported")
         optionals.append(_parse_patterns(mo.group(1), prefixes))
         return " "
 
     required = re.sub(r"(?is)OPTIONAL\s*\{([^{}]*)\}", _lift, where)
     if re.search(r"[{}]", required):
         raise SparqlError("unbalanced braces / nested groups not supported")
+    required, filters = _extract_filters(required)
     patterns = _parse_patterns(required, prefixes)
     if not patterns:
         raise SparqlError("empty WHERE block")
@@ -153,6 +306,8 @@ def parse_sparql(query: str):
         distinct,
         patterns,
         optionals,
+        filters,
+        prefixes,
         order_vars,
         (int(limit) if limit else None),
     )
@@ -190,7 +345,16 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     """Run a SPARQL BGP SELECT against an edges table with (subj, pred, obj)
     string columns. Returns one column per selected variable; variables bound
     only in an unmatched OPTIONAL group come back null, as in SPARQL."""
-    select_vars, distinct, patterns, optionals, order_vars, limit = parse_sparql(query)
+    (
+        select_vars,
+        distinct,
+        patterns,
+        optionals,
+        filters,
+        prefixes,
+        order_vars,
+        limit,
+    ) = parse_sparql(query)
 
     plan, bound = _compile_bgp(edges, patterns, "r")
     for gi, opt_patterns in enumerate(optionals):
@@ -200,6 +364,11 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             raise SparqlError("OPTIONAL group shares no variable with the required patterns")
         plan = plan.join(opt_plan, keys, "left")
         bound |= opt_bound
+
+    for f_text in filters:
+        # compiled AFTER the joins (group scope); Catalyst pushes sargable
+        # predicates back down into the scans on its own
+        plan = plan.filter(_FilterParser(f_text, prefixes, bound).parse())
 
     if select_vars is None:
         select_vars = sorted(bound)
