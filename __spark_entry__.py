@@ -952,6 +952,20 @@ def q_sample_mixture(spark, sf_dir):
     return out.select("doc_id", "lang", F.round("_mix_rate", 6).alias("mix_rate"))
 
 
+def q_percentile_filter(spark, sf_dir):
+    """Keep the top 30% of documents per language by size — the exact
+    percent_rank path (the approx_percentile broadcast-threshold variant is
+    the 100 TB path, unit-tested for agreement). Boundary ties keep or drop
+    together, so the result is order- and partitioning-free."""
+    from wbkg.ops.textops import percentile_filter
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = percentile_filter(d, "n_chars", group_col="lang", keep_frac=0.3)
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round("score_rank", 6).alias("score_rank")
+    )
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII scrub over text spiked with a deterministic email+URL per doc
     (so the redaction path is actually exercised)."""
@@ -1089,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
         "sample_mixture": q_sample_mixture,
+        "percentile_filter": q_percentile_filter,
         "scrub_pii": q_scrub_pii,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1545,6 +1560,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, r.mix_rate
             FROM documents d JOIN r USING (lang)
             WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8))::UBIGINT)::BIGINT < r.thresh
+        """,
+        "percentile_filter": """
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     percent_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS pr
+              FROM documents)
+            SELECT doc_id, lang, n_chars, round(pr, 6) AS score_rank
+            FROM r WHERE pr < 0.3
         """,
         "split_assign": """
             WITH b AS (

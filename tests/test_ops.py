@@ -437,3 +437,29 @@ def test_sample_mixture(spark):
     # the corpus side is never shuffled: rates broadcast into a map-side filter
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_percentile_filter_exact_and_approx(spark):
+    from wbkg.ops.textops import percentile_filter
+
+    rows = [(i, "en", float(i)) for i in range(100)] + [
+        (i + 1000, "de", float(i % 10)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    exact = percentile_filter(df, "score", group_col="lang", keep_frac=0.2)
+    got = exact.collect()
+    en = sorted(r.doc_id for r in got if r.lang == "en")
+    assert en == list(range(80, 100))  # pr=(rank-1)/99 < 0.2 keeps the top 20 scores
+    # de has massive ties (scores 0..9 x4): boundary ties drop together
+    de_scores = sorted((r.score for r in got if r.lang == "de"), reverse=True)
+    assert de_scores and min(de_scores) > 7.0
+
+    # the 100 TB path agrees up to sketch rank error and never sorts the corpus
+    approx = percentile_filter(df, "score", group_col="lang", keep_frac=0.2, exact=False)
+    a_en = {r.doc_id for r in approx.collect() if r.lang == "en"}
+    assert a_en.issuperset(set(range(85, 100))) and len(a_en) <= 25
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Window" not in plan
+
+    with pytest.raises(ValueError):
+        percentile_filter(df, "score", keep_frac=0.0)

@@ -16,7 +16,7 @@ __spark_entry__.py.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -230,3 +230,51 @@ def hash_embed(df: DataFrame, text_col: str = "text", dim: int = 32) -> DataFram
             yield pdf
 
     return df.mapInPandas(embed, schema=f"{schema_rest}, embedding array<float>")
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    keep_frac: float = 0.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Keep the top `keep_frac` of rows by `score_col` (per `group_col` when
+    given) — the "top X% by quality score per language" stage of a
+    pretraining pipeline. Adds (score_rank) = the row's percent_rank within
+    its group, descending score (0.0 = best).
+
+    Two physical strategies:
+    - exact=True: `percent_rank()` window per group. One sort-shuffle per
+      group; exact and fully SQL-replayable — the oracle path, and right
+      whenever the groups fit a sort (they do at test scale).
+    - exact=False: the 100 TB path. Per-group score threshold from
+      `approx_percentile` (t-digest: partial-aggregated map-side, group-
+      cardinality rows out), broadcast back, corpus filtered in ONE
+      map-side pass — no sort, no shuffle of the corpus. Keeps everything
+      >= the approximate (1-keep_frac) quantile, so the kept fraction is
+      within the sketch's rank error of keep_frac. score_rank is null
+      (no total order was computed — that is the point).
+
+    Ties at the boundary: percent_rank gives equal ranks to equal scores,
+    so ties are kept or dropped together (deterministic, order-free)."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    group = F.col(group_col) if group_col else F.lit("all")
+    if exact:
+        w = Window.partitionBy(group).orderBy(F.col(score_col).desc())
+        return (
+            df.withColumn("score_rank", F.percent_rank().over(w))
+            .filter(F.col("score_rank") < F.lit(keep_frac))
+        )
+    thresholds = (
+        df.groupBy(group.alias("_g"))
+        .agg(F.expr(f"approx_percentile({score_col}, {1.0 - keep_frac})").alias("_thresh"))
+    )
+    return (
+        df.withColumn("_g", group)
+        .join(F.broadcast(thresholds), "_g")
+        .filter(F.col(score_col) >= F.col("_thresh"))
+        .drop("_g", "_thresh")
+        .withColumn("score_rank", F.lit(None).cast("double"))
+    )
