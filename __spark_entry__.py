@@ -720,6 +720,16 @@ def q_decontam_report(spark, sf_dir):
     return contamination_report(docs, bench, n=8, threshold=0.5)
 
 
+def q_repeated_passages(spark, sf_dir):
+    """Passage-level dedup primitive: 24-word windows (stride 12) recurring
+    in >= 2 distinct documents of the planted corpus (verbatim copies
+    guarantee every window of a copied doc recurs). Oracle replays windows,
+    md5 passage hashes, distinct-doc counts and the occurrence join."""
+    from wbkg.ops.dedup import repeated_passages
+
+    return repeated_passages(_planted_docs(spark, sf_dir), w=24, stride=12, min_docs=2)
+
+
 def q_dedup_keep_list(spark, sf_dir):
     """Dedup end-to-end: near-dup pairs -> TRANSITIVE clusters (connected
     components over the pair graph) -> keep/drop list with the min-id
@@ -1092,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_prefiltered": q_dedup_ngram_prefiltered,
         "decontam_report": q_decontam_report,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "repeated_passages": q_repeated_passages,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1402,6 +1413,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.overlap, 0.0)::DOUBLE AS max_overlap,
                    coalesce(b.overlap, 0.0) >= 0.5 AS contaminated
             FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        """,
+        "repeated_passages": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + {PLANT_OFFSET}, text FROM documents WHERE doc_id % 10 = 0),
+            words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+            win AS (
+              SELECT doc_id,
+                     ((i - 1) * 12)::BIGINT AS start_word,
+                     md5(array_to_string(w[(i - 1) * 12 + 1 : (i - 1) * 12 + 24], ' ')) AS phash
+              FROM words,
+                   unnest(generate_series(1, greatest(floor((len(w) - 24) / 12)::BIGINT + 1, 0))) AS t(i)),
+            counts AS (
+              SELECT phash, count(DISTINCT doc_id)::BIGINT AS n_docs
+              FROM win GROUP BY phash HAVING count(DISTINCT doc_id) >= 2)
+            SELECT win.doc_id, win.start_word, win.phash, counts.n_docs
+            FROM win JOIN counts USING (phash)
         """,
         "dedup_keep_list": r"""
             WITH RECURSIVE words AS (

@@ -165,6 +165,8 @@ def headline(sf_dir: str) -> dict:
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_ngram_prefiltered",
+        "repeated_passages",
+        "percentile_filter",
         "decontam_report",
         "dedup_simhash",
         "dedup_embedding",

@@ -463,3 +463,25 @@ def test_percentile_filter_exact_and_approx(spark):
 
     with pytest.raises(ValueError):
         percentile_filter(df, "score", keep_frac=0.0)
+
+
+def test_repeated_passages(spark):
+    from wbkg.ops.dedup import repeated_passages
+
+    boiler = " ".join(f"legal{i}" for i in range(8))  # 8-word boilerplate block
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha words here one two"),
+            (2, boiler + " entirely different tail beta gamma delta"),
+            (3, "no shared window in this document at all kappa"),
+            (4, "tiny"),  # shorter than w: zero windows, no sequence() blow-up
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_passages(docs, w=8, stride=4, min_docs=2).collect()
+    # the boilerplate window at start_word 0 recurs in docs 1 and 2; the
+    # stride-4 window mixes boiler+tail and is unique per doc
+    assert {(r.doc_id, r.start_word) for r in out} == {(1, 0), (2, 0)}
+    assert all(r.n_docs == 2 for r in out)
+    phashes = {r.phash for r in out}
+    assert len(phashes) == 1  # same passage -> same md5

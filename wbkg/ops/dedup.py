@@ -532,3 +532,57 @@ def near_dup_keep_list(
         keep.alias("keep_id"),
         (keep == F.col(id_col)).alias("is_kept"),
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 32,
+    stride: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the passage-REMOVAL
+    primitive (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": exact substring dedup, here approximated with fixed
+    word windows instead of a suffix array). Doc-level dedup drops whole
+    documents; this finds the w-word spans that recur across >= min_docs
+    DISTINCT documents, so a pipeline can cut boilerplate (headers, legal
+    blocks, templated sections) out of otherwise-unique documents.
+
+    -> (doc_id, start_word, phash, n_docs): one row per window occurrence
+    whose passage text appears in at least min_docs distinct documents.
+    start_word indexes the doc's whitespace tokens (stride-aligned), so the
+    caller can map spans back and excise them.
+
+    Plan shape at 100 TB: windows are pure Catalyst (one projection +
+    explode — the slice/array_join form shares shingles_df's fast path, no
+    per-element regex re-evaluation), the distinct-doc count is ONE
+    partial-aggregated exchange keyed on the 32-hex md5 of the passage, and
+    occurrences rejoin the (tiny, repeated-passage-bounded) count table.
+    Linear in corpus tokens / stride — the practical approximation of the
+    suffix-array approach, which cannot be expressed as a dataflow without
+    a global sort. md5 (not xxhash64) so the DuckDB oracle replays the hash
+    bit-for-bit."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    k = F.floor((F.size("_w") - w) / stride) + 1
+    # sequence(0, -1) would DESCEND ([0, -1]) — short docs need an
+    # explicitly empty window list
+    idx = F.when(k > 0, F.sequence(F.lit(0).cast("long"), (k - 1).cast("long"))).otherwise(
+        F.array().cast("array<long>")
+    )
+    win = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i * stride).alias("start_word"),
+            F.md5(F.array_join(F.slice("_w", i * stride + 1, w), " ")).alias("phash"),
+        ),
+    )
+    occ = base.select("doc_id", F.explode(win).alias("p")).select(
+        "doc_id", "p.start_word", "p.phash"
+    )
+    counts = occ.groupBy("phash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    ).filter(F.col("n_docs") >= min_docs)
+    return occ.join(counts, "phash").select("doc_id", "start_word", "phash", "n_docs")
