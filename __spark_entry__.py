@@ -500,6 +500,28 @@ def q_sparql_filter(spark, sf_dir):
     )
 
 
+def q_sparql_groupby(spark, sf_dir):
+    """SPARQL aggregates: suppliers per nation + smallest supplier URI,
+    compiled to groupBy/agg (partial-aggregated map-side like any Spark
+    COUNT). Oracle is the equivalent GROUP BY."""
+    from wbkg.sparql import sparql_select
+
+    s = _read(spark, sf_dir, "supplier")
+    edges = s.select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit("urn:p:sup_nation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n (COUNT(?s) AS ?suppliers) (MIN(?s) AS ?first_supplier)
+        WHERE { ?s <urn:p:sup_nation> ?n . }
+        GROUP BY ?n ORDER BY ?n
+        """,
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -1088,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bgp": q_sparql_bgp,
         "sparql_optional": q_sparql_optional,
         "sparql_filter": q_sparql_filter,
+        "sparql_groupby": q_sparql_groupby,
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "k1_ttl_pretty_roundtrip": q_k1_ttl_pretty_roundtrip,
         "answer_synthesis": q_answer_synthesis,
@@ -1576,6 +1599,14 @@ def oracle_sql() -> dict[str, str]:
             FROM nation
             WHERE regexp_matches(n_name, '^[A-C]')
                OR ('r:' || n_regionkey = 'r:2' AND n_name <> 'CHINA')
+            ORDER BY n
+        """,
+        "sparql_groupby": """
+            SELECT 'n:' || s_nationkey AS n,
+                   count(*)::BIGINT AS suppliers,
+                   min('s:' || s_suppkey) AS first_supplier
+            FROM supplier
+            GROUP BY s_nationkey
             ORDER BY n
         """,
         "sample_mixture": """

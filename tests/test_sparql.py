@@ -194,3 +194,45 @@ def test_filter_errors(graph):
         parse_sparql(
             'SELECT ?e WHERE { ?e <p:in> ?n . OPTIONAL { ?e <p:knows> ?k . FILTER(?k = "x") } }'
         )
+
+
+def test_group_by_count(graph):
+    out = sparql_select(
+        graph,
+        """
+        SELECT ?n (COUNT(?e) AS ?members) WHERE { ?e <p:in> ?n . }
+        GROUP BY ?n ORDER BY ?n
+        """,
+    ).collect()
+    assert [(r.n, r.members) for r in out] == [("n:1", 2), ("n:2", 1)]
+
+
+def test_global_count_and_distinct(graph):
+    out = sparql_select(
+        graph, "SELECT (COUNT(*) AS ?c) (COUNT(DISTINCT ?s) AS ?subjects) "
+               "WHERE { ?s <p:knows> ?o . }"
+    ).collect()
+    assert out[0].c == 2 and out[0].subjects == 1
+
+
+def test_min_max_and_group_only(graph):
+    out = sparql_select(
+        graph,
+        "SELECT ?n (MIN(?nm) AS ?lo) (MAX(?nm) AS ?hi) WHERE { ?n <p:name> ?nm . } "
+        "GROUP BY ?n ORDER BY ?n",
+    ).collect()
+    assert [(r.n, r.lo, r.hi) for r in out] == [("n:1", "alpha", "alpha"), ("n:2", "beta", "beta")]
+    # GROUP BY without aggregates = distinct group rows
+    groups = sparql_select(
+        graph, "SELECT ?n WHERE { ?e <p:in> ?n . } GROUP BY ?n ORDER BY ?n"
+    ).collect()
+    assert [r.n for r in groups] == ["n:1", "n:2"]
+
+
+def test_aggregate_errors(graph):
+    with pytest.raises(SparqlError, match="must appear in GROUP BY"):
+        parse_sparql("SELECT ?e (COUNT(?n) AS ?c) WHERE { ?e <p:in> ?n . }")
+    with pytest.raises(SparqlError, match="not valid SPARQL"):
+        parse_sparql("SELECT (MIN(*) AS ?m) WHERE { ?e <p:in> ?n . }")
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(graph, "SELECT (COUNT(?zz) AS ?c) WHERE { ?e <p:in> ?n . }")

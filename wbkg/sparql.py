@@ -14,9 +14,10 @@ reorder and broadcast like any other relational plan.
 Supported grammar (the BGP core that covers rdflib-demo-style queries):
 
     PREFIX pfx: <iri>
-    SELECT [DISTINCT] ?a ?b | *
+    SELECT [DISTINCT] ?a ?b | * | (COUNT([DISTINCT] ?v|*) AS ?c) | (MIN/MAX(?v) AS ?m)
     WHERE { s p o . s2 p2 o2 . ...
             OPTIONAL { s3 p3 o3 . ... } }   # `a` == rdf:type
+    GROUP BY ?a [?b ...]
     ORDER BY ?a [?b ...]                    # ascending, for determinism
     LIMIT n
 
@@ -265,20 +266,50 @@ def parse_sparql(query: str):
 
     m = re.search(
         r"(?is)SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*"
+        r"(?:GROUP\s+BY\s+((?:\?[\w]+\s*)+))?\s*"
         r"(?:ORDER\s+BY\s+((?:\?[\w]+\s*)+))?\s*(?:LIMIT\s+(\d+))?\s*$",
         body.strip(),
     )
     if not m:
-        raise SparqlError("expected SELECT ... WHERE { ... } [ORDER BY ...] [LIMIT n]")
+        raise SparqlError(
+            "expected SELECT ... WHERE { ... } [GROUP BY ...] [ORDER BY ...] [LIMIT n]"
+        )
     distinct = bool(m.group(1))
-    sel_raw, where, order_raw, limit = m.group(2), m.group(3), m.group(4), m.group(5)
+    sel_raw, where, group_raw, order_raw, limit = (
+        m.group(2), m.group(3), m.group(4), m.group(5), m.group(6),
+    )
+    group_vars = [v[1:] for v in re.findall(r"\?[\w]+", group_raw or "")]
 
+    # SELECT items: plain ?var or (COUNT|MIN|MAX([DISTINCT] ?v|*) AS ?alias)
+    _AGG = re.compile(
+        r"(?is)\(\s*(COUNT|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(\?[\w]+|\*)\s*\)\s+AS\s+\?([\w]+)\s*\)"
+        r"|(\?[\w]+)"
+    )
     if sel_raw.strip() == "*":
         select_vars = None
+        aggregates = []
     else:
-        select_vars = [v[1:] for v in re.findall(r"\?[\w]+", sel_raw)]
-        if not select_vars:
+        select_vars, aggregates = [], []
+        for am in _AGG.finditer(sel_raw):
+            if am.group(5):
+                select_vars.append(am.group(5)[1:])
+            else:
+                func, dist, target, alias = (
+                    am.group(1).upper(), bool(am.group(2)), am.group(3), am.group(4),
+                )
+                if func != "COUNT" and target == "*":
+                    raise SparqlError(f"{func}(*) is not valid SPARQL")
+                aggregates.append(
+                    (func, dist, None if target == "*" else target[1:], alias)
+                )
+        if not select_vars and not aggregates:
             raise SparqlError(f"empty SELECT clause: {sel_raw!r}")
+    if aggregates and select_vars is not None:
+        extra = [v for v in select_vars if v not in group_vars]
+        if extra:
+            raise SparqlError(
+                f"non-aggregated SELECT variable(s) {extra} must appear in GROUP BY"
+            )
 
     # lift OPTIONAL { ... } groups out of the required block (groups do not
     # nest in this grammar)
@@ -308,6 +339,8 @@ def parse_sparql(query: str):
         optionals,
         filters,
         prefixes,
+        aggregates,
+        group_vars,
         order_vars,
         (int(limit) if limit else None),
     )
@@ -352,6 +385,8 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         optionals,
         filters,
         prefixes,
+        aggregates,
+        group_vars,
         order_vars,
         limit,
     ) = parse_sparql(query)
@@ -369,6 +404,45 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         # compiled AFTER the joins (group scope); Catalyst pushes sargable
         # predicates back down into the scans on its own
         plan = plan.filter(_FilterParser(f_text, prefixes, bound).parse())
+
+    if aggregates or group_vars:
+        # grouped/aggregated query: Spark's partial-aggregation (map-side
+        # combine before the group exchange) is exactly what a 100 TB
+        # COUNT-per-group wants
+        if select_vars is None:
+            raise SparqlError("SELECT * cannot be combined with GROUP BY / aggregates")
+        missing = [v for v in group_vars + order_vars if v not in bound and v not in
+                   [a[3] for a in aggregates]]
+        missing += [t for _f, _d, t, _a in aggregates if t is not None and t not in bound]
+        if missing:
+            raise SparqlError(f"unbound variable(s) in GROUP BY/ORDER BY/aggregate: {missing}")
+        agg_cols = []
+        for func, dist, target, alias in aggregates:
+            if func == "COUNT" and target is None:
+                c = F.count(F.lit(1))
+            elif func == "COUNT" and dist:
+                c = F.count_distinct(F.col(target))
+            elif func == "COUNT":
+                c = F.count(F.col(target))
+            elif func == "MIN":
+                c = F.min(F.col(target))
+            else:
+                c = F.max(F.col(target))
+            agg_cols.append(c.alias(alias))
+        if agg_cols:
+            out = plan.groupBy(*group_vars).agg(*agg_cols).select(
+                *(select_vars + [a[3] for a in aggregates])
+            )
+        else:
+            # GROUP BY with no aggregates = distinct group rows
+            out = plan.select(*group_vars).dropDuplicates(group_vars).select(*select_vars)
+        if distinct:
+            out = out.distinct()
+        if order_vars:
+            out = out.orderBy(*order_vars)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
 
     if select_vars is None:
         select_vars = sorted(bound)
