@@ -157,3 +157,60 @@ def test_broadcast_link_plan_has_no_probe_shuffle(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate(keys=[surface_norm" not in plan
+
+
+def test_aqe_skew_join_splits_hub_key(spark):
+    """Second line of skew defense after salting (north-star: 'skewed
+    entities handled via salting and AQE skew-join splitting'): with AQE
+    skew-join on, a Zipf-hub join key is split across tasks at RUNTIME —
+    the final adaptive plan marks the join skew=true. Thresholds are
+    lowered so the (scaled-down) hub triggers the same code path a
+    100 TB 'World Bank' key would."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # 150k mentions of ONE hub surface + a sprinkle of others, joined
+        # unsalted against a small dictionary: classic hub-key skew. The
+        # payload must be INCOMPRESSIBLE (md5 per row) — skew detection
+        # reads compressed map-output sizes, and 150k identical strings
+        # lz4 down to a few KB, under any sane threshold.
+        hub = spark.range(150_000).select(
+            F.lit("world bank").alias("surface_norm"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        tail = spark.range(500).select(
+            F.concat(F.lit("ent_"), (F.col("id") % 50).cast("string")).alias("surface_norm"),
+            F.md5((F.col("id") + 1_000_000).cast("string")).alias("payload"),
+        )
+        mentions = hub.unionByName(tail).repartition(8)
+        dictionary = spark.createDataFrame(
+            [("world bank", "Q1")] + [(f"ent_{i}", f"Q{i+2}") for i in range(50)],
+            "surface_norm string, qid string",
+        )
+        joined = mentions.join(dictionary, "surface_norm")
+        # drive THIS DataFrame's own QueryExecution (count() would spawn a
+        # separate one and leave this plan isFinalPlan=false); keep the
+        # payload in the projection so column pruning can't shrink the hub
+        probe = joined.select("payload")
+        assert len(probe.collect()) == 150_500
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
