@@ -20,7 +20,8 @@ local[2] and local[8] (N and 4N cores), reports triples/sec at both plus
 scaling efficiency (throughput(8) / (4 x throughput(2))) and writes
 BENCH/BASELINE.md — the sandbox evidence for the N -> 4N-executor rule
 (BASELINE.json). See scaling()'s docstring for the measured configuration
-trade-offs. Last recorded: 0.940 efficiency on 6000 weight-8 docs (r02).
+trade-offs. Last recorded: 1.008 efficiency on 6000 weight-8 docs (r03,
+pinned -Xms heap; raw-CPU ceiling 0.986 measured alongside).
 """
 
 from __future__ import annotations
