@@ -522,6 +522,40 @@ def q_sparql_groupby(spark, sf_dir):
     )
 
 
+def q_sparql_union(spark, sf_dir):
+    """UNION branches (customers-in-region ∪ suppliers-in-region) compile
+    independently and bag-union on the shared variables; the oracle is the
+    equivalent UNION ALL of two joins."""
+    from wbkg.sparql import sparql_select
+
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+
+    def _e(df, skey, sp, pred, okey, op):
+        return df.select(
+            F.concat(F.lit(sp), F.col(skey).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(op), F.col(okey).cast("string")).alias("obj"),
+        )
+
+    edges = (
+        _e(c, "c_custkey", "c:", "urn:p:cust_nation", "c_nationkey", "n:")
+        .unionByName(_e(s, "s_suppkey", "s:", "urn:p:sup_nation", "s_nationkey", "n:"))
+        .unionByName(_e(n, "n_nationkey", "n:", "urn:p:in_region", "n_regionkey", "r:"))
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?p ?r WHERE {
+            { ?p <urn:p:cust_nation> ?n . ?n <urn:p:in_region> ?r . }
+            UNION
+            { ?p <urn:p:sup_nation> ?n . ?n <urn:p:in_region> ?r . }
+        } ORDER BY ?p LIMIT 400
+        """,
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -1111,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional": q_sparql_optional,
         "sparql_filter": q_sparql_filter,
         "sparql_groupby": q_sparql_groupby,
+        "sparql_union": q_sparql_union,
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "k1_ttl_pretty_roundtrip": q_k1_ttl_pretty_roundtrip,
         "answer_synthesis": q_answer_synthesis,
@@ -1608,6 +1643,15 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
             GROUP BY s_nationkey
             ORDER BY n
+        """,
+        "sparql_union": """
+            SELECT p, r FROM (
+              SELECT 'c:' || c_custkey AS p, 'r:' || n_regionkey AS r
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              UNION ALL
+              SELECT 's:' || s_suppkey AS p, 'r:' || n_regionkey AS r
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+            ORDER BY p LIMIT 400
         """,
         "sample_mixture": """
             WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),

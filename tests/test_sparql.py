@@ -236,3 +236,36 @@ def test_aggregate_errors(graph):
         parse_sparql("SELECT (MIN(*) AS ?m) WHERE { ?e <p:in> ?n . }")
     with pytest.raises(SparqlError, match="unbound"):
         sparql_select(graph, "SELECT (COUNT(?zz) AS ?c) WHERE { ?e <p:in> ?n . }")
+
+
+def test_union_branches(graph):
+    """UNION = bag union over the variable union; vars unbound in a branch
+    null out; DISTINCT collapses cross-branch duplicates."""
+    out = sparql_select(
+        graph,
+        """
+        SELECT ?e ?n ?k WHERE {
+            { ?e <p:in> ?n . }
+            UNION
+            { ?e <p:knows> ?k . }
+        } ORDER BY ?e ?n ?k
+        """,
+    ).collect()
+    rows = [(r.e, r.n, r.k) for r in out]
+    assert ("e:a", "n:1", None) in rows and ("e:a", None, "e:b") in rows
+    assert len(rows) == 5  # 3 p:in + 2 p:knows, no implicit distinct
+
+    # branch with FILTER + dedup across branches
+    both = sparql_select(
+        graph,
+        'SELECT DISTINCT ?e WHERE { { ?e <p:in> "n:1" . } UNION '
+        '{ ?e <p:in> ?x . FILTER(?x = "n:1" || ?x = "n:2") } } ORDER BY ?e',
+    ).collect()
+    assert [r.e for r in both] == ["e:a", "e:b", "e:c"]
+
+
+def test_union_errors(graph):
+    with pytest.raises(SparqlError, match="unexpected text between UNION"):
+        parse_sparql("SELECT ?e WHERE { { ?e <p:in> ?n . } JUNK { ?e <p:knows> ?k . } }")
+    with pytest.raises(SparqlError, match="at least two"):
+        parse_sparql("SELECT ?e WHERE { { ?e <p:in> ?n . } }")

@@ -17,12 +17,15 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
     SELECT [DISTINCT] ?a ?b | * | (COUNT([DISTINCT] ?v|*) AS ?c) | (MIN/MAX(?v) AS ?m)
     WHERE { s p o . s2 p2 o2 . ...
             OPTIONAL { s3 p3 o3 . ... } }   # `a` == rdf:type
+    WHERE { { ... } UNION { ... } }         # top-level alternation
     GROUP BY ?a [?b ...]
     ORDER BY ?a [?b ...]                    # ascending, for determinism
     LIMIT n
 
 Terms: ?var, <iri>, pfx:local, "literal". OPTIONAL groups compile to left
-joins on the shared variables. FILTER(...) supports comparisons
+joins on the shared variables; top-level UNION branches compile
+independently and unionByName on the variable union (unbound -> null,
+bag semantics). FILTER(...) supports comparisons
 (= != < <= > >=, lexical string order — this graph stores strings),
 REGEX(?v, "pat"), BOUND(?v) and && || ! ( ), compiled to Column
 predicates applied over the joined pattern block — Catalyst then pushes
@@ -253,12 +256,81 @@ def _extract_filters(where: str):
         where = where[:m.start()] + " " + where[j:]
 
 
+def _parse_group(text: str, prefixes: dict[str, str]):
+    """One conjunctive group: lift OPTIONALs and FILTERs, parse the rest as
+    triple patterns. -> (patterns, optionals, filters)."""
+    optionals = []
+
+    def _lift(mo):
+        if re.search(r"(?i)\bFILTER\b", mo.group(1)):
+            raise SparqlError("FILTER inside OPTIONAL is not supported")
+        optionals.append(_parse_patterns(mo.group(1), prefixes))
+        return " "
+
+    required = re.sub(r"(?is)OPTIONAL\s*\{([^{}]*)\}", _lift, text)
+    if re.search(r"[{}]", required):
+        raise SparqlError("unbalanced braces / nested groups not supported")
+    required, filters = _extract_filters(required)
+    patterns = _parse_patterns(required, prefixes)
+    if not patterns:
+        raise SparqlError("empty WHERE block")
+    if any(not opt for opt in optionals):
+        raise SparqlError("empty OPTIONAL block")
+    return patterns, optionals, filters
+
+
+def _split_union(where: str):
+    """Top-level `{ ... } UNION { ... }` bodies -> list of branch texts;
+    None when the body is a plain (braceless-at-top-level) group. String-
+    literal aware so quoted braces don't confuse the depth count."""
+    s = where.strip()
+    if not s.startswith("{"):
+        return None
+    branches, depth, start = [], 0, None
+    in_str = esc = False
+    pos, n = 0, len(s)
+    while pos < n:
+        c = s[pos]
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "{":
+            if depth == 0:
+                start = pos + 1
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth < 0:
+                raise SparqlError("unbalanced braces in WHERE")
+            if depth == 0:
+                branches.append(s[start:pos])
+                start = None
+        elif depth == 0 and not c.isspace():
+            if s[pos:pos + 5].upper() == "UNION":
+                pos += 5
+                continue
+            raise SparqlError(f"unexpected text between UNION branches: {s[pos:pos+20]!r}")
+        pos += 1
+    if depth:
+        raise SparqlError("unbalanced braces in WHERE")
+    if len(branches) < 2:
+        raise SparqlError("UNION body needs at least two { } branches")
+    return branches
+
+
 def parse_sparql(query: str):
-    """-> (select_vars | None for *, distinct, patterns, optionals,
-    filters, prefixes, order_vars, limit). patterns: list of
-    (subj, pred, obj) _Term triples; optionals: list of such lists, one per
-    OPTIONAL group; filters: raw FILTER expression strings (compiled
-    against the bound variables in sparql_select)."""
+    """-> (select_vars | None for *, distinct, groups, prefixes,
+    aggregates, group_vars, order_vars, limit). groups: one
+    (patterns, optionals, filters) triple per UNION branch (a plain WHERE
+    body is one group); patterns: (subj, pred, obj) _Term triples; filters:
+    raw FILTER expression strings (compiled against the bound variables in
+    sparql_select)."""
     prefixes: dict[str, str] = {}
     for pfx, iri in re.findall(r"(?i)PREFIX\s+([A-Za-z_][\w-]*):\s*<([^>]*)>", query):
         prefixes[pfx] = iri
@@ -311,33 +383,14 @@ def parse_sparql(query: str):
                 f"non-aggregated SELECT variable(s) {extra} must appear in GROUP BY"
             )
 
-    # lift OPTIONAL { ... } groups out of the required block (groups do not
-    # nest in this grammar)
-    optionals = []
-
-    def _lift(mo):
-        if re.search(r"(?i)\bFILTER\b", mo.group(1)):
-            raise SparqlError("FILTER inside OPTIONAL is not supported")
-        optionals.append(_parse_patterns(mo.group(1), prefixes))
-        return " "
-
-    required = re.sub(r"(?is)OPTIONAL\s*\{([^{}]*)\}", _lift, where)
-    if re.search(r"[{}]", required):
-        raise SparqlError("unbalanced braces / nested groups not supported")
-    required, filters = _extract_filters(required)
-    patterns = _parse_patterns(required, prefixes)
-    if not patterns:
-        raise SparqlError("empty WHERE block")
-    if any(not opt for opt in optionals):
-        raise SparqlError("empty OPTIONAL block")
+    branch_texts = _split_union(where)
+    groups = [_parse_group(t, prefixes) for t in (branch_texts or [where])]
 
     order_vars = [v[1:] for v in re.findall(r"\?[\w]+", order_raw or "")]
     return (
         select_vars,
         distinct,
-        patterns,
-        optionals,
-        filters,
+        groups,
         prefixes,
         aggregates,
         group_vars,
@@ -381,9 +434,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     (
         select_vars,
         distinct,
-        patterns,
-        optionals,
-        filters,
+        groups,
         prefixes,
         aggregates,
         group_vars,
@@ -391,19 +442,34 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         limit,
     ) = parse_sparql(query)
 
-    plan, bound = _compile_bgp(edges, patterns, "r")
-    for gi, opt_patterns in enumerate(optionals):
-        opt_plan, opt_bound = _compile_bgp(edges, opt_patterns, f"o{gi}")
-        keys = sorted(bound & opt_bound)
-        if not keys:
-            raise SparqlError("OPTIONAL group shares no variable with the required patterns")
-        plan = plan.join(opt_plan, keys, "left")
-        bound |= opt_bound
+    def compile_group(gidx, patterns, optionals, filters):
+        plan, bound = _compile_bgp(edges, patterns, f"u{gidx}r")
+        for gi, opt_patterns in enumerate(optionals):
+            opt_plan, opt_bound = _compile_bgp(edges, opt_patterns, f"u{gidx}o{gi}")
+            keys = sorted(bound & opt_bound)
+            if not keys:
+                raise SparqlError("OPTIONAL group shares no variable with the required patterns")
+            plan = plan.join(opt_plan, keys, "left")
+            bound |= opt_bound
+        for f_text in filters:
+            # compiled AFTER the joins (group scope); Catalyst pushes
+            # sargable predicates back down into the scans on its own
+            plan = plan.filter(_FilterParser(f_text, prefixes, bound).parse())
+        return plan, bound
 
-    for f_text in filters:
-        # compiled AFTER the joins (group scope); Catalyst pushes sargable
-        # predicates back down into the scans on its own
-        plan = plan.filter(_FilterParser(f_text, prefixes, bound).parse())
+    compiled = [compile_group(i, *g) for i, g in enumerate(groups)]
+    bound = set().union(*(b for _p, b in compiled))
+    # UNION branches align on the union of variables; a variable unbound in
+    # a branch comes back null there (SPARQL bag-union semantics — no
+    # implicit DISTINCT)
+    all_vars = sorted(bound)
+    aligned = [
+        p.select(*[F.col(v) if v in b else F.lit(None).cast("string").alias(v) for v in all_vars])
+        for p, b in compiled
+    ]
+    plan = aligned[0]
+    for nxt in aligned[1:]:
+        plan = plan.unionByName(nxt)
 
     if aggregates or group_vars:
         # grouped/aggregated query: Spark's partial-aggregation (map-side
