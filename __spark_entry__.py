@@ -556,6 +556,27 @@ def q_sparql_union(spark, sf_dir):
     )
 
 
+def q_sparql_construct(spark, sf_dir):
+    """CONSTRUCT materializes new triples from matched patterns (inverse +
+    type edges per nation-in-region match); oracle replays the template
+    projection as SQL."""
+    from wbkg.sparql import sparql_construct
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:in_region").alias("pred"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    return sparql_construct(
+        edges,
+        """
+        CONSTRUCT { ?r <urn:p:has_nation> ?n . ?r a <urn:c:Region> . }
+        WHERE { ?n <urn:p:in_region> ?r . }
+        """,
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -1146,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter": q_sparql_filter,
         "sparql_groupby": q_sparql_groupby,
         "sparql_union": q_sparql_union,
+        "sparql_construct": q_sparql_construct,
         "k1_ttl_roundtrip": q_k1_ttl_roundtrip,
         "k1_ttl_pretty_roundtrip": q_k1_ttl_pretty_roundtrip,
         "answer_synthesis": q_answer_synthesis,
@@ -1652,6 +1674,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT 's:' || s_suppkey AS p, 'r:' || n_regionkey AS r
               FROM supplier JOIN nation ON s_nationkey = n_nationkey)
             ORDER BY p LIMIT 400
+        """,
+        "sparql_construct": """
+            SELECT subj, pred, obj FROM (
+              SELECT DISTINCT 'r:' || n_regionkey AS subj,
+                     'urn:p:has_nation' AS pred,
+                     'n:' || n_nationkey AS obj
+              FROM nation
+              UNION
+              SELECT DISTINCT 'r:' || n_regionkey,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'urn:c:Region'
+              FROM nation)
         """,
         "sample_mixture": """
             WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),

@@ -269,3 +269,30 @@ def test_union_errors(graph):
         parse_sparql("SELECT ?e WHERE { { ?e <p:in> ?n . } JUNK { ?e <p:knows> ?k . } }")
     with pytest.raises(SparqlError, match="at least two"):
         parse_sparql("SELECT ?e WHERE { { ?e <p:in> ?n . } }")
+
+
+def test_construct_inverse_edges(graph):
+    from wbkg.sparql import sparql_construct
+
+    out = sparql_construct(
+        graph,
+        """
+        PREFIX p: <p:>
+        CONSTRUCT { ?n <p:contains> ?e . ?e a <c:Member> . }
+        WHERE { ?e p:in ?n . }
+        """,
+    ).collect()
+    triples = {(r.subj, r.pred, r.obj) for r in out}
+    assert ("n:1", "p:contains", "e:a") in triples
+    assert ("n:1", "p:contains", "e:b") in triples
+    assert ("e:c", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "c:Member") in triples
+    assert len(triples) == 6  # 3 contains + 3 typed, set semantics
+
+
+def test_construct_unbound_template_var(graph):
+    from wbkg.sparql import sparql_construct
+
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_construct(
+            graph, "CONSTRUCT { ?zz <p:x> ?e . } WHERE { ?e <p:in> ?n . }"
+        )

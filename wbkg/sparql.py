@@ -29,9 +29,11 @@ bag semantics). FILTER(...) supports comparisons
 (= != < <= > >=, lexical string order — this graph stores strings),
 REGEX(?v, "pat"), BOUND(?v) and && || ! ( ), compiled to Column
 predicates applied over the joined pattern block — Catalyst then pushes
-the sargable ones down into the scans on its own. No UNION/paths — those
-are the DataFrame API's job; the point here is parity for the common
-"pattern-match the graph" ask, not a SPARQL engine.
+the sargable ones down into the scans on its own. sparql_construct gives
+the CONSTRUCT verb (template-projected triple set). No property paths —
+those are the DataFrame API's job (wbkg/query.py's BFS); the point here
+is parity for the common "pattern-match the graph" ask, not a SPARQL
+engine.
 
 Plan shape at 100 TB: each triple pattern becomes one scan of the edges
 table with its constant terms pushed down as filters — a constant predicate
@@ -523,3 +525,43 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def sparql_construct(edges: DataFrame, query: str) -> DataFrame:
+    """CONSTRUCT { template triples } WHERE { ... } -> an edges-shaped
+    (subj, pred, obj) DataFrame: the rule-based materialization verb (e.g.
+    derive inverse or shortcut edges from matched patterns). Template
+    variables must be bound by the WHERE block; constants are allowed in
+    any position. SPARQL graph semantics: the result is a triple SET
+    (distinct), ready to union into the edges table.
+
+    Compiles to: WHERE block via the SELECT machinery, one projection per
+    template triple, unionByName, dropDuplicates — the same
+    partial-aggregated dedup shuffle union_distinct uses at scale."""
+    m = re.search(r"(?is)^(\s*(?:PREFIX[^\n]*\n?\s*)*)CONSTRUCT\s*\{(.*?)\}\s*(WHERE\s*\{.*)$", query.strip())
+    if not m:
+        raise SparqlError("expected CONSTRUCT { template } WHERE { ... }")
+    prefixes = {
+        pfx: iri
+        for pfx, iri in re.findall(r"(?i)PREFIX\s+([A-Za-z_][\w-]*):\s*<([^>]*)>", m.group(1))
+    }
+    template = _parse_patterns(m.group(2), prefixes)
+    if not template:
+        raise SparqlError("empty CONSTRUCT template")
+    tmpl_vars = sorted(
+        {t.value for pat in template for t in pat if t.kind == "var"}
+    )
+    inner = f"{m.group(1)} SELECT {' '.join('?' + v for v in tmpl_vars)} {m.group(3)}"
+    bindings = sparql_select(edges, inner)
+
+    frames = []
+    for s, p, o in template:
+        cols = [
+            (F.col(t.value) if t.kind == "var" else F.lit(t.value)).alias(name)
+            for name, t in (("subj", s), ("pred", p), ("obj", o))
+        ]
+        frames.append(bindings.select(*cols))
+    out = frames[0]
+    for nxt in frames[1:]:
+        out = out.unionByName(nxt)
+    return out.dropDuplicates(["subj", "pred", "obj"])
