@@ -296,3 +296,25 @@ def test_construct_unbound_template_var(graph):
         sparql_construct(
             graph, "CONSTRUCT { ?zz <p:x> ?e . } WHERE { ?e <p:in> ?n . }"
         )
+
+
+def test_values_inline_bindings(graph):
+    out = sparql_select(
+        graph,
+        'SELECT ?e ?n WHERE { ?e <p:in> ?n . VALUES ?n { "n:1" "n:9" } } ORDER BY ?e',
+    ).collect()
+    assert [r.e for r in out] == ["e:a", "e:b"]
+    plan = sparql_select(
+        graph, 'SELECT ?e WHERE { ?e <p:in> ?n . VALUES ?n { "n:1" "n:9" } }'
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "IN (" in plan.upper() or "n:1" in plan  # pushed as an In predicate
+    with pytest.raises(SparqlError, match="not bound"):
+        sparql_select(graph, 'SELECT ?e WHERE { ?e <p:in> ?n . VALUES ?zz { "x" } }')
+
+
+def test_ask(graph):
+    from wbkg.sparql import sparql_ask
+
+    assert sparql_ask(graph, 'ASK { ?e <p:in> "n:1" . }') is True
+    assert sparql_ask(graph, 'ASK WHERE { ?e <p:in> "n:99" . }') is False
+    assert sparql_ask(graph, 'PREFIX p: <p:> ASK { ?x p:knows ?x . }') is True

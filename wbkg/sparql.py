@@ -18,6 +18,8 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
     WHERE { s p o . s2 p2 o2 . ...
             OPTIONAL { s3 p3 o3 . ... } }   # `a` == rdf:type
     WHERE { { ... } UNION { ... } }         # top-level alternation
+    WHERE { ... VALUES ?v { "a" <iri:b> } }  # inline bindings
+    ASK [WHERE] { ... }                      # sparql_ask -> bool
     GROUP BY ?a [?b ...]
     ORDER BY ?a [?b ...]                    # ascending, for determinism
     LIMIT n
@@ -259,8 +261,9 @@ def _extract_filters(where: str):
 
 
 def _parse_group(text: str, prefixes: dict[str, str]):
-    """One conjunctive group: lift OPTIONALs and FILTERs, parse the rest as
-    triple patterns. -> (patterns, optionals, filters)."""
+    """One conjunctive group: lift OPTIONALs, VALUES and FILTERs, parse the
+    rest as triple patterns. -> (patterns, optionals, filters, values).
+    values: list of (var, [constants]) inline-binding restrictions."""
     optionals = []
 
     def _lift(mo):
@@ -270,6 +273,23 @@ def _parse_group(text: str, prefixes: dict[str, str]):
         return " "
 
     required = re.sub(r"(?is)OPTIONAL\s*\{([^{}]*)\}", _lift, text)
+
+    values = []
+
+    def _lift_values(mo):
+        var = mo.group(1)
+        consts = []
+        for tok in _TOKEN.findall(mo.group(2)):
+            t = _parse_term(tok, prefixes)
+            if t.kind != "const":
+                raise SparqlError(f"VALUES for ?{var} must list constants, got {tok!r}")
+            consts.append(t.value)
+        if not consts:
+            raise SparqlError(f"empty VALUES block for ?{var}")
+        values.append((var, consts))
+        return " "
+
+    required = re.sub(r"(?is)VALUES\s+\?([\w]+)\s*\{([^{}]*)\}", _lift_values, required)
     if re.search(r"[{}]", required):
         raise SparqlError("unbalanced braces / nested groups not supported")
     required, filters = _extract_filters(required)
@@ -278,7 +298,7 @@ def _parse_group(text: str, prefixes: dict[str, str]):
         raise SparqlError("empty WHERE block")
     if any(not opt for opt in optionals):
         raise SparqlError("empty OPTIONAL block")
-    return patterns, optionals, filters
+    return patterns, optionals, filters, values
 
 
 def _split_union(where: str):
@@ -444,7 +464,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         limit,
     ) = parse_sparql(query)
 
-    def compile_group(gidx, patterns, optionals, filters):
+    def compile_group(gidx, patterns, optionals, filters, values):
         plan, bound = _compile_bgp(edges, patterns, f"u{gidx}r")
         for gi, opt_patterns in enumerate(optionals):
             opt_plan, opt_bound = _compile_bgp(edges, opt_patterns, f"u{gidx}o{gi}")
@@ -453,6 +473,12 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                 raise SparqlError("OPTIONAL group shares no variable with the required patterns")
             plan = plan.join(opt_plan, keys, "left")
             bound |= opt_bound
+        for var, consts in values:
+            # inline bindings restrict an already-bound variable; isin is an
+            # In predicate Catalyst pushes into the scans
+            if var not in bound:
+                raise SparqlError(f"VALUES variable ?{var} is not bound by the patterns")
+            plan = plan.filter(F.col(var).isin(consts))
         for f_text in filters:
             # compiled AFTER the joins (group scope); Catalyst pushes
             # sargable predicates back down into the scans on its own
@@ -565,3 +591,14 @@ def sparql_construct(edges: DataFrame, query: str) -> DataFrame:
     for nxt in frames[1:]:
         out = out.unionByName(nxt)
     return out.dropDuplicates(["subj", "pred", "obj"])
+
+
+def sparql_ask(edges: DataFrame, query: str) -> bool:
+    """ASK { patterns } / ASK WHERE { patterns } -> does any binding exist?
+    Compiles to the SELECT machinery with LIMIT 1 — the scan stops at the
+    first match (Spark's limit is pushed into the job as a take(1))."""
+    m = re.search(r"(?is)^(\s*(?:PREFIX[^\n]*\n?\s*)*)ASK\s*(?:WHERE\s*)?(\{.*\})\s*$", query.strip())
+    if not m:
+        raise SparqlError("expected ASK [WHERE] { ... }")
+    inner = f"{m.group(1)} SELECT * WHERE {m.group(2)} LIMIT 1"
+    return len(sparql_select(edges, inner).take(1)) > 0
