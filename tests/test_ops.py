@@ -485,3 +485,47 @@ def test_repeated_passages(spark):
     assert all(r.n_docs == 2 for r in out)
     phashes = {r.phash for r in out}
     assert len(phashes) == 1  # same passage -> same md5
+
+
+# --- ADVICE r03 regressions -------------------------------------------------
+
+def test_shingles_short_docs_yield_zero_shingles(spark):
+    """Docs with fewer than n words must produce no shingles, not abort the
+    job (sequence(0,-1) descends; slice start 0 throws). n=8 decontamination
+    prompts make short inputs a mainline case."""
+    from wbkg.ops.dedup import shingles_df
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine"), (2, "too short"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = shingles_df(df, n=8).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert len(out) == 2  # 9 words -> 2 distinct 8-gram shingles
+
+
+def test_contamination_report_short_prompts(spark):
+    """End-to-end: an eval prompt under n words must not crash the report."""
+    from wbkg.ops.decontam import contamination_report
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "short prompt"), (11, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_report(docs, bench).collect()}
+    assert rows[1].top_bench_id == 11 and rows[1].contaminated
+
+
+def test_percentile_filter_keep_all_boundary(spark):
+    """keep_frac=1.0 (explicitly allowed) keeps every row on BOTH paths."""
+    from wbkg.ops.textops import percentile_filter
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(30)], "doc_id long, score double"
+    )
+    assert percentile_filter(df, "score", keep_frac=1.0).count() == 30
+    assert percentile_filter(df, "score", keep_frac=1.0, exact=False).count() == 30

@@ -318,3 +318,13 @@ def test_ask(graph):
     assert sparql_ask(graph, 'ASK { ?e <p:in> "n:1" . }') is True
     assert sparql_ask(graph, 'ASK WHERE { ?e <p:in> "n:99" . }') is False
     assert sparql_ask(graph, 'PREFIX p: <p:> ASK { ?x p:knows ?x . }') is True
+
+
+def test_underscore_m_variable_survives(graph):
+    """'?_m0' is a legal SPARQL variable — the existence-gate cleanup must
+    drop only its own generated markers (ADVICE r03)."""
+    out = sparql_select(
+        graph,
+        'SELECT ?_m0 WHERE { ?_m0 <p:in> <n:1> . <e:a> <p:knows> <e:a> . }',
+    )
+    assert sorted(r._m0 for r in out.collect()) == ["e:a", "e:b"]

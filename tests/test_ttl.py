@@ -176,3 +176,49 @@ def test_parse_turtle_prefix_named_prefix():
     assert parse_turtle_text(t) == [
         ("http://p.example/foo", "http://pred", "http://b.example/bar", False, None, None)
     ]
+
+
+# --- ADVICE r03 regressions -------------------------------------------------
+
+def test_resolve_base_keeps_schemeful_iris():
+    """@base must not mangle absolute IRIs whose scheme has no '://' (urn:,
+    mailto:), and relative IRIs sharing a prefix with base still resolve."""
+    from wbkg.ttl import parse_turtle_text
+
+    text = (
+        "@base <http://b/> .\n"
+        "<urn:s> <mailto:p@x.org> <rel> .\n"
+        "<http:stillabs> <http://b/p> <http://b/already> .\n"
+    )
+    triples = parse_turtle_text(text)
+    subjects = {t[0] for t in triples}
+    assert subjects == {"urn:s", "http:stillabs"}
+    s, p, o = triples[0][:3]
+    assert (s, p, o) == ("urn:s", "mailto:p@x.org", "http://b/rel")
+    # relative IRI that shares a prefix with base's path still resolves
+    t2 = parse_turtle_text("@base <http://b/> .\n<http2rel> <http://p> <x> .\n")
+    # 'http2rel' has no scheme (digit before ':'? no ':' at all) -> resolved
+    assert t2[0][0] == "http://b/http2rel"
+
+
+def test_trailing_dot_terminates_pname_and_number():
+    """'ex:a ex:p ex:b.' and '... 42.' are legal Turtle: PN_LOCAL/number must
+    not eat the statement terminator."""
+    from wbkg.ttl import parse_turtle_text
+
+    triples = parse_turtle_text(
+        "@prefix ex: <http://e/> .\nex:a ex:p ex:b.\nex:a ex:n 42.\n"
+    )
+    assert ("http://e/a", "http://e/p", "http://e/b", False, None, None) in triples
+    num = [t for t in triples if t[1] == "http://e/n"][0]
+    assert num[2] == "42" and num[5].endswith("integer")
+    # dotted locals still parse when the dot is interior or escaped
+    t2 = parse_turtle_text("@prefix ex: <http://e/> .\nex:a.b ex:p ex:c\\. .\n")
+    assert t2[0][0] == "http://e/a.b" and t2[0][2] == "http://e/c."
+
+
+def test_blank_label_trailing_dot():
+    from wbkg.ttl import parse_turtle_text
+
+    triples = parse_turtle_text("@prefix ex: <http://e/> .\n_:x1 ex:p _:y2.\n")
+    assert triples[0][0] == "_:x1" and triples[0][2] == "_:y2"

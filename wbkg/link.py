@@ -44,7 +44,14 @@ N_SALT = 16
 @F.pandas_udf(StringType())
 def rdf_safe_surface(surface: pd.Series) -> pd.Series:
     """URI-safe id: quote(surface.replace(' ','_'))[:100] after the P3
-    sanitize chain (ref src/ner.py:29-43 + src/utils.py:4-42)."""
+    sanitize chain (ref src/ner.py:29-43 + src/utils.py:4-42).
+
+    Surfaces are Zipfian, so each Arrow batch is deduplicated before the
+    sanitize chain runs: a hub surface ("World Bank" x thousands) costs one
+    computation per batch, not one per row. This per-batch memoization is
+    what lets the linker apply the UDF directly to the mention stream —
+    no distinct()+broadcast side-map (which was corpus-bounded: the one
+    unbounded broadcast left in the pipeline, VERDICT r03 #3)."""
 
     def safe(s):
         if s is None:
@@ -54,7 +61,8 @@ def rdf_safe_surface(surface: pd.Series) -> pd.Series:
             return None
         return quote(clean.replace(" ", "_"))[:100]
 
-    return surface.map(safe)
+    mapped = {s: safe(s) for s in surface.unique()}
+    return surface.map(mapped)
 
 
 def _dedup_dict(entity_dict: DataFrame, alias_rows: bool) -> DataFrame:
@@ -130,18 +138,15 @@ def link_mentions(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     # P4: rdf_safe = qid else sanitized surface (ner.py:46-54); rows whose
-    # surface fails sanitization AND have no qid are dropped (ner.py:52 skip)
-    # P4 rdf_safe on DISTINCT surfaces only (surfaces are Zipfian — the UDF
-    # would otherwise run on every mention row), then broadcast back
-    safe_map = (
-        mentions.select("surface")
-        .distinct()
-        .withColumn("_safe", rdf_safe_surface(F.col("surface")))
-    )
-    linked = linked.join(F.broadcast(safe_map), "surface", "left")
-    linked = linked.withColumn("rdf_safe", F.coalesce(F.col("qid"), F.col("_safe"))).filter(
-        F.col("rdf_safe").isNotNull()
-    )
+    # surface fails sanitization AND have no qid are dropped (ner.py:52 skip).
+    # The UDF applies DIRECTLY to the linked stream — no distinct()+broadcast
+    # side-map (that map was corpus-bounded, the one broadcast that could not
+    # be guaranteed to fit at 100 TB). Zipf amortization now happens inside
+    # the UDF via per-Arrow-batch dedup, which is executor-memory-bounded by
+    # construction (one batch at a time).
+    linked = linked.withColumn(
+        "rdf_safe", F.coalesce(F.col("qid"), rdf_safe_surface(F.col("surface")))
+    ).filter(F.col("rdf_safe").isNotNull())
     return linked.select(
         "doc_id", "chunk_id", "surface", "surface_norm", "label", "rule_id", "qid", "rdf_safe"
     )

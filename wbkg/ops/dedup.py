@@ -74,9 +74,15 @@ def shingles_df(
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
     w = F.col("_w")
     k = F.greatest(F.size(w) - (n - 1), F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(0), k - 1), lambda i: F.array_join(F.slice(w, i + 1, n), " ")
+    # sequence(0, k-1) DESCENDS to [0,-1] when k=0 (Spark sequence is
+    # bidirectional) and slice(w, 0, n) then throws
+    # INVALID_PARAMETER_VALUE.START, aborting the job on any doc shorter
+    # than n words — common for n=8 decontamination prompts. Guard so short
+    # docs yield zero shingles instead.
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
     )
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
     return base.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 

@@ -263,10 +263,13 @@ def percentile_filter(
     group = F.col(group_col) if group_col else F.lit("all")
     if exact:
         w = Window.partitionBy(group).orderBy(F.col(score_col).desc())
-        return (
-            df.withColumn("score_rank", F.percent_rank().over(w))
-            .filter(F.col("score_rank") < F.lit(keep_frac))
-        )
+        ranked = df.withColumn("score_rank", F.percent_rank().over(w))
+        if keep_frac >= 1.0:
+            # keep_frac=1.0 means keep everything; a strict '<' would drop
+            # the worst row (percent_rank exactly 1.0) and disagree with
+            # the approx path at the allowed boundary
+            return ranked
+        return ranked.filter(F.col("score_rank") < F.lit(keep_frac))
     thresholds = (
         df.groupBy(group.alias("_g"))
         .agg(F.expr(f"approx_percentile({score_col}, {1.0 - keep_frac})").alias("_thresh"))

@@ -425,6 +425,7 @@ def _compile_bgp(edges: DataFrame, patterns, tag: str):
     """Compile one conjunctive pattern group to (plan, bound_vars)."""
     bound: set[str] = set()
     plan: DataFrame | None = None
+    gate_cols: list[str] = []
     for i, (s, p, o) in enumerate(patterns):
         scan = edges.select("subj", "pred", "obj")
         cols, rename = [], {}
@@ -438,14 +439,21 @@ def _compile_bgp(edges: DataFrame, patterns, tag: str):
                     rename[term.value] = col
                     cols.append(F.col(col).alias(term.value))
         # a fully-constant pattern is an existence gate, not a multiplier
-        scan = scan.select(*cols) if cols else scan.select(F.lit(1).alias(f"_m{tag}{i}")).limit(1)
+        if not cols:
+            gate = f"__wbkg_gate_{tag}{i}"
+            gate_cols.append(gate)
+            scan = scan.select(F.lit(1).alias(gate)).limit(1)
+        else:
+            scan = scan.select(*cols)
         if plan is None:
             plan, bound = scan, set(rename)
         else:
             keys = sorted(bound & set(rename))
             plan = plan.join(scan, keys) if keys else plan.crossJoin(scan)
             bound |= set(rename)
-    plan = plan.drop(*[c for c in plan.columns if c.startswith("_m")])
+    # drop ONLY the gate markers we generated — '?_m0' is a legal SPARQL
+    # variable a prefix-based drop would silently destroy
+    plan = plan.drop(*gate_cols)
     return plan, bound
 
 

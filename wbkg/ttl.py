@@ -132,10 +132,17 @@ def load_or_build(spark: SparkSession, path: str, build_fn) -> DataFrame:
 import re as _re
 
 _TTL_IRI = _re.compile(r"<([^<>\"{}|^`\\\x00-\x20]*)>")
+# RFC 3987 scheme production: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"
+_IRI_SCHEME = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 _TTL_PNAME = _re.compile(r"((?:[A-Za-z0-9_\-.\u00C0-\uFFFF]*)?:)((?:[A-Za-z0-9_\-.\u00C0-\uFFFF]|%[0-9A-Fa-f]{2}|\\[_~.\-!$&'()*+,;=/?#@%])*)")
 _TTL_BLANK = _re.compile(r"_:([A-Za-z0-9_\-.\u00C0-\uFFFF]+)")
 _TTL_LANG = _re.compile(r"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)")
-_TTL_NUM = _re.compile(r"[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.?\d+(?:[eE][+-]?\d+)?|\d+)")
+# A bare trailing '.' is NOT part of a numeric literal (Turtle DECIMAL needs
+# a digit after the dot; empty-fraction DOUBLE needs an exponent) — '42.' is
+# the integer 42 followed by the statement terminator.
+_TTL_NUM = _re.compile(
+    r"[+-]?(?:\d+\.\d*[eE][+-]?\d+|\d+\.\d+|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)"
+)
 # SPARQL-form PREFIX/BASE must be followed by whitespace — otherwise a legal
 # prefixed name whose prefix is literally 'prefix'/'base' (prefix:foo) would
 # be misparsed as a directive
@@ -247,7 +254,10 @@ class _TurtleParser:
 
     # --- terms ---------------------------------------------------------------
     def _resolve(self, iri: str) -> str:
-        if self.base and "://" not in iri and not iri.startswith(self.base):
+        # Absoluteness is the IRI *scheme* production (RFC 3987), not '://':
+        # 'urn:x' and 'mailto:x' are absolute with no slashes, and a relative
+        # path that merely shares a prefix with @base must still be resolved.
+        if self.base and not _IRI_SCHEME.match(iri):
             return self.base + iri
         return iri
 
@@ -263,10 +273,21 @@ class _TurtleParser:
         m = self._match_re(_TTL_IRI)
         if m:
             return self._resolve(_unescape_iri(m.group(1)))
+        if self.t.startswith("_:", self.i):
+            return None  # blank node label, not a pname with prefix '_'
         m = self._match_re(_TTL_PNAME)
         if m:
-            return self._pname_to_iri(m.group(1), m.group(2))
+            return self._pname_to_iri(m.group(1), self._strip_final_dots(m.group(2)))
         return None
+
+    def _strip_final_dots(self, local: str) -> str:
+        """PN_LOCAL (and blank-node labels) may contain but not END with '.'
+        — the greedy regex eats 'ex:a ex:p ex:b.'-style statement
+        terminators, so backtrack trailing unescaped dots and rewind."""
+        while local.endswith(".") and not local.endswith("\\."):
+            local = local[:-1]
+            self.i -= 1
+        return local
 
     def _string_body(self):
         """-> raw (unescaped) string content, or None."""
@@ -330,7 +351,7 @@ class _TurtleParser:
             raise TurtleSyntaxError("collections (...) not supported")
         m = self._match_re(_TTL_BLANK)
         if m:
-            return "_:" + m.group(1), False, None, None
+            return "_:" + self._strip_final_dots(m.group(1)), False, None, None
         if self.t.startswith("true", self.i) or self.t.startswith("false", self.i):
             word = "true" if self.t.startswith("true", self.i) else "false"
             after = self.t[self.i + len(word) : self.i + len(word) + 1]
@@ -386,7 +407,7 @@ class _TurtleParser:
             if subj is None:
                 m = self._match_re(_TTL_BLANK)
                 if m:
-                    subj = "_:" + m.group(1)
+                    subj = "_:" + self._strip_final_dots(m.group(1))
                 else:
                     raise TurtleSyntaxError(
                         f"cannot parse subject at {self.i}: {self.t[self.i:self.i+30]!r}"
