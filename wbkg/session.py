@@ -46,10 +46,22 @@ def get_spark(
         # pin the initial heap to the max: on a big benchmark heap, GC-driven
         # uncommit/re-expansion between runs adds tens-of-seconds page-fault
         # noise to whichever run happens to re-grow it (observed 25s..46s for
-        # the identical warm pipeline); irrelevant at the 8g default
+        # the identical warm pipeline); irrelevant at the 8g default.
+        # ReservedCodeCacheSize=512m: Spark codegen emits enough classes at
+        # canonical-bench scale to stress the 240m default; the reservation
+        # is virtual and harmless otherwise. WBKG_PRETOUCH=1 (bench sets it)
+        # adds AlwaysPreTouch, moving the big-heap page-fault storm (~700s
+        # of sys jiffies measured during the first canonical run) to session
+        # startup, off the measured path.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('WBKG_DRIVER_MEM', '8g')}",
+            f"-Xms{os.environ.get('WBKG_DRIVER_MEM', '8g')}"
+            " -XX:ReservedCodeCacheSize=512m"
+            + (
+                " -XX:+AlwaysPreTouch"
+                if os.environ.get("WBKG_PRETOUCH") == "1"
+                else ""
+            ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
