@@ -577,6 +577,57 @@ def q_sparql_construct(spark, sf_dir):
     )
 
 
+def _supplier_nation_edges(spark, sf_dir, max_suppkey=None):
+    n = _read(spark, sf_dir, "nation")
+    s = _read(spark, sf_dir, "supplier")
+    if max_suppkey is not None:
+        s = s.filter(F.col("s_suppkey") < max_suppkey)
+    return n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:in_region").alias("pred"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("subj"),
+            F.lit("urn:p:sup_nation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("obj"),
+        )
+    )
+
+
+def q_sparql_order_desc(spark, sf_dir):
+    """ORDER BY DESC(...) with an ascending tie-break — rdflib-style mixed
+    sort directions over an aggregated BGP; the oracle is the equivalent
+    GROUP BY ... ORDER BY count DESC, key ASC LIMIT."""
+    from wbkg.sparql import sparql_select
+
+    return sparql_select(
+        _supplier_nation_edges(spark, sf_dir),
+        """
+        SELECT ?n (COUNT(*) AS ?suppliers) WHERE {
+            ?s <urn:p:sup_nation> ?n .
+        } GROUP BY ?n ORDER BY DESC(?suppliers) ?n LIMIT 10
+        """,
+    )
+
+
+def q_sparql_not_exists(spark, sf_dir):
+    """FILTER NOT EXISTS = left-anti join on the shared variable: nations in
+    a region with NO supplier under the suppkey<8 restriction; the inner
+    group never multiplies rows. Oracle is the equivalent NOT EXISTS SQL."""
+    from wbkg.sparql import sparql_select
+
+    return sparql_select(
+        _supplier_nation_edges(spark, sf_dir, max_suppkey=8),
+        """
+        SELECT ?n ?r WHERE {
+            ?n <urn:p:in_region> ?r .
+            FILTER NOT EXISTS { ?s <urn:p:sup_nation> ?n . }
+        } ORDER BY ?n
+        """,
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -981,6 +1032,18 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_png_decode(spark, sf_dir):
+    """REAL PNG decode (pure-stdlib inflate + scanline-filter reconstruction,
+    wbkg/ops/multimodal.py decode_png): dims come from the decoded IHDR and
+    channel means from the decoded pixels. The synthetic pixels are closed-
+    form (r=(x+y+base)%256, g=(2x+base)%256, b=(3y+base)%256, base=(2d+m)%251),
+    so the oracle replays the exact means over a generated (x, y) grid —
+    any filter-reconstruction bug shifts the means and fails the hash."""
+    from wbkg.ops.multimodal import gen_media_df, png_decode_stats
+
+    return png_decode_stats(gen_media_df(spark, docs=30))
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal frame sampling (sequence explode on metadata); the sampled
     frame grid is formula-determined, so the oracle replays it with
@@ -1102,11 +1165,39 @@ def q_kg_pipeline_edges(spark, sf_dir):
     return _edges_vs_oracle(spark, edges, n_docs)
 
 
-def _edges_vs_oracle(spark, edges, n_docs):
+def q_kg_pipeline_heur_edges(spark, sf_dir):
+    """Full pipeline with the C5 heuristic-NER pass ENABLED (capitalized
+    n-gram candidates merged ruler-first, wbkg/extract.py
+    heuristic_ner_candidates_py), hard-gated against the pure-Python oracle
+    running the same pass — proves the Spark word-trie matcher, the
+    ruler-first merge and the extra HEUR_ENT entities all replay exactly."""
+    from wbkg.extract import build_pattern_rows
+    from wbkg.pipeline import run_pipeline
+    from wbkg.synth import (
+        build_entity_dict_rows,
+        build_unbis_rows,
+        entity_dict_df,
+        gen_documents_df,
+        gen_metadata_df,
+    )
+
+    n_docs = KG_N_DOCS
+    docs = gen_documents_df(spark, n_docs)
+    edict = entity_dict_df(spark, n_docs)
+    meta = gen_metadata_df(spark, n_docs)
+    pats = build_pattern_rows(build_entity_dict_rows(n_docs), build_unbis_rows())
+    edges = run_pipeline(
+        spark, docs, edict, pats, metadata_df=meta, cache=False, heuristic_ner=True
+    )["edges"]
+    return _edges_vs_oracle(spark, edges, n_docs, heuristic_ner=True)
+
+
+def _edges_vs_oracle(spark, edges, n_docs, heuristic_ner=False):
     from wbkg.oracle import oracle_pipeline
 
     exp = spark.createDataFrame(
-        list(oracle_pipeline(n_docs)), "subj string, pred string, obj string"
+        list(oracle_pipeline(n_docs, heuristic_ner=heuristic_ner)),
+        "subj string, pred string, obj string",
     )
     got = edges.select("subj", "pred", "obj")
     n_spark = got.agg(F.count("*").alias("n_spark"))
@@ -1143,7 +1234,21 @@ def q_kg_pipeline_salted_edges(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: CORRECTNESS_r03 recorded exactly the FIRST 50 of 56
+    # registered queries, so the entries that have never (or not recently)
+    # had a driver-side check come FIRST — new round-4 queries, then the six
+    # the r03 run cut off, then the r03-green set.
     return {
+        "percentile_filter": q_percentile_filter,
+        "scrub_pii": q_scrub_pii,
+        "media_features": q_media_features,
+        "media_png_decode": q_media_png_decode,
+        "media_frame_sample": q_media_frame_sample,
+        "sparql_order_desc": q_sparql_order_desc,
+        "sparql_not_exists": q_sparql_not_exists,
+        "kg_pipeline_edges": q_kg_pipeline_edges,
+        "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
+        "kg_pipeline_heur_edges": q_kg_pipeline_heur_edges,
         "a1_dedup_latest": q_a1_dedup_latest,
         "a5_cooccurrence": q_a5_cooccurrence,
         "a6_top_event_types": q_a6_top_event_types,
@@ -1194,12 +1299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
         "sample_mixture": q_sample_mixture,
-        "percentile_filter": q_percentile_filter,
-        "scrub_pii": q_scrub_pii,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frame_sample,
-        "kg_pipeline_edges": q_kg_pipeline_edges,
-        "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
     }
 
 
@@ -1687,6 +1786,20 @@ def oracle_sql() -> dict[str, str]:
                      'urn:c:Region'
               FROM nation)
         """,
+        "sparql_order_desc": """
+            SELECT 'n:' || s_nationkey AS n, count(*)::BIGINT AS suppliers
+            FROM supplier
+            GROUP BY s_nationkey
+            ORDER BY suppliers DESC, n ASC LIMIT 10
+        """,
+        "sparql_not_exists": """
+            SELECT 'n:' || n_nationkey AS n, 'r:' || n_regionkey AS r
+            FROM nation
+            WHERE NOT EXISTS (
+                SELECT 1 FROM supplier
+                WHERE s_suppkey < 8 AND s_nationkey = n_nationkey)
+            ORDER BY n
+        """,
         "sample_mixture": """
             WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),
             c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
@@ -1792,6 +1905,20 @@ def oracle_sql() -> dict[str, str]:
                    16::INTEGER AS dim, true AS unit_norm
             FROM generate_series(0, 29) d(g), generate_series(0, 1) m(g)
         """,
+        "media_png_decode": """
+            WITH px AS (
+                SELECT d.g AS d, x.g AS x, y.g AS y, (2*d.g) % 251 AS base
+                FROM generate_series(0, 29) d(g),
+                     generate_series(0, 63) x(g),
+                     generate_series(0, 47) y(g)
+            )
+            SELECT printf('M%05d_0', d) AS media_id,
+                   64::INTEGER AS width, 48::INTEGER AS height,
+                   round(avg((x + y + base) % 256), 4) AS mean_r,
+                   round(avg((2*x + base) % 256), 4) AS mean_g,
+                   round(avg((3*y + base) % 256), 4) AS mean_b
+            FROM px GROUP BY d
+        """,
         "media_frame_sample": """
             SELECT printf('M%05d_1', d.g) AS media_id,
                    printf('D%07d', d.g) AS doc_id,
@@ -1801,15 +1928,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pipeline_edges": _kg_expected_sql(),
         "kg_pipeline_salted_edges": _kg_expected_sql(),
+        "kg_pipeline_heur_edges": _kg_expected_sql(heuristic_ner=True),
     }
 
 
-def _kg_expected_sql() -> str:
+def _kg_expected_sql(heuristic_ner: bool = False) -> str:
     """The independent pure-Python oracle (wbkg/oracle.py — AC automaton +
     dict maps + union-find, no Spark) fixes the expected triple count for the
     deterministic KG_N_DOCS corpus; the Spark query must report
     n_spark == n_matched == that constant."""
     from wbkg.oracle import oracle_pipeline
 
-    n = len(oracle_pipeline(KG_N_DOCS))
+    n = len(oracle_pipeline(KG_N_DOCS, heuristic_ner=heuristic_ner))
     return f"SELECT {n}::BIGINT AS n_spark, {n}::BIGINT AS n_oracle, {n}::BIGINT AS n_matched"

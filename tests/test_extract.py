@@ -196,3 +196,77 @@ def test_token_index_matcher_equals_aho_corasick():
         assert AhoCorasick(pats).find(text) == TokenIndexMatcher(pats).find(text), (
             pats, text,
         )
+
+
+# --- heuristic NER (C5 narrowing, round 4) ---------------------------------
+
+def test_heuristic_ner_candidates_pure():
+    from wbkg.extract import heuristic_ner_candidates_py
+
+    texts = [
+        "The World Bank and the Ministry of Finance met in Nairobi. "
+        "Nairobi hosted the summit. Funding from Global Environment Facility "
+        "was approved; later Kenya ratified it and Kenya enacted Project "
+        "Green Growth 1.",
+    ]
+    cands = heuristic_ner_candidates_py(texts)
+    assert "Ministry of Finance" in cands
+    assert "Global Environment Facility" in cands
+    assert "Kenya" in cands  # 2 non-sentence-initial occurrences
+    assert "Project Green Growth 1" in cands  # trailing ordinal included
+    assert "Nairobi" not in cands  # only 1 non-sentence-initial occurrence
+    assert heuristic_ner_candidates_py([""]) == []
+    assert heuristic_ner_candidates_py(["no capitals here at all"]) == []
+    # determinism: same input -> same ordered output
+    assert heuristic_ner_candidates_py(texts) == cands
+
+
+def test_heuristic_ner_rediscovers_withheld_dictionary():
+    """P/R narrowing measurement (VERDICT r03 #5): with the dictionary
+    WITHHELD, the capitalized-n-gram emitter must rediscover >= 95% of the
+    cased multi-word dictionary labels that literally occur in the synthetic
+    corpus — the slice a statistical NER would be expected to catch."""
+    from wbkg.extract import heuristic_ner_candidates_py
+    from wbkg.synth import build_entity_dict_rows, gen_doc
+
+    import re as _re
+
+    labels = {
+        r["label"]
+        for r in build_entity_dict_rows(40)
+        if " " in r["label"] and _re.match(r"[A-Z][a-z]", r["label"])
+    }
+    found = total = 0
+    for i in range(40):
+        d = gen_doc(i, 40, 42)
+        text = "\n".join(s["text"] for s in d["spans"])
+        gold = {l for l in labels if l in text}
+        cands = set(heuristic_ner_candidates_py([s["text"] for s in d["spans"]]))
+        total += len(gold)
+        # a gold phrase subsumed by a longer emitted phrase ('United States'
+        # inside 'United States of America') counts: leftmost-longest
+        # matching covers that span
+        found += sum(1 for g in gold if g in cands or any(g in c for c in cands))
+    assert total > 0
+    recall = found / total
+    assert recall >= 0.95, f"heuristic NER recall {recall:.3f} on {total} gold"
+
+
+def test_match_chunk_ruler_first_merge():
+    """Dictionary spans beat overlapping heuristic spans; heuristic fills
+    the gaps only (ref src/pipeline.py:63-66 entity_ruler before ner)."""
+    from wbkg.extract import HEUR_LABEL, TokenIndexMatcher, _match_chunk
+
+    static = TokenIndexMatcher([("world bank", "DICT_ORG", "Q1")])
+    heur = TokenIndexMatcher(
+        [("World Bank Group", HEUR_LABEL, "world bank group"),
+         ("Nairobi Office", HEUR_LABEL, "nairobi office")]
+    )
+    out = _match_chunk(
+        "the World Bank Group opened the Nairobi Office.", static, None, heur
+    )
+    labels = {(m[4], m[2]) for m in out}
+    # 'world bank' (ruler) wins its overlap with 'world bank group'
+    assert ("world bank", "DICT_ORG") in labels
+    assert all(l != HEUR_LABEL or s == "nairobi office" for s, l in labels)
+    assert ("nairobi office", HEUR_LABEL) in labels

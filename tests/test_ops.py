@@ -529,3 +529,62 @@ def test_percentile_filter_keep_all_boundary(spark):
     )
     assert percentile_filter(df, "score", keep_frac=1.0).count() == 30
     assert percentile_filter(df, "score", keep_frac=1.0, exact=False).count() == 30
+
+
+def test_png_codec_pure():
+    """Pure-stdlib PNG codec: roundtrip across ALL five scanline filter
+    types (the encoder cycles y % 5), random + closed-form pixels; loud
+    errors on junk."""
+    import numpy as np
+
+    from wbkg.ops.multimodal import decode_png, encode_png, gen_png_pixels
+
+    rng = np.random.default_rng(11)
+    for shape in [(5, 4), (48, 64), (7, 1)]:
+        px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+    px = gen_png_pixels(3, 0)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_decode_stats_real_pixels(spark):
+    """png_decode_stats decodes REAL PNGs: dims from IHDR, means from the
+    reconstructed pixels — verified against the closed-form formula."""
+    import numpy as np
+
+    from wbkg.ops.multimodal import gen_media_df, gen_png_pixels, png_decode_stats
+
+    media = gen_media_df(spark, docs=4)
+    rows = {r.media_id: r for r in png_decode_stats(media).collect()}
+    assert len(rows) == 4  # one image per doc (m=0)
+    for d in range(4):
+        r = rows[f"M{d:05d}_0"]
+        px = gen_png_pixels(d, 0).astype(float)
+        assert (r.width, r.height) == (64, 48)
+        assert abs(r.mean_r - round(px[:, :, 0].mean(), 4)) < 1e-9
+        assert abs(r.mean_b - round(px[:, :, 2].mean(), 4)) < 1e-9
+
+
+def test_extract_features_png_real_decode(spark):
+    """image features come from the decoded luminance histogram (real
+    pixels), not the hash stub: recomputing from gen_png_pixels matches."""
+    import numpy as np
+
+    from wbkg.ops.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        gen_media_df,
+        gen_png_pixels,
+    )
+
+    media = gen_media_df(spark, docs=3)
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    px = gen_png_pixels(1, 0).astype(np.float64)
+    lum = px.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0.0, 256.0))
+    v = hist.astype(np.float64)
+    v = v / np.linalg.norm(v)
+    got = np.array(feats["M00001_0"], dtype=np.float64)
+    assert np.allclose(got, v, atol=1e-6)

@@ -328,3 +328,45 @@ def test_underscore_m_variable_survives(graph):
         'SELECT ?_m0 WHERE { ?_m0 <p:in> <n:1> . <e:a> <p:knows> <e:a> . }',
     )
     assert sorted(r._m0 for r in out.collect()) == ["e:a", "e:b"]
+
+
+def test_order_by_desc(graph):
+    out = sparql_select(
+        graph,
+        'SELECT ?n (COUNT(*) AS ?c) WHERE { ?e <p:in> ?n . } '
+        'GROUP BY ?n ORDER BY DESC(?c) ?n',
+    ).collect()
+    assert [(r.n, r.c) for r in out] == [("n:1", 2), ("n:2", 1)]
+    # mixed directions: DESC primary, ascending tie-break
+    out2 = sparql_select(
+        graph, "SELECT ?e ?n WHERE { ?e <p:in> ?n . } ORDER BY DESC(?n) ?e"
+    ).collect()
+    assert [(r.e, r.n) for r in out2] == [
+        ("e:c", "n:2"), ("e:a", "n:1"), ("e:b", "n:1")
+    ]
+
+
+def test_filter_not_exists(graph):
+    # entities in a nation where NO one knows them: e:a knows e:a and e:b
+    out = sparql_select(
+        graph,
+        "SELECT ?e WHERE { ?e <p:in> ?n . "
+        "FILTER NOT EXISTS { ?who <p:knows> ?e . } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out] == ["e:c"]
+    # EXISTS keeps only known entities; multiplicity preserved (semi join)
+    out2 = sparql_select(
+        graph,
+        "SELECT ?e WHERE { ?e <p:in> ?n . "
+        "FILTER EXISTS { ?who <p:knows> ?e . } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out2] == ["e:a", "e:b"]
+
+
+def test_not_exists_no_shared_var_errors(graph):
+    with pytest.raises(SparqlError):
+        sparql_select(
+            graph,
+            "SELECT ?e WHERE { ?e <p:in> ?n . "
+            "FILTER NOT EXISTS { ?x <p:name> ?y . } }",
+        )

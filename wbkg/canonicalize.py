@@ -67,17 +67,26 @@ def connected_components(
         )
 
     # two propagation rounds per materialization/convergence check — halves
-    # the number of jobs (min-label needs diameter rounds; checks are jobs)
+    # the number of jobs (min-label needs diameter rounds; checks are jobs).
+    # The convergence check itself is an OBSERVED metric (accumulator
+    # collected during the checkpoint materialization, VERDICT r03 #7) —
+    # no separate per-iteration count job at all.
+    from pyspark.sql import Observation
+
     changed = 0
-    for _ in range(max(1, max_iter // 2)):
-        new_labels = step(step(labels)).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "member")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+    for it in range(max(1, max_iter // 2)):
+        obs = Observation(f"cc_changed_{it}")
+        flagged = (
+            step(step(labels))
+            .join(labels.withColumnRenamed("component", "_old"), "member")
+            .withColumn("_chg", (F.col("component") != F.col("_old")).cast("long"))
         )
+        new_labels = (
+            flagged.observe(obs, F.sum("_chg").alias("changed"))
+            .select("member", "component")
+            .localCheckpoint()
+        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break

@@ -86,17 +86,25 @@ def label_propagation(
             .filter("_rn = 1")
             .select("node", F.col("label").alias("new_label"))
         )
-        new_labels = (
-            labels.join(candidate, "node", "left")
-            .select("node", F.least(F.col("label"), F.coalesce("new_label", "label")).alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        # labels only decrease, so changed == "new label strictly smaller";
+        # the count rides the checkpoint materialization as an OBSERVED
+        # metric (accumulator) — no separate per-iteration count job
+        # (VERDICT r03 #7)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"lp_changed_{it}")
+        new_col = F.least(F.col("label"), F.coalesce("new_label", "label"))
+        flagged = labels.join(candidate, "node", "left").select(
+            "node",
+            new_col.alias("_new"),
+            (new_col < F.col("label")).cast("long").alias("_chg"),
         )
+        new_labels = (
+            flagged.observe(obs, F.sum("_chg").alias("changed"))
+            .select("node", F.col("_new").alias("label"))
+            .localCheckpoint()
+        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break

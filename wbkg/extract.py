@@ -532,10 +532,15 @@ def _detect_doc_acronyms(chunks: List[dict]) -> Dict[str, Tuple[str, str]]:
     return {abbr: (exp, src) for abbr, (prio, exp, src) in found.items()}
 
 
-def _match_chunk(text: str, static_ac, doc_ac) -> List[tuple]:
+def _match_chunk(text: str, static_ac, doc_ac, heur_ac=None) -> List[tuple]:
     """Merged leftmost-longest matches from the static + per-doc automata,
     returning (begin, end, label, rule_id, surface) on the normalized text.
-    The chunk is normalized and tokenized ONCE, shared by both matchers."""
+    The chunk is normalized and tokenized ONCE, shared by all matchers.
+
+    heur_ac (the C5 heuristic-NER candidates) is LOWER priority: like the
+    reference's entity_ruler-before-ner ordering (src/pipeline.py:63-66),
+    dictionary/acronym spans win every overlap and heuristic matches only
+    fill the remaining gaps."""
     norm_text = normalize_surface(text)
     tokens = _tokenize(norm_text)
     matches = list(static_ac.find_normalized(norm_text, tokens))
@@ -547,7 +552,101 @@ def _match_chunk(text: str, static_ac, doc_ac) -> List[tuple]:
         if m[0] >= last_end:
             sel.append(m)
             last_end = m[1]
+    if heur_ac is not None:
+        ruled = [(m[0], m[1]) for m in sel]
+        extra = sorted(
+            heur_ac.find_normalized(norm_text, tokens),
+            key=lambda m: (m[0], -(m[1] - m[0])),
+        )
+        for m in extra:
+            if all(m[1] <= b or m[0] >= e for b, e in ruled):
+                sel.append(m)
+                ruled.append((m[0], m[1]))
+        sel.sort(key=lambda m: m[0])
     return [(b, e, label, rid, norm_text[b:e]) for b, e, label, rid in sel]
+
+
+HEUR_LABEL = "HEUR_ENT"
+_HEUR_CONNECTIVES = frozenset({"of", "the", "and", "for", "de", "du", "des", "la"})
+_HEUR_CAP_RE = re.compile(r"^[A-Z][a-z][A-Za-z\-]*$")
+_HEUR_STRIP = "()[]{}\"'`.,;:!?"
+
+
+def heuristic_ner_candidates_py(
+    chunk_texts: List[str],
+    min_single_freq: int = 2,
+    max_candidates: int = 128,
+) -> List[str]:
+    """C5 statistical-NER surrogate, narrowed (VERDICT r03 #5): a
+    deterministic capitalized-n-gram candidate emitter over the ORIGINAL-
+    cased text of one document. Emits:
+
+    - maximal runs of >= 2 capitalized words (lowercase connectives like
+      'of'/'the' allowed BETWEEN capitalized words: 'Ministry of Finance');
+    - single capitalized words (len >= 4, not sentence-initial) that occur
+      at least `min_single_freq` times in the document — the gazetteer-
+      frequency condition that keeps single-token precision usable.
+
+    Candidates are returned in first-discovery order (deterministic),
+    capped at max_candidates. They become LOW-priority patterns merged
+    ruler-first (ref src/pipeline.py:57-81: entity_ruler before ner), so
+    dictionary entities always win overlapping spans."""
+    multi: List[str] = []
+    multi_seen = set()
+    singles: dict = {}
+    single_order: List[str] = []
+    for text in chunk_texts:
+        raw = text.split()
+        words = [w.strip(_HEUR_STRIP) for w in raw]
+        sent_initial = [True] + [
+            raw[i - 1].rstrip(")\"']").endswith((".", "!", "?", ":", ";"))
+            for i in range(1, len(raw))
+        ]
+        i, n = 0, len(words)
+        while i < n:
+            if _HEUR_CAP_RE.match(words[i]):
+                # grow a run: caps, with connectives allowed between caps
+                j, parts, caps = i, [words[i]], 1
+                while j + 1 < n:
+                    nxt = words[j + 1]
+                    if _HEUR_CAP_RE.match(nxt) and not raw[j].rstrip(")\"']").endswith(
+                        (".", "!", "?")
+                    ):
+                        parts.append(nxt)
+                        caps += 1
+                        j += 1
+                    elif (
+                        nxt in _HEUR_CONNECTIVES
+                        and j + 2 < n
+                        and _HEUR_CAP_RE.match(words[j + 2])
+                    ):
+                        parts.extend([nxt, words[j + 2]])
+                        caps += 1
+                        j += 2
+                    elif caps >= 2 and nxt.isdigit() and not raw[j].rstrip(
+                        ")\"']"
+                    ).endswith((".", "!", "?")):
+                        # trailing ordinal ('Project Inclusive Growth 1')
+                        parts.append(nxt)
+                        j += 1
+                        break
+                    else:
+                        break
+                if caps >= 2:
+                    phrase = " ".join(parts)
+                    if phrase not in multi_seen:
+                        multi_seen.add(phrase)
+                        multi.append(phrase)
+                elif len(words[i]) >= 4 and not sent_initial[i]:
+                    w = words[i]
+                    if w not in singles:
+                        single_order.append(w)
+                    singles[w] = singles.get(w, 0) + 1
+                i = j + 1
+            else:
+                i += 1
+    out = multi + [w for w in single_order if singles[w] >= min_single_freq]
+    return out[:max_candidates]
 
 
 FUSED_SCHEMA = (
@@ -564,6 +663,7 @@ def chunk_and_extract(
     pattern_rows: List[Tuple[str, str, str]],
     chunk_size: int | None = None,
     chunk_overlap: int | None = None,
+    heuristic_ner: bool = False,
 ) -> DataFrame:
     """Fused stage 1+2: spans -> chunks + per-doc acronyms + per-chunk
     mentions in ONE mapInPandas pass — zero shuffles until the linking join.
@@ -599,6 +699,13 @@ def chunk_and_extract(
                     if exp:
                         doc_pats.append((exp, "ACRONYM_EXPANDED", exp))
                 doc_ac = TokenIndexMatcher(doc_pats) if doc_pats else None
+                heur_ac = None
+                if heuristic_ner:
+                    cands = heuristic_ner_candidates_py([c["text"] for c in chunks])
+                    if cands:
+                        heur_ac = TokenIndexMatcher(
+                            [(s, HEUR_LABEL, normalize_surface(s)) for s in cands]
+                        )
                 n = len(chunks)
                 acro_list = [
                     {"abbr": a, "expansion": e, "source": s} for a, (e, s) in acros.items()
@@ -614,7 +721,9 @@ def chunk_and_extract(
                             "begin": b,
                             "end": e,
                         }
-                        for b, e, label, rid, surf in _match_chunk(c["text"], static_ac, doc_ac)
+                        for b, e, label, rid, surf in _match_chunk(
+                            c["text"], static_ac, doc_ac, heur_ac
+                        )
                     ]
                     rows.append(
                         {

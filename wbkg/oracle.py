@@ -70,6 +70,7 @@ def oracle_pipeline(
     seed: int = SEED,
     with_metadata: bool = True,
     with_country_props: bool = False,
+    heuristic_ner: bool = False,
 ) -> Set[Triple]:
     entity_rows = build_entity_dict_rows(n_docs)
     unbis_rows = build_unbis_rows()
@@ -117,6 +118,19 @@ def oracle_pipeline(
                 doc_pats.append((exp, "ACRONYM_EXPANDED", exp))
         doc_ac = AhoCorasick(doc_pats) if doc_pats else None
 
+        heur_ac = None
+        if heuristic_ner:
+            # same candidate emitter as the Spark UDF (per-document
+            # semantics are shared by design, docstring above); the MATCHER
+            # stays the independent char-level AC
+            from wbkg.extract import HEUR_LABEL, heuristic_ner_candidates_py
+
+            cands = heuristic_ner_candidates_py([c["text"] for c in chunks])
+            if cands:
+                heur_ac = AhoCorasick(
+                    [(s, HEUR_LABEL, normalize_surface(s)) for s in cands]
+                )
+
         doc_mentions = []
         for c in chunks:
             norm_text = normalize_surface(c["text"])
@@ -129,6 +143,18 @@ def oracle_pipeline(
                 if m[0] >= last_end:
                     sel.append(m)
                     last_end = m[1]
+            if heur_ac is not None:
+                # ruler-first merge: heuristic matches only fill gaps the
+                # dictionary/acronym spans left open (ref pipeline.py:63-66)
+                ruled = [(m[0], m[1]) for m in sel]
+                extra = sorted(
+                    heur_ac.find(c["text"]), key=lambda m: (m[0], -(m[1] - m[0]))
+                )
+                for m in extra:
+                    if all(m[1] <= b or m[0] >= e for b, e in ruled):
+                        sel.append(m)
+                        ruled.append((m[0], m[1]))
+                sel.sort(key=lambda m: m[0])
             for b, e, label, rule_id in sel:
                 if label in EXCLUDED_ENTS:
                     continue

@@ -34,6 +34,7 @@ def run_pipeline(
     cache: bool = True,
     persist_edges: bool = True,
     country_props_df: Optional[DataFrame] = None,
+    heuristic_ner: bool = False,
 ) -> Dict[str, DataFrame]:
     # fused stage 1+2: one mapInPandas pass produces chunks, per-doc
     # acronyms and per-chunk mentions with zero shuffles (see
@@ -46,7 +47,7 @@ def run_pipeline(
         mentions_from_fused,
     )
 
-    fused = chunk_and_extract(docs_df, pattern_rows)
+    fused = chunk_and_extract(docs_df, pattern_rows, heuristic_ner=heuristic_ner)
     if cache:
         fused = fused.persist()
     chunks = chunks_from_fused(fused)

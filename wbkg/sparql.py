@@ -20,8 +20,9 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
     WHERE { { ... } UNION { ... } }         # top-level alternation
     WHERE { ... VALUES ?v { "a" <iri:b> } }  # inline bindings
     ASK [WHERE] { ... }                      # sparql_ask -> bool
+    WHERE { ... FILTER [NOT] EXISTS { ... } }  # semi/anti join gate
     GROUP BY ?a [?b ...]
-    ORDER BY ?a [?b ...]                    # ascending, for determinism
+    ORDER BY ?a [ASC(?b)|DESC(?b) ...]
     LIMIT n
 
 Terms: ?var, <iri>, pfx:local, "literal". OPTIONAL groups compile to left
@@ -290,6 +291,20 @@ def _parse_group(text: str, prefixes: dict[str, str]):
         return " "
 
     required = re.sub(r"(?is)VALUES\s+\?([\w]+)\s*\{([^{}]*)\}", _lift_values, required)
+
+    exists_groups = []  # (negated, patterns)
+
+    def _lift_exists(mo):
+        negated = bool(mo.group(1))
+        inner = _parse_patterns(mo.group(2), prefixes)
+        if not inner:
+            raise SparqlError("empty EXISTS block")
+        exists_groups.append((negated, inner))
+        return " "
+
+    required = re.sub(
+        r"(?is)FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", _lift_exists, required
+    )
     if re.search(r"[{}]", required):
         raise SparqlError("unbalanced braces / nested groups not supported")
     required, filters = _extract_filters(required)
@@ -298,7 +313,7 @@ def _parse_group(text: str, prefixes: dict[str, str]):
         raise SparqlError("empty WHERE block")
     if any(not opt for opt in optionals):
         raise SparqlError("empty OPTIONAL block")
-    return patterns, optionals, filters, values
+    return patterns, optionals, filters, values, exists_groups
 
 
 def _split_union(where: str):
@@ -349,10 +364,11 @@ def _split_union(where: str):
 def parse_sparql(query: str):
     """-> (select_vars | None for *, distinct, groups, prefixes,
     aggregates, group_vars, order_vars, limit). groups: one
-    (patterns, optionals, filters) triple per UNION branch (a plain WHERE
-    body is one group); patterns: (subj, pred, obj) _Term triples; filters:
-    raw FILTER expression strings (compiled against the bound variables in
-    sparql_select)."""
+    (patterns, optionals, filters, values, exists_groups) tuple per UNION
+    branch (a plain WHERE body is one group); patterns: (subj, pred, obj)
+    _Term triples; filters: raw FILTER expression strings (compiled against
+    the bound variables in sparql_select); exists_groups: (negated,
+    patterns) for FILTER [NOT] EXISTS; order_vars: (var, ascending)."""
     prefixes: dict[str, str] = {}
     for pfx, iri in re.findall(r"(?i)PREFIX\s+([A-Za-z_][\w-]*):\s*<([^>]*)>", query):
         prefixes[pfx] = iri
@@ -361,7 +377,8 @@ def parse_sparql(query: str):
     m = re.search(
         r"(?is)SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*"
         r"(?:GROUP\s+BY\s+((?:\?[\w]+\s*)+))?\s*"
-        r"(?:ORDER\s+BY\s+((?:\?[\w]+\s*)+))?\s*(?:LIMIT\s+(\d+))?\s*$",
+        r"(?:ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?[\w]+\s*\)\s*|\?[\w]+\s*)+))?"
+        r"\s*(?:LIMIT\s+(\d+))?\s*$",
         body.strip(),
     )
     if not m:
@@ -408,7 +425,13 @@ def parse_sparql(query: str):
     branch_texts = _split_union(where)
     groups = [_parse_group(t, prefixes) for t in (branch_texts or [where])]
 
-    order_vars = [v[1:] for v in re.findall(r"\?[\w]+", order_raw or "")]
+    # ORDER BY items: ?v (ascending), ASC(?v), DESC(?v) -> (var, ascending)
+    order_vars = [
+        (am.group(2) or am.group(3), (am.group(1) or "ASC").upper() != "DESC")
+        for am in re.finditer(
+            r"(?is)(?:(ASC|DESC)\s*\(\s*\?([\w]+)\s*\))|\?([\w]+)", order_raw or ""
+        )
+    ]
     return (
         select_vars,
         distinct,
@@ -472,7 +495,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         limit,
     ) = parse_sparql(query)
 
-    def compile_group(gidx, patterns, optionals, filters, values):
+    def compile_group(gidx, patterns, optionals, filters, values, exists_groups):
         plan, bound = _compile_bgp(edges, patterns, f"u{gidx}r")
         for gi, opt_patterns in enumerate(optionals):
             opt_plan, opt_bound = _compile_bgp(edges, opt_patterns, f"u{gidx}o{gi}")
@@ -481,6 +504,21 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                 raise SparqlError("OPTIONAL group shares no variable with the required patterns")
             plan = plan.join(opt_plan, keys, "left")
             bound |= opt_bound
+        for gi, (negated, ex_patterns) in enumerate(exists_groups):
+            # FILTER [NOT] EXISTS { ... } = semi/anti join on the shared
+            # variables (rdflib/SPARQL 1.1 semantics: keep a binding iff
+            # the inner group does/doesn't match under it). Semi/anti joins
+            # never multiply rows, and Spark broadcasts the inner side when
+            # it's small — the plan you'd want for a selective gate at scale.
+            ex_plan, ex_bound = _compile_bgp(edges, ex_patterns, f"u{gidx}e{gi}")
+            keys = sorted(bound & ex_bound)
+            if not keys:
+                raise SparqlError(
+                    "FILTER EXISTS group shares no variable with the outer patterns"
+                )
+            plan = plan.join(
+                ex_plan.select(*keys), keys, "left_anti" if negated else "left_semi"
+            )
         for var, consts in values:
             # inline bindings restrict an already-bound variable; isin is an
             # In predicate Catalyst pushes into the scans
@@ -513,8 +551,8 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         # COUNT-per-group wants
         if select_vars is None:
             raise SparqlError("SELECT * cannot be combined with GROUP BY / aggregates")
-        missing = [v for v in group_vars + order_vars if v not in bound and v not in
-                   [a[3] for a in aggregates]]
+        missing = [v for v in group_vars + [ov for ov, _a in order_vars]
+                   if v not in bound and v not in [a[3] for a in aggregates]]
         missing += [t for _f, _d, t, _a in aggregates if t is not None and t not in bound]
         if missing:
             raise SparqlError(f"unbound variable(s) in GROUP BY/ORDER BY/aggregate: {missing}")
@@ -541,24 +579,33 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         if distinct:
             out = out.distinct()
         if order_vars:
-            out = out.orderBy(*order_vars)
+            out = out.orderBy(*_order_cols(order_vars))
         if limit is not None:
             out = out.limit(limit)
         return out
 
     if select_vars is None:
         select_vars = sorted(bound)
-    missing = [v for v in select_vars + order_vars if v not in bound]
+    missing = [v for v in select_vars + [ov for ov, _a in order_vars] if v not in bound]
     if missing:
         raise SparqlError(f"unbound variable(s) in SELECT/ORDER BY: {missing}")
     out = plan.select(*select_vars)
     if distinct:
         out = out.distinct()
     if order_vars:
-        out = out.orderBy(*order_vars)
+        out = out.orderBy(*_order_cols(order_vars))
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def _order_cols(order_vars):
+    """[(var, ascending)] -> orderBy columns (nulls first either way, like
+    rdflib: unbound sorts lowest ascending — Spark's asc() default — and we
+    pin desc() to nulls_last for the mirror image)."""
+    return [
+        F.col(v).asc() if asc else F.col(v).desc_nulls_last() for v, asc in order_vars
+    ]
 
 
 def sparql_construct(edges: DataFrame, query: str) -> DataFrame:
