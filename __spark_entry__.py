@@ -628,6 +628,111 @@ def q_sparql_not_exists(spark, sf_dir):
     )
 
 
+def q_sparql_sum_avg(spark, sf_dir):
+    """SUM/AVG aggregates over numeric-literal objects (integer-valued so
+    the double sum is exact and order-independent); oracle is the relational
+    GROUP BY with the same casts."""
+    from wbkg.sparql import sparql_select
+
+    c = _read(spark, sf_dir, "customer")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("urn:p:in_nation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    ).unionByName(
+        c.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("urn:p:key").alias("pred"),
+            F.col("c_custkey").cast("string").alias("obj"),
+        )
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n (SUM(?k) AS ?sum_k) (AVG(?k) AS ?avg_k) WHERE {
+            ?c <urn:p:in_nation> ?n .
+            ?c <urn:p:key> ?k .
+        } GROUP BY ?n ORDER BY ?n
+        """,
+    )
+
+
+def q_sparql_filter_strfns(spark, sf_dir):
+    """CONTAINS / STRSTARTS / STRENDS filter functions over a BGP, composed
+    with boolean operators; oracle uses the DuckDB string predicates."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:name").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?nm WHERE {
+            ?n <urn:p:name> ?nm .
+            FILTER(STRSTARTS(?nm, "A") || (CONTAINS(?nm, "AN") && !STRENDS(?nm, "A")))
+        } ORDER BY ?n
+        """,
+    )
+
+
+def q_sparql_path_seq(spark, sf_dir):
+    """Property-path sequence <p1>/<p2>: customer -> nation -> region in one
+    pattern; each step is a constant-predicate scan chained by equi-join.
+    Oracle is the two-hop relational join."""
+    from wbkg.sparql import sparql_select
+
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("urn:p:in_nation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit("urn:p:in_region").alias("pred"),
+            F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?c ?r WHERE { ?c <urn:p:in_nation>/<urn:p:in_region> ?r . }
+        ORDER BY ?c LIMIT 500
+        """,
+    )
+
+
+def q_sparql_path_plus(spark, sf_dir):
+    """Transitive closure <p>+ over the per-region nation chain (the same
+    graph the distributed-CC bench uses): semi-naive iteration with
+    localCheckpoint lineage cuts. The chain is ordered by nationkey within
+    region, so the oracle states the closure non-recursively as all ordered
+    same-region pairs."""
+    from pyspark.sql import Window
+
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = (
+        n.withColumn("nxt", F.lead("n_nationkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit("urn:p:next").alias("pred"),
+            F.concat(F.lit("n:"), F.col("nxt").cast("string")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        chain, "SELECT ?a ?b WHERE { ?a <urn:p:next>+ ?b . } ORDER BY ?a ?b"
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -971,14 +1076,17 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
-    """Token counting: whitespace + punctuation-aware subword proxy."""
-    from wbkg.ops.textops import subword_count, token_count
+    """Token counting: whitespace, punctuation-aware subword proxy, and the
+    GPT-2 pre-tokenizer piece count (the tight SQL-replayable proxy for a
+    real BPE count — merges only split within pieces)."""
+    from wbkg.ops.textops import gpt2_piece_count, subword_count, token_count
 
     d = _read(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         subword_count(F.col("text")).alias("n_subwords"),
+        gpt2_piece_count(F.col("text")).alias("n_gpt2_pieces"),
     )
 
 
@@ -1246,6 +1354,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
         "sparql_not_exists": q_sparql_not_exists,
+        "sparql_sum_avg": q_sparql_sum_avg,
+        "sparql_filter_strfns": q_sparql_filter_strfns,
+        "sparql_path_seq": q_sparql_path_seq,
+        "sparql_path_plus": q_sparql_path_plus,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
         "kg_pipeline_heur_edges": q_kg_pipeline_heur_edges,
@@ -1677,7 +1789,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-                   len(string_split_regex(trim(text), '[\s.,;:!?()]+')) AS n_subwords
+                   len(string_split_regex(trim(text), '[\s.,;:!?()]+')) AS n_subwords,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+                   )) AS n_gpt2_pieces
             FROM documents
         """,
         "gopher_quality": rf"""
@@ -1799,6 +1914,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM supplier
                 WHERE s_suppkey < 8 AND s_nationkey = n_nationkey)
             ORDER BY n
+        """,
+        "sparql_sum_avg": """
+            SELECT 'n:' || c_nationkey AS n,
+                   SUM(c_custkey)::DOUBLE AS sum_k,
+                   AVG(c_custkey)::DOUBLE AS avg_k
+            FROM customer GROUP BY c_nationkey ORDER BY n
+        """,
+        "sparql_filter_strfns": """
+            SELECT 'n:' || n_nationkey AS n, n_name AS nm
+            FROM nation
+            WHERE starts_with(n_name, 'A')
+               OR (contains(n_name, 'AN') AND NOT ends_with(n_name, 'A'))
+            ORDER BY n
+        """,
+        "sparql_path_seq": """
+            SELECT 'c:' || c_custkey AS c, 'r:' || n_regionkey AS r
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY c LIMIT 500
+        """,
+        "sparql_path_plus": """
+            SELECT 'n:' || a.n_nationkey AS a, 'n:' || b.n_nationkey AS b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+             AND b.n_nationkey > a.n_nationkey
+            ORDER BY a, b
         """,
         "sample_mixture": """
             WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),

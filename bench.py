@@ -440,10 +440,17 @@ def scaling(n_docs: int = 6000, n_low: int = 2, n_high: int = 8, weight: int = 8
             master=f"local[{n_exec}]",
             shuffle_partitions=n_exec * 2,
         )
-        run_kg_pipeline(spark, n_docs, path)  # warm-up (JIT, python workers)
+        # TWO unmeasured warm-ups + best-of-3, same protocol as headline():
+        # C2-compilation storms recur through ~run 4 of a fresh JVM, and at
+        # local[8] a run is short enough that a storm lands INSIDE the old
+        # measured window, deflating the high-parallelism side of the ratio
+        # (measured 0.786 vs 0.95+ for the identical build)
+        run_kg_pipeline(spark, n_docs, path)
+        run_kg_pipeline(spark, n_docs, path)
         best = None
-        for _ in range(2):
+        for _ in range(3):
             r = run_kg_pipeline(spark, n_docs, path)
+            log(f"[scaling] local[{n_exec}] measured run: {r['seconds']:.1f}s")
             if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
                 best = r
         results[n_exec] = best

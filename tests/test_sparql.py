@@ -190,10 +190,12 @@ def test_filter_errors(graph):
         sparql_select(graph, 'SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(?zz = "x") }')
     with pytest.raises(SparqlError, match="unbalanced"):
         parse_sparql('SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(?nm = "x" }')
-    with pytest.raises(SparqlError, match="FILTER inside OPTIONAL"):
-        parse_sparql(
-            'SELECT ?e WHERE { ?e <p:in> ?n . OPTIONAL { ?e <p:knows> ?k . FILTER(?k = "x") } }'
-        )
+    # FILTER inside OPTIONAL is legal since round 4 (scoped to the group)
+    _sv, _d, groups, *_rest = parse_sparql(
+        'SELECT ?e WHERE { ?e <p:in> ?n . OPTIONAL { ?e <p:knows> ?k . FILTER(?k = "x") } }'
+    )
+    (opt_pats, opt_filters), = groups[0][1]
+    assert len(opt_pats) == 1 and opt_filters == ['?k = "x"']
 
 
 def test_group_by_count(graph):
@@ -369,4 +371,103 @@ def test_not_exists_no_shared_var_errors(graph):
             graph,
             "SELECT ?e WHERE { ?e <p:in> ?n . "
             "FILTER NOT EXISTS { ?x <p:name> ?y . } }",
+        )
+
+
+def test_sum_avg_aggregates(graph):
+    nums = graph.sparkSession.createDataFrame(
+        [("e:a", "p:score", "10"), ("e:b", "p:score", "20"), ("e:c", "p:score", "30"),
+         ("e:a", "p:in", "n:1"), ("e:b", "p:in", "n:1"), ("e:c", "p:in", "n:2")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_select(
+        nums,
+        "SELECT ?n (SUM(?s) AS ?total) (AVG(?s) AS ?mean) WHERE { "
+        "?e <p:score> ?s . ?e <p:in> ?n . } GROUP BY ?n ORDER BY ?n",
+    ).collect()
+    assert [(r.n, r.total, r.mean) for r in out] == [("n:1", 30.0, 15.0), ("n:2", 30.0, 30.0)]
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT (SUM(*) AS ?x) WHERE { ?a <p> ?b . }")
+
+
+def test_string_filter_functions(graph):
+    out = sparql_select(
+        graph,
+        'SELECT ?n ?nm WHERE { ?n <p:name> ?nm . FILTER(STRSTARTS(?nm, "a")) }',
+    ).collect()
+    assert [(r.n, r.nm) for r in out] == [("n:1", "alpha")]
+    out2 = sparql_select(
+        graph,
+        'SELECT ?nm WHERE { ?n <p:name> ?nm . '
+        'FILTER(CONTAINS(?nm, "et") && !STRENDS(?nm, "x")) }',
+    ).collect()
+    assert [r.nm for r in out2] == ["beta"]
+
+
+def test_property_path_sequence_and_inverse(graph):
+    out = sparql_select(
+        graph, "SELECT ?e ?nm WHERE { ?e <p:in>/<p:name> ?nm . } ORDER BY ?e"
+    ).collect()
+    assert [(r.e, r.nm) for r in out] == [
+        ("e:a", "alpha"), ("e:b", "alpha"), ("e:c", "beta")
+    ]
+    inv = sparql_select(
+        graph, "SELECT ?n ?e WHERE { ?n ^<p:in> ?e . } ORDER BY ?n ?e"
+    ).collect()
+    assert [(r.n, r.e) for r in inv] == [
+        ("n:1", "e:a"), ("n:1", "e:b"), ("n:2", "e:c")
+    ]
+
+
+def test_property_path_plus_closure(spark):
+    chain = spark.createDataFrame(
+        [("x1", "p:next", "x2"), ("x2", "p:next", "x3"), ("x3", "p:next", "x4"),
+         ("y1", "p:next", "y2"), ("x1", "p:other", "z9")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_select(
+        chain, "SELECT ?a ?b WHERE { ?a <p:next>+ ?b . } ORDER BY ?a ?b"
+    ).collect()
+    assert [(r.a, r.b) for r in out] == [
+        ("x1", "x2"), ("x1", "x3"), ("x1", "x4"),
+        ("x2", "x3"), ("x2", "x4"), ("x3", "x4"), ("y1", "y2"),
+    ]
+    # combined: closure then sequence step
+    out2 = sparql_select(
+        chain, "SELECT ?b WHERE { <x1> <p:next>+/<p:next> ?b . } ORDER BY ?b"
+    ).collect()
+    assert [r.b for r in out2] == ["x3", "x4"]
+
+
+def test_property_path_errors(graph):
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x ?p/<u:b> ?y . }")
+    with pytest.raises(SparqlError):
+        parse_sparql("SELECT ?x WHERE { ?x <u:a>/ ?y . }")
+    from wbkg.sparql import sparql_construct
+    with pytest.raises(SparqlError):
+        sparql_construct(
+            graph,
+            "CONSTRUCT { ?x <u:a>+ ?y . } WHERE { ?x <p:in> ?y . }",
+        )
+
+
+def test_filter_inside_optional(graph):
+    """FILTER scoped to the OPTIONAL group: failing filter nulls the
+    optional columns, never drops the outer row (SPARQL 1.1 leftjoin)."""
+    out = sparql_select(
+        graph,
+        'SELECT ?n ?nm WHERE { ?e <p:in> ?n . '
+        'OPTIONAL { ?n <p:name> ?nm . FILTER(?nm != "beta") } } ORDER BY ?n ?nm',
+    ).collect()
+    # n:2's name is beta -> filtered inside the optional -> null, row kept
+    assert [(r.n, r.nm) for r in out] == [
+        ("n:1", "alpha"), ("n:1", "alpha"), ("n:2", None)
+    ]
+    # a filter over a variable NOT bound inside the optional is loud
+    with pytest.raises(SparqlError):
+        sparql_select(
+            graph,
+            "SELECT ?n WHERE { ?e <p:in> ?n . "
+            'OPTIONAL { ?n <p:name> ?nm . FILTER(?e != "x") } }',
         )

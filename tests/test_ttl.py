@@ -117,9 +117,11 @@ def test_parse_turtle_unsupported_is_loud():
     from wbkg.ttl import TurtleSyntaxError, parse_turtle_text
 
     with _pytest.raises(TurtleSyntaxError):
-        parse_turtle_text('@prefix s: <http://x/> .\n<http://a> s:p [ s:q "v" ] .')
-    with _pytest.raises(TurtleSyntaxError):
         parse_turtle_text("<http://a> <http://p> undefined:name .")
+    with _pytest.raises(TurtleSyntaxError):
+        parse_turtle_text("<http://a> <http://p> ( <http://x> .")  # unterminated
+    with _pytest.raises(TurtleSyntaxError):
+        parse_turtle_text("<http://a> <http://p> [ <http://q> .")  # unterminated
 
 
 def test_load_turtle_full_distributed(spark, tmp_path):
@@ -222,3 +224,42 @@ def test_blank_label_trailing_dot():
 
     triples = parse_turtle_text("@prefix ex: <http://e/> .\n_:x1 ex:p _:y2.\n")
     assert triples[0][0] == "_:x1" and triples[0][2] == "_:y2"
+
+
+def test_blank_node_property_lists_and_collections():
+    """Turtle 1.1 blankNodePropertyList + collection productions (round 4 —
+    previously a loud 'not supported')."""
+    from wbkg.ttl import parse_turtle_text
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    t = (
+        "@prefix ex: <http://e/> .\n"
+        'ex:a ex:knows [ ex:name "Bob" ; ex:age 42 ] .\n'
+        '[ ex:label "anon" ] .\n'
+        "[ ex:p ex:q ] ex:r ex:s .\n"
+        'ex:list ex:items ( "one" 2 ex:three ) .\n'
+        "ex:empty ex:items () .\n"
+    )
+    triples = parse_turtle_text(t)
+    by_pred = {}
+    for s, p, o, lit, lang, dt in triples:
+        by_pred.setdefault(p, []).append((s, o, lit))
+
+    # [ ... ] as object: fresh bnode carries the inner triples
+    (knows,) = by_pred["http://e/knows"]
+    bnode = knows[1]
+    assert bnode.startswith("_:") and not knows[2]
+    assert ("Bob") in [o for s, o, _l in by_pred["http://e/name"] if s == bnode]
+    # [ ... ] as subject with outer po-list
+    (r_edge,) = by_pred["http://e/r"]
+    assert r_edge[0].startswith("_:")
+    # collection: first/rest chain ending in nil; () is nil itself
+    firsts = [o for _s, o, _l in by_pred[RDF + "first"]]
+    assert firsts == ["one", "2", "http://e/three"]
+    rests = [o for _s, o, _l in by_pred[RDF + "rest"]]
+    assert rests.count(RDF + "nil") == 1
+    empties = [o for _s, o, _l in by_pred["http://e/items"]]
+    assert RDF + "nil" in empties
+    # generated bnode labels never collide with each other
+    gen = {x for s, p, o, *_ in triples for x in (s, o) if str(x).startswith("_:")}
+    assert len(gen) == 6  # knows-bnode, anon, r-subject, three list cells

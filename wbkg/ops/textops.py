@@ -39,6 +39,22 @@ def subword_count(col):
     return F.size(F.split(F.trim(col), r"[\s.,;:!?()]+"))
 
 
+# GPT-2-style pre-tokenizer (Radford et al. 2019 regex, lookahead-free
+# variant so Java regex and DuckDB's RE2 agree): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. BPE merges
+# only ever split WITHIN these pieces, so the piece count is a lower
+# bound and tight proxy for a real BPE token count — the closest
+# SQL-replayable stand-in for tiktoken (ref src/utils.py:45-47).
+GPT2_PIECE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def gpt2_piece_count(col):
+    """Count GPT-2 pre-tokenizer pieces (non-whitespace)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(GPT2_PIECE_PATTERN), F.lit(0))
+    )
+
+
 def _marker_hits(col, words):
     pat = r"\b(" + "|".join(words) + r")\b"
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))

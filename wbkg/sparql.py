@@ -14,7 +14,8 @@ reorder and broadcast like any other relational plan.
 Supported grammar (the BGP core that covers rdflib-demo-style queries):
 
     PREFIX pfx: <iri>
-    SELECT [DISTINCT] ?a ?b | * | (COUNT([DISTINCT] ?v|*) AS ?c) | (MIN/MAX(?v) AS ?m)
+    SELECT [DISTINCT] ?a ?b | * | (COUNT([DISTINCT] ?v|*) AS ?c)
+           | (MIN/MAX/SUM/AVG(?v) AS ?m)
     WHERE { s p o . s2 p2 o2 . ...
             OPTIONAL { s3 p3 o3 . ... } }   # `a` == rdf:type
     WHERE { { ... } UNION { ... } }         # top-level alternation
@@ -30,7 +31,8 @@ joins on the shared variables; top-level UNION branches compile
 independently and unionByName on the variable union (unbound -> null,
 bag semantics). FILTER(...) supports comparisons
 (= != < <= > >=, lexical string order — this graph stores strings),
-REGEX(?v, "pat"), BOUND(?v) and && || ! ( ), compiled to Column
+REGEX(?v, "pat"), BOUND(?v), CONTAINS/STRSTARTS/STRENDS(?v, "s")
+and && || ! ( ), compiled to Column
 predicates applied over the joined pattern block — Catalyst then pushes
 the sargable ones down into the scans on its own. sparql_construct gives
 the CONSTRUCT verb (template-projected triple set). No property paths —
@@ -64,7 +66,7 @@ _TOKEN = re.compile(
       | "(?:[^"\\]|\\.)*"  # literal
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*   # prefixed name
       | \ba\b              # rdf:type shorthand
-      | [.{}]""",
+      | [.{}/+^]""",
     re.X,
 )
 
@@ -73,6 +75,24 @@ _TOKEN = re.compile(
 class _Term:
     kind: str  # "var" | "const"
     value: str
+
+
+@dataclass
+class _PathUnit:
+    inverse: bool   # ^iri — swap subject/object
+    iri: str        # constant predicate (property paths are IRI-only)
+    plus: bool      # iri+ — one-or-more (transitive closure)
+
+
+@dataclass
+class _Path:
+    """Predicate position holding a property path: units joined by '/'."""
+
+    units: list
+
+    # duck-type as a non-var term for code that only checks .kind
+    kind = "path"
+    value = None
 
 
 class SparqlError(ValueError):
@@ -102,7 +122,7 @@ _FILTER_TOKEN = re.compile(
       | <[^>\s]*>
       | "(?:[^"\\]|\\.)*"
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*
-      | (?i:REGEX|BOUND)\b
+      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS)\b
       | !=|<=|>=|&&|\|\||[=<>!()]""",
     re.X,
 )
@@ -184,6 +204,20 @@ class _FilterParser:
             pat = _parse_term(pat_tok, self.prefixes).value
             self._expect(")")
             return target.rlike(pat)
+        if tok.upper() in ("CONTAINS", "STRSTARTS", "STRENDS"):
+            fn = tok.upper()
+            self._expect("(")
+            target = self._term_col(self._next())
+            arg_tok = self._next()
+            if not arg_tok.startswith('"'):
+                raise SparqlError(f"{fn} needs a string literal second argument")
+            arg = _parse_term(arg_tok, self.prefixes).value
+            self._expect(")")
+            if fn == "CONTAINS":
+                return target.contains(arg)
+            if fn == "STRSTARTS":
+                return target.startswith(arg)
+            return target.endswith(arg)
         if tok.upper() == "BOUND":
             self._expect("(")
             var = self._next()
@@ -211,7 +245,8 @@ class _FilterParser:
 def _parse_patterns(block: str, prefixes: dict[str, str]):
     """Tokenize a braces-free pattern block and split on '.' TOKENS —
     splitting the raw string on '.' would cut IRIs like
-    <http://schema.org/mentions> apart."""
+    <http://schema.org/mentions> apart. The predicate position may be a
+    property path (iri/iri sequence, iri+ closure, ^iri inverse)."""
     patterns, group = [], []
     for tok in _TOKEN.findall(block):
         if tok == ".":
@@ -222,10 +257,50 @@ def _parse_patterns(block: str, prefixes: dict[str, str]):
             group.append(tok)
     if group:
         patterns.append(group)
+    out = []
     for g in patterns:
-        if len(g) != 3:
+        if len(g) < 3:
             raise SparqlError(f"triple pattern must have 3 terms: {g!r}")
-    return [tuple(_parse_term(t, prefixes) for t in g) for g in patterns]
+        if len(g) == 3 and not any(t in "/+^" for t in g):
+            out.append(tuple(_parse_term(t, prefixes) for t in g))
+            continue
+        out.append(
+            (
+                _parse_term(g[0], prefixes),
+                _parse_path(g[1:-1], prefixes),
+                _parse_term(g[-1], prefixes),
+            )
+        )
+    return out
+
+
+def _parse_path(mid: list, prefixes: dict[str, str]) -> _Path:
+    """['^'] iri ['+'] ('/' ['^'] iri ['+'])* -> _Path. Property paths are
+    IRI-only (SPARQL 1.1 §9); a variable inside a path is an error."""
+    units, i = [], 0
+    while i < len(mid):
+        inv = False
+        if mid[i] == "^":
+            inv = True
+            i += 1
+        if i >= len(mid) or mid[i] in "/+^":
+            raise SparqlError(f"malformed property path: {mid!r}")
+        t = _parse_term(mid[i], prefixes)
+        if t.kind != "const":
+            raise SparqlError("property-path elements must be IRIs, not variables")
+        i += 1
+        plus = False
+        if i < len(mid) and mid[i] == "+":
+            plus = True
+            i += 1
+        units.append(_PathUnit(inv, t.value, plus))
+        if i < len(mid):
+            if mid[i] != "/" or i + 1 >= len(mid):
+                raise SparqlError(f"malformed property path: {mid!r}")
+            i += 1
+    if not units:
+        raise SparqlError(f"empty property path: {mid!r}")
+    return _Path(units)
 
 
 def _extract_filters(where: str):
@@ -265,12 +340,11 @@ def _parse_group(text: str, prefixes: dict[str, str]):
     """One conjunctive group: lift OPTIONALs, VALUES and FILTERs, parse the
     rest as triple patterns. -> (patterns, optionals, filters, values).
     values: list of (var, [constants]) inline-binding restrictions."""
-    optionals = []
+    optionals = []  # (patterns, filter_texts)
 
     def _lift(mo):
-        if re.search(r"(?i)\bFILTER\b", mo.group(1)):
-            raise SparqlError("FILTER inside OPTIONAL is not supported")
-        optionals.append(_parse_patterns(mo.group(1), prefixes))
+        body, opt_filters = _extract_filters(mo.group(1))
+        optionals.append((_parse_patterns(body, prefixes), opt_filters))
         return " "
 
     required = re.sub(r"(?is)OPTIONAL\s*\{([^{}]*)\}", _lift, text)
@@ -311,7 +385,7 @@ def _parse_group(text: str, prefixes: dict[str, str]):
     patterns = _parse_patterns(required, prefixes)
     if not patterns:
         raise SparqlError("empty WHERE block")
-    if any(not opt for opt in optionals):
+    if any(not pats for pats, _f in optionals):
         raise SparqlError("empty OPTIONAL block")
     return patterns, optionals, filters, values, exists_groups
 
@@ -391,9 +465,10 @@ def parse_sparql(query: str):
     )
     group_vars = [v[1:] for v in re.findall(r"\?[\w]+", group_raw or "")]
 
-    # SELECT items: plain ?var or (COUNT|MIN|MAX([DISTINCT] ?v|*) AS ?alias)
+    # SELECT items: plain ?var or
+    # (COUNT|MIN|MAX|SUM|AVG([DISTINCT] ?v|*) AS ?alias)
     _AGG = re.compile(
-        r"(?is)\(\s*(COUNT|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(\?[\w]+|\*)\s*\)\s+AS\s+\?([\w]+)\s*\)"
+        r"(?is)\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?(\?[\w]+|\*)\s*\)\s+AS\s+\?([\w]+)\s*\)"
         r"|(\?[\w]+)"
     )
     if sel_raw.strip() == "*":
@@ -444,15 +519,68 @@ def parse_sparql(query: str):
     )
 
 
+PATH_MAX_ITERS = 16
+
+
+def _path_closure(step: DataFrame, max_iters: int = PATH_MAX_ITERS) -> DataFrame:
+    """One-or-more transitive closure of a (a, b) edge set, semi-naive
+    (frontier joins only the NEW pairs each round); localCheckpoint per
+    round truncates lineage. Property-path graphs are vocabulary-bounded
+    here (edges over a filtered predicate), not corpus-bounded."""
+    base = step.distinct().localCheckpoint()
+    total, frontier = base, base
+    for _ in range(max_iters):
+        nxt = (
+            frontier.withColumnRenamed("b", "_m")
+            .join(base.withColumnRenamed("a", "_m"), "_m")
+            .select("a", "b")
+            .distinct()
+        )
+        new = nxt.join(total, ["a", "b"], "left_anti").localCheckpoint()
+        if not new.take(1):
+            break
+        total = total.unionByName(new).localCheckpoint()
+        frontier = new
+    return total
+
+
+def _compile_path(edges: DataFrame, path: _Path) -> DataFrame:
+    """Property path -> (a, b) pair DataFrame: each unit is a filtered scan
+    of the edges table (constant predicate pushed down), '^' swaps the
+    columns, '+' takes the transitive closure, '/' chains by equi-join."""
+    pair = None
+    for u in path.units:
+        unit = edges.filter(F.col("pred") == u.iri).select(
+            F.col("obj" if u.inverse else "subj").alias("a"),
+            F.col("subj" if u.inverse else "obj").alias("b"),
+        )
+        if u.plus:
+            unit = _path_closure(unit)
+        if pair is None:
+            pair = unit
+        else:
+            pair = (
+                pair.withColumnRenamed("b", "_m")
+                .join(unit.withColumnRenamed("a", "_m"), "_m")
+                .select("a", "b")
+            )
+    return pair
+
+
 def _compile_bgp(edges: DataFrame, patterns, tag: str):
     """Compile one conjunctive pattern group to (plan, bound_vars)."""
     bound: set[str] = set()
     plan: DataFrame | None = None
     gate_cols: list[str] = []
     for i, (s, p, o) in enumerate(patterns):
-        scan = edges.select("subj", "pred", "obj")
+        if isinstance(p, _Path):
+            scan = _compile_path(edges, p)
+            pos_terms = (("a", s), ("b", o))
+        else:
+            scan = edges.select("subj", "pred", "obj")
+            pos_terms = (("subj", s), ("pred", p), ("obj", o))
         cols, rename = [], {}
-        for col, term in (("subj", s), ("pred", p), ("obj", o)):
+        for col, term in pos_terms:
             if term.kind == "const":
                 scan = scan.filter(F.col(col) == term.value)
             else:
@@ -497,8 +625,18 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
 
     def compile_group(gidx, patterns, optionals, filters, values, exists_groups):
         plan, bound = _compile_bgp(edges, patterns, f"u{gidx}r")
-        for gi, opt_patterns in enumerate(optionals):
+        for gi, (opt_patterns, opt_filters) in enumerate(optionals):
             opt_plan, opt_bound = _compile_bgp(edges, opt_patterns, f"u{gidx}o{gi}")
+            # a FILTER inside OPTIONAL scopes to the optional group: it
+            # applies BEFORE the left join (SPARQL 1.1 §8 leftjoin with
+            # expression), so a failing filter nulls the optional columns
+            # instead of dropping the outer row. Only inner-bound variables
+            # are visible — the outer-var corner of the left-join scope
+            # debate is rejected loudly, not silently misevaluated.
+            for f_text in opt_filters:
+                opt_plan = opt_plan.filter(
+                    _FilterParser(f_text, prefixes, opt_bound).parse()
+                )
             keys = sorted(bound & opt_bound)
             if not keys:
                 raise SparqlError("OPTIONAL group shares no variable with the required patterns")
@@ -566,8 +704,14 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                 c = F.count(F.col(target))
             elif func == "MIN":
                 c = F.min(F.col(target))
-            else:
+            elif func == "MAX":
                 c = F.max(F.col(target))
+            elif func == "SUM":
+                # the graph stores strings; numeric literals aggregate as
+                # doubles (rdflib promotes the same way for mixed input)
+                c = F.sum(F.col(target).cast("double"))
+            else:
+                c = F.avg(F.col(target).cast("double"))
             agg_cols.append(c.alias(alias))
         if agg_cols:
             out = plan.groupBy(*group_vars).agg(*agg_cols).select(
@@ -629,6 +773,8 @@ def sparql_construct(edges: DataFrame, query: str) -> DataFrame:
     template = _parse_patterns(m.group(2), prefixes)
     if not template:
         raise SparqlError("empty CONSTRUCT template")
+    if any(isinstance(t, _Path) for pat in template for t in pat):
+        raise SparqlError("property paths are not allowed in a CONSTRUCT template")
     tmpl_vars = sorted(
         {t.value for pat in template for t in pat if t.kind == "var"}
     )

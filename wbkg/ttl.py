@@ -149,7 +149,11 @@ _TTL_NUM = _re.compile(
 _TTL_DIRECTIVE = _re.compile(r"@(prefix|base)\b|\b(PREFIX|BASE)(?=\s)", _re.IGNORECASE)
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
-_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDF_TYPE_IRI = _RDF_NS + "type"
+_RDF_FIRST = _RDF_NS + "first"
+_RDF_REST = _RDF_NS + "rest"
+_RDF_NIL = _RDF_NS + "nil"
 
 _STR_ESCAPES = {
     "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
@@ -346,9 +350,9 @@ class _TurtleParser:
                     raise TurtleSyntaxError("expected datatype IRI after ^^")
             return body, True, lang, dtype
         if c == "[":
-            raise TurtleSyntaxError("anonymous blank nodes [...] not supported")
+            return self._bnode_property_list(), False, None, None
         if c == "(":
-            raise TurtleSyntaxError("collections (...) not supported")
+            return self._collection(), False, None, None
         m = self._match_re(_TTL_BLANK)
         if m:
             return "_:" + self._strip_final_dots(m.group(1)), False, None, None
@@ -398,11 +402,98 @@ class _TurtleParser:
             self._expect(".")
         return True
 
+    def _fresh_bnode(self) -> str:
+        self._bn = getattr(self, "_bn", 0) + 1
+        return f"_:wbkggen{self._bn}"
+
+    def _bnode_property_list(self) -> str:
+        """'[' predicateObjectList? ']' -> fresh blank-node label; the inner
+        predicate-object list (if any) hangs off it."""
+        self._expect("[")
+        label = self._fresh_bnode()
+        if self._peek() == "]":
+            self.i += 1
+            return label
+        self._po_list(label, end="]")
+        self._expect("]")
+        return label
+
+    def _collection(self) -> str:
+        """'(' object* ')' -> rdf:first/rdf:rest linked list; '()' is
+        rdf:nil itself."""
+        self._expect("(")
+        items = []
+        while True:
+            if self._peek() == ")":
+                self.i += 1
+                break
+            if self._eof():
+                raise TurtleSyntaxError("unterminated collection")
+            items.append(self._object())
+        if not items:
+            return _RDF_NIL
+        nodes = [self._fresh_bnode() for _ in items]
+        for node, (obj, is_lit, lang, dtype), nxt in zip(
+            nodes, items, nodes[1:] + [None]
+        ):
+            self.triples.append((node, _RDF_FIRST, obj, is_lit, lang, dtype))
+            self.triples.append(
+                (node, _RDF_REST, nxt if nxt else _RDF_NIL, False, None, None)
+            )
+        return nodes[0]
+
+    def _po_list(self, subj: str, end: str | None = None):
+        """predicateObjectList: verb objectList (';' (verb objectList)?)*.
+        `end` is the inner terminator (']') for blank-node property lists."""
+        stop = "." + (end or "")
+        while True:
+            self._ws()
+            if self.t.startswith("a", self.i) and (
+                self.i + 1 >= self.n or self.t[self.i + 1] in " \t\n\r<["
+            ):
+                self.i += 1
+                pred = _RDF_TYPE_IRI
+            else:
+                pred = self._iri_or_pname()
+                if pred is None:
+                    raise TurtleSyntaxError(
+                        f"cannot parse predicate at {self.i}: {self.t[self.i:self.i+30]!r}"
+                    )
+            while True:
+                obj, is_lit, lang, dtype = self._object()
+                self.triples.append((subj, pred, obj, is_lit, lang, dtype))
+                if self._peek() == ",":
+                    self.i += 1
+                    continue
+                break
+            if self._peek() == ";":
+                self.i += 1
+                # trailing ';' before the terminator is legal turtle
+                if self._peek() in stop + ";":
+                    while self._peek() == ";":
+                        self.i += 1
+                    break
+                continue
+            break
+
     def parse(self):
         while not self._eof():
             if self._directive():
                 continue
-            # subject
+            self._ws()
+            c = self._peek()
+            if c == "[":
+                # blankNodePropertyList subject: outer po-list is OPTIONAL
+                subj = self._bnode_property_list()
+                if self._peek() != ".":
+                    self._po_list(subj)
+                self._expect(".")
+                continue
+            if c == "(":
+                subj = self._collection()
+                self._po_list(subj)
+                self._expect(".")
+                continue
             subj = self._iri_or_pname()
             if subj is None:
                 m = self._match_re(_TTL_BLANK)
@@ -412,36 +503,7 @@ class _TurtleParser:
                     raise TurtleSyntaxError(
                         f"cannot parse subject at {self.i}: {self.t[self.i:self.i+30]!r}"
                     )
-            # predicate-object list
-            while True:
-                self._ws()
-                if self.t.startswith("a", self.i) and (
-                    self.i + 1 >= self.n or self.t[self.i + 1] in " \t\n\r<"
-                ):
-                    self.i += 1
-                    pred = _RDF_TYPE_IRI
-                else:
-                    pred = self._iri_or_pname()
-                    if pred is None:
-                        raise TurtleSyntaxError(
-                            f"cannot parse predicate at {self.i}: {self.t[self.i:self.i+30]!r}"
-                        )
-                while True:
-                    obj, is_lit, lang, dtype = self._object()
-                    self.triples.append((subj, pred, obj, is_lit, lang, dtype))
-                    if self._peek() == ",":
-                        self.i += 1
-                        continue
-                    break
-                if self._peek() == ";":
-                    self.i += 1
-                    # trailing ';' before '.' is legal turtle
-                    if self._peek() in ".;":
-                        while self._peek() == ";":
-                            self.i += 1
-                        break
-                    continue
-                break
+            self._po_list(subj)
             self._expect(".")
         return self.triples
 
