@@ -1152,6 +1152,17 @@ def q_media_png_decode(spark, sf_dir):
     return png_decode_stats(gen_media_df(spark, docs=30))
 
 
+def q_media_wav_decode(spark, sf_dir):
+    """REAL WAV decode (pure-stdlib RIFF/PCM16 parser, wbkg/ops/multimodal.py
+    decode_wav): sample count/rate/duration from the payload's own header,
+    mean|s| and zero-crossing count from the decoded samples. Synthetic
+    samples are closed-form (s[i]=((i*(3+d)+17d+1)%4096)-2048), so the
+    oracle replays every statistic over a generated sample index."""
+    from wbkg.ops.multimodal import gen_media_df, wav_decode_stats
+
+    return wav_decode_stats(gen_media_df(spark, docs=30))
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal frame sampling (sequence explode on metadata); the sampled
     frame grid is formula-determined, so the oracle replays it with
@@ -1351,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "media_features": q_media_features,
         "media_png_decode": q_media_png_decode,
+        "media_wav_decode": q_media_wav_decode,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
         "sparql_not_exists": q_sparql_not_exists,
@@ -2058,6 +2070,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((2*x + base) % 256), 4) AS mean_g,
                    round(avg((3*y + base) % 256), 4) AS mean_b
             FROM px GROUP BY d
+        """,
+        "media_wav_decode": """
+            WITH s AS (
+                SELECT d.g AS d, i.g AS i,
+                       ((i.g * (3 + d.g) + 17*d.g + 1) % 4096) - 2048 AS v
+                FROM generate_series(0, 29) d(g), generate_series(0, 3999) i(g)
+            ),
+            x AS (
+                SELECT d, v, lag(v) OVER (PARTITION BY d ORDER BY i) AS pv
+                FROM s
+            )
+            SELECT printf('M%05d_1', d) AS media_id,
+                   4000::INTEGER AS n_samples,
+                   8000::INTEGER AS sample_rate,
+                   500::INTEGER AS duration_payload_ms,
+                   round(avg(abs(v)), 4) AS mean_abs,
+                   (count(*) FILTER (pv IS NOT NULL AND (v < 0) != (pv < 0)))::INTEGER
+                       AS zero_crossings
+            FROM x GROUP BY d
         """,
         "media_frame_sample": """
             SELECT printf('M%05d_1', d.g) AS media_id,

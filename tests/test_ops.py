@@ -588,3 +588,31 @@ def test_extract_features_png_real_decode(spark):
     v = v / np.linalg.norm(v)
     got = np.array(feats["M00001_0"], dtype=np.float64)
     assert np.allclose(got, v, atol=1e-6)
+
+
+def test_wav_codec_pure():
+    import numpy as np
+
+    from wbkg.ops.multimodal import decode_wav, encode_wav, gen_wav_samples
+
+    s = gen_wav_samples(5, 1)
+    dec, rate = decode_wav(encode_wav(s))
+    assert np.array_equal(dec, s) and rate == 8000
+    # odd-length data chunk pads per RIFF; loud on junk
+    with pytest.raises(ValueError):
+        decode_wav(b"nope" * 8)
+
+
+def test_wav_decode_stats_real_samples(spark):
+    import numpy as np
+
+    from wbkg.ops.multimodal import gen_media_df, gen_wav_samples, wav_decode_stats
+
+    rows = {r.media_id: r for r in wav_decode_stats(gen_media_df(spark, docs=4)).collect()}
+    assert len(rows) == 4
+    for d in range(4):
+        r = rows[f"M{d:05d}_1"]
+        s = gen_wav_samples(d, 1).astype(np.int64)
+        assert (r.n_samples, r.sample_rate, r.duration_payload_ms) == (4000, 8000, 500)
+        assert abs(r.mean_abs - round(float(np.abs(s).mean()), 4)) < 1e-9
+        assert r.zero_crossings == int(((s[:-1] < 0) != (s[1:] < 0)).sum())

@@ -3,13 +3,15 @@
 Media is carried as opaque `binary` payload columns + typed metadata structs;
 transformations run as Arrow-batched pandas UDFs over mapInPandas.
 
-Codec status: PNG images have a REAL decode path — a pure-stdlib PNG codec
-(zlib inflate + full scanline-filter reconstruction: None/Sub/Up/Average/
-Paeth, decode_png below) feeds real pixels into extract_features and
-png_decode_stats. Audio/video decode remains STUBBED (no libav in this
-container): a deterministic fake keyed on the payload hash, clearly marked,
-so the Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — is real and tested while the sample math is not.
+Codec status: PNG images and WAV audio have REAL decode paths — a pure-
+stdlib PNG codec (zlib inflate + full scanline-filter reconstruction:
+None/Sub/Up/Average/Paeth, decode_png) and a RIFF/PCM16 WAV parser
+(decode_wav) feed real pixels/samples into extract_features,
+png_decode_stats and wav_decode_stats. Only VIDEO decode remains STUBBED
+(no libav in this container): a deterministic fake keyed on the payload
+hash, clearly marked, so the Spark-side plumbing — schema, partitioning,
+UDF signature, batch shape — is real and tested while the frame math is
+not.
 
 At 100 TB: payloads dominate storage, so every operator here (a) prunes to
 the metadata columns when the payload is not needed and (b) processes
@@ -202,16 +204,67 @@ def gen_png_pixels(d: int, m: int, width: int = 64, height: int = 48) -> np.ndar
     ).astype(np.uint8)
 
 
+# --------------------------------------------------------------------------- #
+# Pure-stdlib WAV (RIFF PCM16) codec — the audio analogue of the PNG path.
+# --------------------------------------------------------------------------- #
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM16 bytes."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16 samples")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes):
+    """RIFF/WAVE PCM16 mono -> (samples int16 ndarray, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + ln + (ln & 1)  # RIFF chunks pad to even length
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, rate
+
+
+def gen_wav_samples(d: int, m: int, n: int = 4000) -> np.ndarray:
+    """Deterministic closed-form samples — replayable in plain SQL:
+    s[i] = ((i * (3 + d) + 17 * d + m) % 4096) - 2048."""
+    i = np.arange(n, dtype=np.int64)
+    return (((i * (3 + d) + 17 * d + m) % 4096) - 2048).astype(np.int16)
+
+
 def gen_media_df(spark, docs: int = 20, per_doc: int = 2, seed: int = 42) -> DataFrame:
     """Deterministic media table. Image payloads are REAL PNGs (closed-form
-    pixels via gen_png_pixels -> encode_png); audio/video payloads are
-    seeded opaque bytes (their codecs are the documented stub)."""
+    pixels via gen_png_pixels -> encode_png) and audio payloads are REAL
+    WAVs (gen_wav_samples -> encode_wav); video payloads are seeded opaque
+    bytes (that codec is the documented stub)."""
     rows = []
     for d in range(docs):
         for m in range(per_doc):
             kind = ["image", "audio", "video"][m % 3]
             if kind == "image":
                 payload = encode_png(gen_png_pixels(d, m))
+            elif kind == "audio":
+                payload = encode_wav(gen_wav_samples(d, m))
             else:
                 key = f"{seed}:{d}:{m}".encode()
                 payload = hashlib.blake2b(key, digest_size=64).digest()
@@ -231,7 +284,7 @@ def gen_media_df(spark, docs: int = 20, per_doc: int = 2, seed: int = 42) -> Dat
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """STUB for the non-PNG codecs: deterministic pseudo-samples derived from
+    """STUB for the video codec: deterministic pseudo-samples derived from
     the payload hash. A real deployment swaps this for libav decode —
     signature and batch flow stay identical."""
     h = hashlib.blake2b(payload, digest_size=FEATURE_DIM * 4).digest()
@@ -239,21 +292,28 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_unavailable(*_args, **_kwargs):
-    """The honest entry point for real audio/video decoding in this
-    container (PNG images decode for real via decode_png)."""
+    """The honest entry point for real VIDEO decoding in this container
+    (PNG and WAV decode for real via decode_png / decode_wav)."""
     raise NotImplementedError(
-        "audio/video codecs are not installed in this environment; "
-        "extract_features uses the deterministic _fake_decode stub for them"
+        "video codecs are not installed in this environment; "
+        "extract_features uses the deterministic _fake_decode stub for video"
     )
 
 
 def _feature_vector(payload: bytes) -> np.ndarray:
-    """REAL path for PNG payloads (decode_png -> 16-bin luminance histogram
-    over actual pixels); deterministic hash stub for everything else."""
+    """REAL paths for PNG (decode_png -> 16-bin luminance histogram over
+    actual pixels) and WAV (decode_wav -> 16-bin sample histogram);
+    deterministic hash stub for everything else (video)."""
     if payload[:8] == PNG_SIG:
         px = decode_png(payload).astype(np.float64)
         lum = px.mean(axis=2) if px.shape[2] > 1 else px[:, :, 0]
         hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0.0, 256.0))
+        return hist.astype(np.float64)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _rate = decode_wav(payload)
+        hist, _ = np.histogram(
+            samples.astype(np.float64), bins=FEATURE_DIM, range=(-2048.0, 2048.0)
+        )
         return hist.astype(np.float64)
     return _fake_decode(payload)
 
@@ -316,6 +376,41 @@ def png_decode_stats(media: DataFrame) -> DataFrame:
             stats,
             schema="media_id string, width int, height int, "
                    "mean_r double, mean_g double, mean_b double",
+        )
+    )
+
+
+def wav_decode_stats(media: DataFrame) -> DataFrame:
+    """audio/wav -> (media_id, n_samples, sample_rate, duration_payload_ms,
+    mean_abs, zero_crossings): real decoded sample statistics. The payload's
+    own header supplies rate/length (not the metadata columns) and with
+    closed-form synthetic samples (gen_wav_samples) every statistic is
+    exactly replayable in SQL over a generated sample index."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "sample_rate": [],
+                   "duration_payload_ms": [], "mean_abs": [], "zero_crossings": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(payload))
+                sf = s.astype(np.int64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(len(s))
+                out["sample_rate"].append(rate)
+                out["duration_payload_ms"].append(int(len(s) * 1000 // rate))
+                out["mean_abs"].append(round(float(np.abs(sf).mean()), 4))
+                out["zero_crossings"].append(
+                    int(((sf[:-1] < 0) != (sf[1:] < 0)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("mime") == "audio/wav")
+        .select("media_id", "payload")
+        .mapInPandas(
+            stats,
+            schema="media_id string, n_samples int, sample_rate int, "
+                   "duration_payload_ms int, mean_abs double, zero_crossings int",
         )
     )
 

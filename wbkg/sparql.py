@@ -523,24 +523,47 @@ PATH_MAX_ITERS = 16
 
 
 def _path_closure(step: DataFrame, max_iters: int = PATH_MAX_ITERS) -> DataFrame:
-    """One-or-more transitive closure of a (a, b) edge set, semi-naive
-    (frontier joins only the NEW pairs each round); localCheckpoint per
-    round truncates lineage. Property-path graphs are vocabulary-bounded
-    here (edges over a filtered predicate), not corpus-bounded."""
+    """One-or-more transitive closure of a (a, b) edge set. Semi-naive with
+    path DOUBLING: each round joins the new pairs against the accumulated
+    closure, so reachable path length grows as 2^round — max_iters=16
+    covers diameters past 65k, and a graph that still hasn't converged
+    warns instead of silently truncating (same contract as
+    connected_components). localCheckpoint per round truncates lineage;
+    property-path graphs are vocabulary-bounded here (edges over a filtered
+    predicate), not corpus-bounded."""
     base = step.distinct().localCheckpoint()
     total, frontier = base, base
+    converged = False
     for _ in range(max_iters):
+        # nonlinear seminaive: path(a,b) :- path(a,m), path(m,b) needs BOTH
+        # delta-first and delta-second compositions for completeness
         nxt = (
             frontier.withColumnRenamed("b", "_m")
-            .join(base.withColumnRenamed("a", "_m"), "_m")
+            .join(total.withColumnRenamed("a", "_m"), "_m")
             .select("a", "b")
+            .unionByName(
+                total.withColumnRenamed("b", "_m")
+                .join(frontier.withColumnRenamed("a", "_m"), "_m")
+                .select("a", "b")
+            )
             .distinct()
         )
         new = nxt.join(total, ["a", "b"], "left_anti").localCheckpoint()
         if not new.take(1):
+            converged = True
             break
         total = total.unionByName(new).localCheckpoint()
         frontier = new
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"property-path closure did not converge within {max_iters} "
+            "doubling rounds; results may be incomplete — raise "
+            "PATH_MAX_ITERS for graphs of diameter beyond 2^16",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return total
 
 
