@@ -48,6 +48,13 @@ def main(argv=None, spark=None):
     p.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted"])
     p.add_argument("--with-communities", action="store_true")
     p.add_argument(
+        "--heuristic-ner",
+        action="store_true",
+        help="enable the C5 heuristic NER pass (capitalized n-gram candidate "
+        "emitter merged ruler-first after dictionary/acronym spans); adds "
+        "HEUR_ENT mentions for entities outside the dictionary",
+    )
+    p.add_argument(
         "--partition-edges-by-pred",
         action="store_true",
         help="lay the edges table out partitioned by a low-cardinality "
@@ -144,7 +151,16 @@ def main(argv=None, spark=None):
 
     def compute_mentions(pending_chunks):
         acr = acronyms.join(pending_chunks.select("doc_id").distinct(), "doc_id", "left_semi")
-        return with_lineage(extract_mentions(pending_chunks, acr, pats), "mentions", metrics_dir)
+        heur = None
+        if args.heuristic_ner:
+            from wbkg.extract import heuristic_candidates
+
+            heur = heuristic_candidates(pending_chunks)
+        return with_lineage(
+            extract_mentions(pending_chunks, acr, pats, heuristic_cands_df=heur),
+            "mentions",
+            metrics_dir,
+        )
 
     mentions = ckpt.run_stage("mentions", chunks, compute_mentions, keys=["doc_id"])
     recomputed["mentions"] = ckpt.last_recomputed
