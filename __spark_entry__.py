@@ -628,6 +628,23 @@ def q_sparql_not_exists(spark, sf_dir):
     )
 
 
+def q_sparql_minus(spark, sf_dir):
+    """MINUS group = anti join on shared variables (SPARQL 1.1 §8.3); same
+    relational shape as NOT EXISTS on this graph, but the verb and compile
+    path differ (disjoint-domain MINUS is the identity, unit-tested)."""
+    from wbkg.sparql import sparql_select
+
+    return sparql_select(
+        _supplier_nation_edges(spark, sf_dir, max_suppkey=8),
+        """
+        SELECT ?n ?r WHERE {
+            ?n <urn:p:in_region> ?r .
+            MINUS { ?s <urn:p:sup_nation> ?n . }
+        } ORDER BY ?n
+        """,
+    )
+
+
 def q_sparql_sum_avg(spark, sf_dir):
     """SUM/AVG aggregates over numeric-literal objects (integer-valued so
     the double sum is exact and order-independent); oracle is the relational
@@ -1368,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_not_exists": q_sparql_not_exists,
         "sparql_sum_avg": q_sparql_sum_avg,
         "sparql_filter_strfns": q_sparql_filter_strfns,
+        "sparql_minus": q_sparql_minus,
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_plus": q_sparql_path_plus,
         "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -1920,6 +1938,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY suppliers DESC, n ASC LIMIT 10
         """,
         "sparql_not_exists": """
+            SELECT 'n:' || n_nationkey AS n, 'r:' || n_regionkey AS r
+            FROM nation
+            WHERE NOT EXISTS (
+                SELECT 1 FROM supplier
+                WHERE s_suppkey < 8 AND s_nationkey = n_nationkey)
+            ORDER BY n
+        """,
+        "sparql_minus": """
             SELECT 'n:' || n_nationkey AS n, 'r:' || n_regionkey AS r
             FROM nation
             WHERE NOT EXISTS (

@@ -471,3 +471,18 @@ def test_filter_inside_optional(graph):
             "SELECT ?n WHERE { ?e <p:in> ?n . "
             'OPTIONAL { ?n <p:name> ?nm . FILTER(?e != "x") } }',
         )
+
+
+def test_minus(graph):
+    out = sparql_select(
+        graph,
+        "SELECT ?e WHERE { ?e <p:in> ?n . MINUS { ?who <p:knows> ?e . } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out] == ["e:c"]
+    # disjoint-domain MINUS removes nothing (SPARQL 1.1 8.3 — key
+    # difference from NOT EXISTS, which errors here)
+    out2 = sparql_select(
+        graph,
+        "SELECT ?e WHERE { ?e <p:in> ?n . MINUS { ?x <p:name> ?y . } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out2] == ["e:a", "e:b", "e:c"]

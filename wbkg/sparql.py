@@ -22,6 +22,7 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
     WHERE { ... VALUES ?v { "a" <iri:b> } }  # inline bindings
     ASK [WHERE] { ... }                      # sparql_ask -> bool
     WHERE { ... FILTER [NOT] EXISTS { ... } }  # semi/anti join gate
+    WHERE { ... MINUS { ... } }             # anti join; disjoint = identity
     GROUP BY ?a [?b ...]
     ORDER BY ?a [ASC(?b)|DESC(?b) ...]
     LIMIT n
@@ -366,19 +367,28 @@ def _parse_group(text: str, prefixes: dict[str, str]):
 
     required = re.sub(r"(?is)VALUES\s+\?([\w]+)\s*\{([^{}]*)\}", _lift_values, required)
 
-    exists_groups = []  # (negated, patterns)
+    exists_groups = []  # (mode: "exists"|"not_exists"|"minus", patterns)
 
     def _lift_exists(mo):
-        negated = bool(mo.group(1))
+        mode = "not_exists" if mo.group(1) else "exists"
         inner = _parse_patterns(mo.group(2), prefixes)
         if not inner:
             raise SparqlError("empty EXISTS block")
-        exists_groups.append((negated, inner))
+        exists_groups.append((mode, inner))
         return " "
 
     required = re.sub(
         r"(?is)FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", _lift_exists, required
     )
+
+    def _lift_minus(mo):
+        inner = _parse_patterns(mo.group(1), prefixes)
+        if not inner:
+            raise SparqlError("empty MINUS block")
+        exists_groups.append(("minus", inner))
+        return " "
+
+    required = re.sub(r"(?is)\bMINUS\s*\{([^{}]*)\}", _lift_minus, required)
     if re.search(r"[{}]", required):
         raise SparqlError("unbalanced braces / nested groups not supported")
     required, filters = _extract_filters(required)
@@ -665,20 +675,27 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                 raise SparqlError("OPTIONAL group shares no variable with the required patterns")
             plan = plan.join(opt_plan, keys, "left")
             bound |= opt_bound
-        for gi, (negated, ex_patterns) in enumerate(exists_groups):
+        for gi, (mode, ex_patterns) in enumerate(exists_groups):
             # FILTER [NOT] EXISTS { ... } = semi/anti join on the shared
             # variables (rdflib/SPARQL 1.1 semantics: keep a binding iff
             # the inner group does/doesn't match under it). Semi/anti joins
             # never multiply rows, and Spark broadcasts the inner side when
             # it's small — the plan you'd want for a selective gate at scale.
+            # MINUS differs from NOT EXISTS exactly when the groups share no
+            # variable: MINUS then removes NOTHING (SPARQL 1.1 §8.3), while
+            # NOT EXISTS without shared variables is rejected loudly.
             ex_plan, ex_bound = _compile_bgp(edges, ex_patterns, f"u{gidx}e{gi}")
             keys = sorted(bound & ex_bound)
             if not keys:
+                if mode == "minus":
+                    continue  # disjoint-domain MINUS is the identity
                 raise SparqlError(
                     "FILTER EXISTS group shares no variable with the outer patterns"
                 )
             plan = plan.join(
-                ex_plan.select(*keys), keys, "left_anti" if negated else "left_semi"
+                ex_plan.select(*keys),
+                keys,
+                "left_semi" if mode == "exists" else "left_anti",
             )
         for var, consts in values:
             # inline bindings restrict an already-bound variable; isin is an
