@@ -1180,6 +1180,16 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_decode_stats(gen_media_df(spark, docs=30))
 
 
+def q_media_mp4_meta(spark, sf_dir):
+    """REAL MP4 container parsing (ISO BMFF box walk, wbkg/ops/multimodal.py
+    parse_mp4_meta): brand/timescale/duration from the payload's own
+    ftyp/moov/mvhd boxes. Frame decode stays the documented stub — this is
+    the metadata layer a routing/sampling pipeline reads without decoding."""
+    from wbkg.ops.multimodal import gen_media_df, mp4_meta_stats
+
+    return mp4_meta_stats(gen_media_df(spark, docs=30, per_doc=3))
+
+
 def q_media_frame_sample(spark, sf_dir):
     """Multimodal frame sampling (sequence explode on metadata); the sampled
     frame grid is formula-determined, so the oracle replays it with
@@ -1380,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_png_decode": q_media_png_decode,
         "media_wav_decode": q_media_wav_decode,
+        "media_mp4_meta": q_media_mp4_meta,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
         "sparql_not_exists": q_sparql_not_exists,
@@ -2115,6 +2126,13 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) FILTER (pv IS NOT NULL AND (v < 0) != (pv < 0)))::INTEGER
                        AS zero_crossings
             FROM x GROUP BY d
+        """,
+        "media_mp4_meta": """
+            SELECT printf('M%05d_2', d.g) AS media_id,
+                   'isom' AS brand,
+                   1000::INTEGER AS timescale,
+                   3000::INTEGER AS duration_payload_ms
+            FROM generate_series(0, 29) d(g)
         """,
         "media_frame_sample": """
             SELECT printf('M%05d_1', d.g) AS media_id,

@@ -616,3 +616,34 @@ def test_wav_decode_stats_real_samples(spark):
         assert (r.n_samples, r.sample_rate, r.duration_payload_ms) == (4000, 8000, 500)
         assert abs(r.mean_abs - round(float(np.abs(s).mean()), 4)) < 1e-9
         assert r.zero_crossings == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+
+
+def test_mp4_meta_pure():
+    import struct as _struct
+
+    from wbkg.ops.multimodal import encode_mp4_stub, parse_mp4_meta
+
+    m = parse_mp4_meta(encode_mp4_stub(1000, 3000))
+    assert (m["brand"], m["timescale"], m["duration_ms"]) == ("isom", 1000, 3000)
+    assert m["boxes"] == ["ftyp", "moov"]
+    # version-1 mvhd (64-bit duration) parses too
+    def box(tag, body):
+        return _struct.pack(">I", 8 + len(body)) + tag + body
+    mvhd1 = (b"\x01\x00\x00\x00" + _struct.pack(">QQ", 0, 0)
+             + _struct.pack(">I", 600) + _struct.pack(">Q", 1200) + b"\x00" * 80)
+    doc = (box(b"ftyp", b"mp42" + b"\x00" * 4 + b"mp42")
+           + box(b"moov", box(b"mvhd", mvhd1)))
+    m1 = parse_mp4_meta(doc)
+    assert (m1["timescale"], m1["duration_ms"]) == (600, 2000)
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"garbage_data")
+
+
+def test_mp4_meta_stats_spark(spark):
+    from wbkg.ops.multimodal import gen_media_df, mp4_meta_stats
+
+    rows = {r.media_id: r for r in mp4_meta_stats(gen_media_df(spark, docs=3, per_doc=3)).collect()}
+    assert len(rows) == 3
+    for d in range(3):
+        r = rows[f"M{d:05d}_2"]
+        assert (r.brand, r.timescale, r.duration_payload_ms) == ("isom", 1000, 3000)

@@ -252,6 +252,92 @@ def gen_wav_samples(d: int, m: int, n: int = 4000) -> np.ndarray:
     return (((i * (3 + d) + 17 * d + m) % 4096) - 2048).astype(np.int16)
 
 
+# --------------------------------------------------------------------------- #
+# MP4 container METADATA parsing (ISO BMFF box walk). The frame codec stays
+# stubbed; the container structure — the part a 100 TB pipeline needs for
+# routing/sampling decisions without decoding — parses for real.
+# --------------------------------------------------------------------------- #
+
+def encode_mp4_stub(timescale: int, duration: int, brand: bytes = b"isom") -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(mvhd v0). Payload carries no
+    samples — it is a deterministic container for metadata-parse tests."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    mvhd_body = (
+        b"\x00\x00\x00\x00"            # version 0 + flags
+        + struct.pack(">II", 0, 0)      # creation/modification time
+        + struct.pack(">I", timescale)
+        + struct.pack(">I", duration)
+        + b"\x00" * 80                  # rate, volume, matrix, next track id
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_body))
+    return ftyp + moov
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """ISO BMFF box walk -> {brand, timescale, duration, duration_ms,
+    boxes}. Handles 32-bit box sizes and version-0/1 mvhd; loud on junk."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) payload")
+    meta = {"brand": data[8:12].decode("latin1"), "boxes": []}
+
+    def walk(pos: int, end: int, depth: int = 0):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos:pos + 4])
+            tag = data[pos + 4:pos + 8]
+            if size < 8 or pos + size > end:
+                raise ValueError(f"bad box size {size} at {pos}")
+            if depth == 0:
+                meta["boxes"].append(tag.decode("latin1"))
+            if tag == b"moov":
+                walk(pos + 8, pos + size, depth + 1)
+            elif tag == b"mvhd":
+                ver = data[pos + 8]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", data[pos + 28:pos + 40])
+                else:
+                    ts, dur = struct.unpack(">II", data[pos + 20:pos + 28])
+                meta["timescale"], meta["duration"] = ts, dur
+            pos += size
+
+    walk(0, len(data))
+    if "timescale" not in meta:
+        raise ValueError("MP4 missing moov/mvhd")
+    meta["duration_ms"] = int(meta["duration"] * 1000 // max(meta["timescale"], 1))
+    return meta
+
+
+def mp4_meta_stats(media: DataFrame) -> DataFrame:
+    """video/mp4 -> (media_id, brand, timescale, duration_payload_ms): real
+    container metadata from the payload's own boxes (not the metadata
+    columns); frame decode remains the documented stub."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "brand": [], "timescale": [],
+                   "duration_payload_ms": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_mp4_meta(bytes(payload))
+                out["media_id"].append(mid)
+                out["brand"].append(m["brand"])
+                out["timescale"].append(m["timescale"])
+                out["duration_payload_ms"].append(m["duration_ms"])
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("mime") == "video/mp4")
+        .select("media_id", "payload")
+        .mapInPandas(
+            stats,
+            schema="media_id string, brand string, timescale int, "
+                   "duration_payload_ms int",
+        )
+    )
+
+
 def gen_media_df(spark, docs: int = 20, per_doc: int = 2, seed: int = 42) -> DataFrame:
     """Deterministic media table. Image payloads are REAL PNGs (closed-form
     pixels via gen_png_pixels -> encode_png) and audio payloads are REAL
@@ -266,8 +352,9 @@ def gen_media_df(spark, docs: int = 20, per_doc: int = 2, seed: int = 42) -> Dat
             elif kind == "audio":
                 payload = encode_wav(gen_wav_samples(d, m))
             else:
-                key = f"{seed}:{d}:{m}".encode()
-                payload = hashlib.blake2b(key, digest_size=64).digest()
+                # real ISO BMFF container (parseable metadata), no samples:
+                # duration matches the metadata column's 1000*(m+1) ms
+                payload = encode_mp4_stub(timescale=1000, duration=1000 * (m + 1))
             rows.append(
                 (
                     f"M{d:05d}_{m}",
