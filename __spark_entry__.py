@@ -1180,6 +1180,18 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_decode_stats(gen_media_df(spark, docs=30))
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Per-domain frequency cap (C4/Gopher-style): at most K docs per
+    source, selected by a deterministic md5 rank so the kept set is an
+    unbiased sample independent of ingestion order. Oracle replays the
+    identical window."""
+    from wbkg.ops.prep import cap_per_source
+
+    return cap_per_source(_read(spark, sf_dir, "documents"), max_per_key=40).select(
+        "doc_id", "source", "kept_rank"
+    )
+
+
 def q_media_mp4_meta(spark, sf_dir):
     """REAL MP4 container parsing (ISO BMFF box walk, wbkg/ops/multimodal.py
     parse_mp4_meta): brand/timescale/duration from the payload's own
@@ -1397,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_sum_avg": q_sparql_sum_avg,
         "sparql_filter_strfns": q_sparql_filter_strfns,
         "sparql_minus": q_sparql_minus,
+        "cap_per_source": q_cap_per_source,
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_plus": q_sparql_path_plus,
         "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -2126,6 +2139,16 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) FILTER (pv IS NOT NULL AND (v < 0) != (pv < 0)))::INTEGER
                        AS zero_crossings
             FROM x GROUP BY d
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source, kept_rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR || ':cap'), doc_id
+                       )::INTEGER AS kept_rank
+                FROM documents)
+            WHERE kept_rank <= 40
         """,
         "media_mp4_meta": """
             SELECT printf('M%05d_2', d.g) AS media_id,

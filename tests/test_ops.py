@@ -647,3 +647,22 @@ def test_mp4_meta_stats_spark(spark):
     for d in range(3):
         r = rows[f"M{d:05d}_2"]
         assert (r.brand, r.timescale, r.duration_payload_ms) == ("isom", 1000, 3000)
+
+
+def test_cap_per_source(spark):
+    from wbkg.ops.prep import cap_per_source
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(90)] + [(1000 + i, "hub") for i in range(300)],
+        "doc_id long, source string",
+    )
+    out = cap_per_source(docs, max_per_key=25)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"src0": 25, "src1": 25, "src2": 25, "hub": 25}
+    # deterministic + order/partition independent
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in cap_per_source(docs.repartition(13), max_per_key=25).collect()}
+    assert a == b
+    # unbiased-ish: the hub survivors are not simply the first 25 ids
+    hub = sorted(x for x in a if x >= 1000)
+    assert hub != list(range(1000, 1025))

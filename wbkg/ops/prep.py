@@ -139,3 +139,32 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("clean_text", clean).withColumn(
         "n_redactions", n_emails + n_urls
     )
+
+
+def cap_per_source(
+    df: DataFrame,
+    key_col: str = "source",
+    max_per_key: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain/source frequency cap: keep at most `max_per_key` documents per
+    `key_col` — the standard pretraining guard against a single domain
+    flooding the corpus (C4/Gopher-style per-domain limits).
+
+    Selection is a deterministic UNBIASED sample, not first-N: rows rank by
+    md5(id || ':cap') within their key, so which documents survive is
+    independent of ingestion order, partitioning, and any upstream sort —
+    re-running can never change the kept set. Adds (kept_rank).
+
+    Scale shape: one hash-partitioned window per key — the same single
+    shuffle a groupBy would take; no global sort, no driver state. Skewed
+    mega-domains are exactly the rows the cap discards, so the post-filter
+    output is skew-bounded by construction."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":cap"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("kept_rank", F.row_number().over(w))
+        .filter(F.col("kept_rank") <= max_per_key)
+    )
