@@ -1180,6 +1180,19 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_decode_stats(gen_media_df(spark, docs=30))
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (the 4x ANN-storage cut):
+    scale, per-element codes, and max reconstruction error, computed as
+    pure Catalyst array expressions. Codes explode to scalar rows (the
+    driver's value hash covers every element; array columns don't hash)."""
+    from wbkg.ops.similarity import quantize_embeddings
+
+    q = quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale", "recon_err", F.posexplode("codes").alias("dim", "code")
+    )
+
+
 def q_cap_per_source(spark, sf_dir):
     """Per-domain frequency cap (C4/Gopher-style): at most K docs per
     source, selected by a deterministic md5 rank so the kept set is an
@@ -1410,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_strfns": q_sparql_filter_strfns,
         "sparql_minus": q_sparql_minus,
         "cap_per_source": q_cap_per_source,
+        "quantize_embeddings": q_quantize_embeddings,
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_plus": q_sparql_path_plus,
         "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -2139,6 +2153,27 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) FILTER (pv IS NOT NULL AND (v < 0) != (pv < 0)))::INTEGER
                        AS zero_crossings
             FROM x GROUP BY d
+        """,
+        "quantize_embeddings": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0
+                            THEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+                            ELSE 1.0 END AS raw_scale
+                FROM embeddings),
+            c AS (
+                SELECT vec_id, raw_scale, embedding,
+                       list_transform(embedding,
+                           x -> floor(x::DOUBLE / raw_scale + 0.5)::INTEGER) AS codes
+                FROM s)
+            SELECT vec_id,
+                   round(raw_scale, 6) AS scale,
+                   round(list_max(list_transform(generate_series(1, len(codes)),
+                       i -> abs(codes[i]::DOUBLE * raw_scale - embedding[i]::DOUBLE))), 6)
+                       AS recon_err,
+                   (u.i - 1)::INTEGER AS dim,
+                   codes[u.i] AS code
+            FROM c, unnest(generate_series(1, len(codes))) u(i)
         """,
         "cap_per_source": """
             SELECT doc_id, source, kept_rank FROM (

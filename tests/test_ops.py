@@ -666,3 +666,23 @@ def test_cap_per_source(spark):
     # unbiased-ish: the hub survivors are not simply the first 25 ids
     hub = sorted(x for x in a if x >= 1000)
     assert hub != list(range(1000, 1025))
+
+
+def test_quantize_embeddings(spark):
+    import numpy as np
+
+    from wbkg.ops.similarity import quantize_embeddings
+
+    rows = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    scale = 1.0 / 127.0
+    assert abs(r1.scale - round(scale, 6)) < 1e-9
+    assert r1.codes == [int(np.floor(x / scale + 0.5)) for x in (0.5, -1.0, 0.25, 0.0)]
+    assert r1.max_code == 64  # 0.5/scale = 63.5 -> half-up 64
+    # error bounded by scale/2, computed with the UNROUNDED scale
+    assert r1.recon_err <= scale / 2 + 1e-9
+    # all-zero vector: scale falls back to 1.0, codes all zero
+    r2 = out[2]
+    assert r2.scale == 1.0 and r2.codes == [0, 0, 0, 0] and r2.recon_err == 0.0
