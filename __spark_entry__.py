@@ -1404,11 +1404,9 @@ def q_kg_pipeline_salted_edges(spark, sf_dir):
     return _edges_vs_oracle(spark, edges, n_docs)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: CORRECTNESS_r03 recorded exactly the FIRST 50 of 56
-    # registered queries, so the entries that have never (or not recently)
-    # had a driver-side check come FIRST — new round-4 queries, then the six
-    # the r03 run cut off, then the r03-green set.
+def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Unordered base registry — the public queries() applies the mechanical
+    # manifest ordering (registry_order) before the driver sees it.
     return {
         "percentile_filter": q_percentile_filter,
         "scrub_pii": q_scrub_pii,
@@ -1491,7 +1489,7 @@ ES_PAT = r"\b(el|la|de|que|los|una)\b"
 FR_PAT = r"\b(le|les|des|une|est|dans)\b"
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sqls() -> dict[str, str]:
     return {
         "a1_dedup_latest": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
@@ -2214,3 +2212,72 @@ def _kg_expected_sql(heuristic_ner: bool = False) -> str:
 
     n = len(oracle_pipeline(KG_N_DOCS, heuristic_ner=heuristic_ner))
     return f"SELECT {n}::BIGINT AS n_spark, {n}::BIGINT AS n_oracle, {n}::BIGINT AS n_matched"
+
+
+# --------------------------------------------------------------------------- #
+# Mechanical driver-window ordering (VERDICT r04 "What's wrong" #1).
+#
+# The driver records CORRECTNESS rows for only the FIRST 50 queries()
+# entries, so which entries get a fresh driver-side check is decided by dict
+# order — and hand-maintaining that order let an in-place edit (r04's
+# token_count) escape verification. The order is now computed:
+#   1. entries whose definition (query function source + oracle SQL) differs
+#      from the committed manifest — i.e. changed or brand-new since their
+#      last driver verification — come first, alphabetically;
+#   2. then unchanged entries, least-recently-verified round first, so every
+#      entry rotates back into the window within two rounds.
+# scripts/update_manifest.py refreshes scripts/oracle_manifest.json from a
+# round's CORRECTNESS_r{N}.json; tests/test_registry.py fails if a changed
+# entry would sit outside the 50-entry window or the manifest is stale in a
+# way ordering can't absorb.
+# --------------------------------------------------------------------------- #
+
+import hashlib as _hashlib
+import inspect as _inspect
+import json as _json
+import os as _os
+
+MANIFEST_PATH = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "scripts", "oracle_manifest.json"
+)
+DRIVER_WINDOW = 50
+
+
+def definition_hash(name: str, fns=None, sqls=None) -> str:
+    """Stable fingerprint of one registry entry: the query function's source
+    + its oracle SQL. Any edit to either marks the entry changed."""
+    fns = _query_fns() if fns is None else fns
+    sqls = _oracle_sqls() if sqls is None else sqls
+    body = _inspect.getsource(fns[name]) + "\n--oracle--\n" + sqls.get(name, "")
+    return _hashlib.sha256(body.encode()).hexdigest()[:16]
+
+
+def load_manifest() -> dict:
+    try:
+        with open(MANIFEST_PATH) as f:
+            return _json.load(f)
+    except OSError:
+        return {}
+
+
+def registry_order() -> list[str]:
+    fns, sqls = _query_fns(), _oracle_sqls()
+    manifest = load_manifest()
+
+    def key(name: str):
+        ent = manifest.get(name)
+        if ent is None or ent.get("hash") != definition_hash(name, fns, sqls):
+            return (0, -1, name)
+        return (1, ent.get("round", -1), name)
+
+    return sorted(fns, key=key)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    fns = _query_fns()
+    return {n: fns[n] for n in registry_order()}
+
+
+def oracle_sql() -> dict[str, str]:
+    sqls = _oracle_sqls()
+    return {n: sqls[n] for n in registry_order() if n in sqls}

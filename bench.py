@@ -3,6 +3,14 @@
 Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The final stdout line is kept COMPACT on purpose (VERDICT r04 #1: the driver
+captures only a tail of stdout and the r04 all-in-one line outgrew it);
+per-run kg timings + machine-state snapshots land in
+BENCH/kg_runs_latest.json and on stderr instead. The headline also runs an
+sf1 pass ("sf1_queries"): the five most shuffle-heavy LLM-data ops on a
+deterministic 10x tiling of the sf documents/embeddings tables
+(ensure_sf1) — large enough to expose shuffle behavior the sub-second
+sf0.1 runs hide.
 
 CANONICAL KG CORPUS (round-over-round comparability, VERDICT r01 #5): the
 kg_pipeline numbers are measured on the PINNED 6000-doc weight-8 corpus
@@ -182,6 +190,59 @@ def ensure_corpus(spark, n_docs: int, weight: int = 1) -> str:
     return path
 
 
+def ensure_sf1(spark, sf_dir: str) -> str:
+    """Deterministic sf1 documents/embeddings: the sf0.1 tables tiled 10x
+    with re-keyed ids. Replica 0 is byte-identical to the original (so exact
+    dedup still finds real duplicate mass); replicas 1..9 append a short
+    deterministic suffix / epsilon shift, which makes each document a
+    near-dup cluster of 10 — the realistic (and harder) shape for the
+    banded near-dup operators, whose candidate volume grows with cluster
+    size, not just row count. Materialized once under WBKG_BENCH_TMP; no
+    external data, nothing written to /root/testdata."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(BENCH_TMP, "sf1")
+    marker = os.path.join(path, "_SUCCESS_WBKG")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    reps = spark.range(10).withColumnRenamed("id", "rep")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.concat(F.col("text"), F.lit(" rep"), F.col("rep").cast("string"))
+    )
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(100_000)).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).alias("n_chars"),
+        )
+        .repartition(CPUS)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "documents.parquet"))
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(100_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x + F.col("rep").cast("float") * F.lit(0.0001)).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(CPUS)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "embeddings.parquet"))
+    )
+    open(marker, "w").write("ok")
+    return path
+
+
 CANON_DOCS = 6000
 CANON_WEIGHT = 8
 
@@ -353,9 +414,38 @@ def headline(sf_dir: str) -> dict:
         queries[name] = round(time.time() - t0, 3)
         log(f"[bench] {name}: {n} rows in {queries[name]}s")
 
+    log("[bench] sf1 pass: the 5 most shuffle-heavy LLM-data ops at 10x rows")
+    sf1_queries = {}
+    sf1_dir = ensure_sf1(spark, sf_dir)
+    for name in [
+        "dedup_ngram_prefiltered",
+        "dedup_minhash_lsh",
+        "dedup_embedding",
+        "repeated_passages",
+        "cap_per_source",
+    ]:
+        t0 = time.time()
+        n = qmap[name](spark, sf1_dir).count()
+        sf1_queries[name] = round(time.time() - t0, 3)
+        log(f"[bench] sf1 {name}: {n} rows in {sf1_queries[name]}s")
+
     total = round(time.time() - t_total0, 3)
     env1 = env_snapshot(True)
     spark.stop()
+
+    # Per-run diagnostics (kg_runs + env snapshots) go to a SIDE FILE and
+    # stderr, NOT the headline JSON: the driver captures only the tail of
+    # stdout, and r04's all-in-one line outgrew that window ("parsed": null
+    # in BENCH_r04.json) — the final stdout line must stay compact.
+    diag = {"kg_runs": kg_runs, "env_start": env0, "env_end": env1}
+    diag_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "kg_runs_latest.json"
+    )
+    os.makedirs(os.path.dirname(diag_path), exist_ok=True)
+    with open(diag_path, "w") as f:
+        json.dump(diag, f, indent=1)
+    log(f"[bench] per-run diagnostics written to {diag_path}: {json.dumps(diag)}")
+
     return {
         "metric": "headline_total_wall",
         "value": total,
@@ -364,14 +454,12 @@ def headline(sf_dir: str) -> dict:
         "sf": sf,
         "kg_n_docs": CANON_DOCS,
         "kg_doc_weight": CANON_WEIGHT,
-        "kg_corpus": "canonical (pinned; same corpus as BENCH/BASELINE.md scaling run)",
         "kg_triples": kg["triples"],
         "kg_triples_per_sec": round(kg["triples_per_sec"], 1),
         "kg_salted_triples_per_sec": round(kg_salted["triples_per_sec"], 1),
         "cpus": CPUS,
-        "kg_runs": kg_runs,
-        "env_start": env0,
-        "env_end": env1,
+        "sf1_queries": sf1_queries,
+        "sf1_rows": {"documents": 10, "embeddings": 10},  # x multiplier vs sf
     }
 
 
