@@ -750,6 +750,85 @@ def q_sparql_path_plus(spark, sf_dir):
     )
 
 
+def _nation_chain_edges(spark, sf_dir):
+    """Per-region nation chain as (subj, pred, obj) edges — the shared
+    fixture graph for the closure-path queries."""
+    n = _read(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    return (
+        n.withColumn("nxt", F.lead("n_nationkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit("urn:p:next").alias("pred"),
+            F.concat(F.lit("n:"), F.col("nxt").cast("string")).alias("obj"),
+        )
+    )
+
+
+def q_sparql_path_alt(spark, sf_dir):
+    """Property-path alternation <p1>|<p2> (SPARQL 1.1 §9, the most common
+    path operator after sequence): customer-nation and supplier-nation
+    memberships asked as one pattern. Compiles to a bag unionByName of the
+    two constant-predicate scans — no join, no shuffle beyond the scans."""
+    from wbkg.sparql import sparql_select
+
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("urn:p:cust_nation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("subj"),
+            F.lit("urn:p:supp_nation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?x ?n WHERE { ?x <urn:p:cust_nation>|<urn:p:supp_nation> ?n . }
+        """,
+    )
+
+
+def q_sparql_path_star(spark, sf_dir):
+    """Zero-or-more path <p>* (the isPartOf*-style hierarchy operator):
+    closure of the per-region nation chain UNION the graph-node identity
+    relation (SPARQL 1.1 §9.1 ZeroOrMorePath). The chain is ordered within
+    region, so the oracle states the closure as all ordered same-region
+    pairs plus one reflexive row per chain node."""
+    from wbkg.sparql import sparql_select
+
+    edges = _nation_chain_edges(spark, sf_dir)
+    return sparql_select(
+        edges, "SELECT ?a ?b WHERE { ?a <urn:p:next>* ?b . }"
+    )
+
+
+def q_sparql_bind(spark, sf_dir):
+    """BIND(expr AS ?v) — derived bindings via withColumn over the joined
+    pattern block; the expression compiler is shared with FILTER (CONCAT /
+    UCASE / STRLEN here, all Catalyst string functions)."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:name").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?lbl WHERE { ?n <urn:p:name> ?nm .
+            BIND(CONCAT(UCASE(?nm), "/", STRLEN(?nm)) AS ?lbl) }
+        """,
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -1424,6 +1503,9 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_plus": q_sparql_path_plus,
+        "sparql_path_alt": q_sparql_path_alt,
+        "sparql_path_star": q_sparql_path_star,
+        "sparql_bind": q_sparql_bind,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
         "kg_pipeline_heur_edges": q_kg_pipeline_heur_edges,
@@ -2013,6 +2095,27 @@ def _oracle_sqls() -> dict[str, str]:
               ON a.n_regionkey = b.n_regionkey
              AND b.n_nationkey > a.n_nationkey
             ORDER BY a, b
+        """,
+        "sparql_path_alt": """
+            SELECT 'c:' || c_custkey AS x, 'n:' || c_nationkey AS n FROM customer
+            UNION ALL
+            SELECT 's:' || s_suppkey AS x, 'n:' || s_nationkey AS n FROM supplier
+        """,
+        "sparql_path_star": """
+            SELECT 'n:' || a.n_nationkey AS a, 'n:' || b.n_nationkey AS b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+             AND b.n_nationkey > a.n_nationkey
+            UNION ALL
+            SELECT 'n:' || n.n_nationkey AS a, 'n:' || n.n_nationkey AS b
+            FROM nation n
+            WHERE (SELECT count(*) FROM nation x
+                   WHERE x.n_regionkey = n.n_regionkey) > 1
+        """,
+        "sparql_bind": """
+            SELECT 'n:' || n_nationkey AS n,
+                   upper(n_name) || '/' || length(n_name) AS lbl
+            FROM nation
         """,
         "sample_mixture": """
             WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),

@@ -486,3 +486,155 @@ def test_minus(graph):
         "SELECT ?e WHERE { ?e <p:in> ?n . MINUS { ?x <p:name> ?y . } } ORDER BY ?e",
     ).collect()
     assert [r.e for r in out2] == ["e:a", "e:b", "e:c"]
+
+
+def test_property_path_alternation(graph):
+    out = sparql_select(
+        graph, "SELECT ?s ?o WHERE { ?s <p:in>|<p:knows> ?o . } ORDER BY ?s ?o"
+    ).collect()
+    assert [(r.s, r.o) for r in out] == [
+        ("e:a", "e:a"), ("e:a", "e:b"), ("e:a", "n:1"),
+        ("e:b", "n:1"), ("e:c", "n:2"),
+    ]
+
+
+def test_property_path_grouped_alternation_closure(spark):
+    g = spark.createDataFrame(
+        [("x1", "p:next", "x2"), ("x2", "p:skip", "x3"), ("x3", "p:next", "x4")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_select(
+        g, "SELECT ?b WHERE { <x1> (<p:next>|<p:skip>)+ ?b . } ORDER BY ?b"
+    ).collect()
+    assert [r.b for r in out] == ["x2", "x3", "x4"]
+
+
+def test_property_path_star(spark):
+    chain = spark.createDataFrame(
+        [("x1", "p:next", "x2"), ("x2", "p:next", "x3"), ("x1", "p:other", "z9")],
+        "subj string, pred string, obj string",
+    )
+    # zero-or-more from a constant includes the zero-length match (b = x1)
+    out = sparql_select(
+        chain, "SELECT ?b WHERE { <x1> <p:next>* ?b . } ORDER BY ?b"
+    ).collect()
+    assert [r.b for r in out] == ["x1", "x2", "x3"]
+    # subject = object: every graph node zero-length-matches itself
+    refl = sparql_select(
+        chain, "SELECT ?a WHERE { ?a <p:next>* ?a . } ORDER BY ?a"
+    ).collect()
+    assert [r.a for r in refl] == ["x1", "x2", "x3", "z9"]
+
+
+def test_property_path_zero_or_one(spark):
+    chain = spark.createDataFrame(
+        [("x1", "p:next", "x2"), ("x2", "p:next", "x3")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_select(
+        chain, "SELECT ?b WHERE { <x1> <p:next>? ?b . } ORDER BY ?b"
+    ).collect()
+    # zero-length (x1 itself) + exactly one step (x2), never two
+    assert [r.b for r in out] == ["x1", "x2"]
+    # inverse of a modified path: ^p? from the middle node
+    inv = sparql_select(
+        chain, "SELECT ?b WHERE { <x2> ^<p:next>? ?b . } ORDER BY ?b"
+    ).collect()
+    assert [r.b for r in inv] == ["x1", "x2"]
+
+
+def test_property_path_star_sequence(spark):
+    """isPartOf*-style hierarchy hop: closure followed by a plain step."""
+    g = spark.createDataFrame(
+        [("leaf", "p:part", "mid"), ("mid", "p:part", "root"),
+         ("root", "p:label", "ROOT"), ("mid", "p:label", "MID")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_select(
+        g, "SELECT ?l WHERE { <leaf> <p:part>*/<p:label> ?l . } ORDER BY ?l"
+    ).collect()
+    # zero steps -> leaf has no label; 1 step -> MID; 2 steps -> ROOT
+    assert [r.l for r in out] == ["MID", "ROOT"]
+
+
+def test_bind_expressions(graph):
+    out = sparql_select(
+        graph,
+        'SELECT ?e ?lbl WHERE { ?e <p:in> ?n . ?n <p:name> ?nm . '
+        'BIND(CONCAT(?e, "-", UCASE(?nm)) AS ?lbl) } ORDER BY ?e',
+    ).collect()
+    assert [(r.e, r.lbl) for r in out] == [
+        ("e:a", "e:a-ALPHA"), ("e:b", "e:b-ALPHA"), ("e:c", "e:c-BETA")
+    ]
+    # STRLEN stringifies (the graph stores strings); chained binds see
+    # earlier bind vars; REPLACE is regex-based (fn:replace)
+    out2 = sparql_select(
+        graph,
+        "SELECT ?nm ?len ?both WHERE { ?n <p:name> ?nm . "
+        'BIND(STRLEN(?nm) AS ?len) BIND(CONCAT(REPLACE(?nm, "a$", "A"), "/", ?len) AS ?both) } '
+        "ORDER BY ?nm",
+    ).collect()
+    assert [(r.nm, r.len, r.both) for r in out2] == [
+        ("alpha", "5", "alphA/5"), ("beta", "4", "betA/4")
+    ]
+
+
+def test_bind_usable_in_filter_and_errors(graph):
+    out = sparql_select(
+        graph,
+        "SELECT ?nm WHERE { ?n <p:name> ?nm . "
+        'BIND(UCASE(?nm) AS ?up) FILTER(?up = "ALPHA") }',
+    ).collect()
+    assert [r.nm for r in out] == ["alpha"]
+    with pytest.raises(SparqlError):  # rebinding a bound variable
+        sparql_select(
+            graph, "SELECT ?n WHERE { ?n <p:name> ?nm . BIND(UCASE(?nm) AS ?nm) }"
+        )
+    with pytest.raises(SparqlError):  # expr over an unbound variable
+        sparql_select(
+            graph, "SELECT ?n WHERE { ?n <p:name> ?nm . BIND(UCASE(?zz) AS ?u) }"
+        )
+    with pytest.raises(SparqlError):  # malformed: missing AS ?var
+        sparql_select(graph, "SELECT ?n WHERE { ?n <p:name> ?nm . BIND(?nm) }")
+
+
+@pytest.fixture(scope="module")
+def null_key_graph(spark):
+    """Outer (?e p ?n) rows where OPTIONAL leaves ?k null for e=b; the
+    inner group binds BOTH e and k — the corner where Spark's null-unequal
+    equi-join keys diverge from SPARQL's per-solution compatibility."""
+    return spark.createDataFrame(
+        [("a", "p:p", "1"), ("b", "p:p", "1"), ("a", "p:q", "x"), ("b", "p:r", "z")],
+        "subj string, pred string, obj string",
+    )
+
+
+def test_minus_with_optional_null_shared_key(null_key_graph):
+    # mu1 = {e:b, k:unbound}: unbound k is COMPATIBLE with the inner
+    # solution {e:b, k:z} and dom overlap holds via ?e -> row removed
+    # (SPARQL 1.1 8.3); a null-unequal equi anti join would keep it.
+    out = sparql_select(
+        null_key_graph,
+        "SELECT ?e WHERE { ?e <p:p> ?n . OPTIONAL { ?e <p:q> ?k } "
+        "MINUS { ?e <p:r> ?k . } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out] == ["a"]
+
+
+def test_exists_with_optional_null_shared_key(null_key_graph):
+    # EXISTS substitutes the outer solution: unbound ?k stays a free
+    # variable, so {e:b, k:null} passes (b r z matches) while
+    # {e:a, k:x} fails (no `a r x` triple).
+    out = sparql_select(
+        null_key_graph,
+        "SELECT ?e WHERE { ?e <p:p> ?n . OPTIONAL { ?e <p:q> ?k } "
+        "FILTER EXISTS { ?e <p:r> ?k . } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out] == ["b"]
+    # and NOT EXISTS is its exact complement
+    out2 = sparql_select(
+        null_key_graph,
+        "SELECT ?e WHERE { ?e <p:p> ?n . OPTIONAL { ?e <p:q> ?k } "
+        "FILTER NOT EXISTS { ?e <p:r> ?k . } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out2] == ["a"]

@@ -37,7 +37,7 @@ def test_any_valid_bgp_parses(vars_, pred_iri, use_prefix, pfx, local):
         want_pred = pred_iri
     select_vars, _d, groups, _pfx, _agg, _g, _ov, _lim = parse_sparql(q)
     assert select_vars == [s, o]
-    (patterns, _opts, _filters, _values, _exists), = groups
+    (patterns, _opts, _filters, _values, _exists, _binds), = groups
     (subj, pred, obj), = patterns
     assert subj.kind == "var" and subj.value == s
     assert pred.kind == "const" and pred.value == want_pred

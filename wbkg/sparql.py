@@ -23,9 +23,19 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
     ASK [WHERE] { ... }                      # sparql_ask -> bool
     WHERE { ... FILTER [NOT] EXISTS { ... } }  # semi/anti join gate
     WHERE { ... MINUS { ... } }             # anti join; disjoint = identity
+    WHERE { ... BIND(expr AS ?v) }          # derived binding (withColumn)
     GROUP BY ?a [?b ...]
     ORDER BY ?a [ASC(?b)|DESC(?b) ...]
     LIMIT n
+
+Property paths in the predicate position (SPARQL 1.1 §9 subset, IRI-only):
+sequence `p/q`, inverse `^p`, alternation `p|q`, one-or-more `p+`,
+zero-or-more `p*`, zero-or-one `p?`, and parenthesized groups like
+`(p|q)+`. `/` compiles to an equi-join chain, `|` to a bag union, `^`
+pushes column-swap to the leaves, and `+` to a doubling semi-naive
+transitive closure; `*`/`?` union the graph-node identity relation per
+§9.1 ZeroOrMorePath. The closure runs EAGERLY at compile time — see
+sparql_select's docstring.
 
 Terms: ?var, <iri>, pfx:local, "literal". OPTIONAL groups compile to left
 joins on the shared variables; top-level UNION branches compile
@@ -35,11 +45,10 @@ bag semantics). FILTER(...) supports comparisons
 REGEX(?v, "pat"), BOUND(?v), CONTAINS/STRSTARTS/STRENDS(?v, "s")
 and && || ! ( ), compiled to Column
 predicates applied over the joined pattern block — Catalyst then pushes
-the sargable ones down into the scans on its own. sparql_construct gives
-the CONSTRUCT verb (template-projected triple set). No property paths —
-those are the DataFrame API's job (wbkg/query.py's BFS); the point here
-is parity for the common "pattern-match the graph" ask, not a SPARQL
-engine.
+the sargable ones down into the scans on its own. Comparison operands and
+BIND expressions share a value-expression subset: CONCAT, STR, UCASE,
+LCASE, STRLEN, REPLACE (regex, fn:replace). sparql_construct gives
+the CONSTRUCT verb (template-projected triple set).
 
 Plan shape at 100 TB: each triple pattern becomes one scan of the edges
 table with its constant terms pushed down as filters — a constant predicate
@@ -67,7 +76,7 @@ _TOKEN = re.compile(
       | "(?:[^"\\]|\\.)*"  # literal
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*   # prefixed name
       | \ba\b              # rdf:type shorthand
-      | [.{}/+^]""",
+      | [.{}/+^|*?()]""",
     re.X,
 )
 
@@ -79,17 +88,43 @@ class _Term:
 
 
 @dataclass
-class _PathUnit:
-    inverse: bool   # ^iri — swap subject/object
-    iri: str        # constant predicate (property paths are IRI-only)
-    plus: bool      # iri+ — one-or-more (transitive closure)
+class _PathStep:
+    """Leaf: a (possibly inverted) constant-IRI step."""
+
+    iri: str
+    inverse: bool  # ^iri — swap subject/object
+
+
+@dataclass
+class _PathSeq:
+    """a/b/... — equi-join chain of sub-paths."""
+
+    items: list
+
+
+@dataclass
+class _PathAlt:
+    """a|b|... — bag union of sub-paths (SPARQL alternation keeps
+    duplicate solutions; the surrounding SELECT decides DISTINCT)."""
+
+    items: list
+
+
+@dataclass
+class _PathMod:
+    """child+ / child* / child? — closure / reflexive-closure /
+    zero-or-one. '+', '*' and '?' produce solution SETS (SPARQL 1.1 §9.1
+    ArbitraryLengthPath / ZeroOrMorePath are defined over node sets)."""
+
+    child: object
+    mod: str  # "+" | "*" | "?"
 
 
 @dataclass
 class _Path:
-    """Predicate position holding a property path: units joined by '/'."""
+    """Predicate position holding a property-path AST (root node)."""
 
-    units: list
+    root: object
 
     # duck-type as a non-var term for code that only checks .kind
     kind = "path"
@@ -123,10 +158,21 @@ _FILTER_TOKEN = re.compile(
       | <[^>\s]*>
       | "(?:[^"\\]|\\.)*"
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*
-      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS)\b
-      | !=|<=|>=|&&|\|\||[=<>!()]""",
+      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STR)\b
+      | !=|<=|>=|&&|\|\||[=<>!(),]""",
     re.X,
 )
+
+# value-producing builtins usable in BIND expressions and on either side of
+# a FILTER comparison; (min_args, max_args)
+_VALUE_FNS = {
+    "CONCAT": (1, 99),
+    "STR": (1, 1),
+    "UCASE": (1, 1),
+    "LCASE": (1, 1),
+    "STRLEN": (1, 1),
+    "REPLACE": (3, 3),
+}
 
 
 class _FilterParser:
@@ -155,6 +201,12 @@ class _FilterParser:
         got = self._next()
         if got != tok:
             raise SparqlError(f"expected {tok!r} in FILTER, got {got!r}")
+
+    def _accept(self, tok: str) -> bool:
+        if self._peek() == tok:
+            self._next()
+            return True
+        return False
 
     def parse(self):
         col = self._or()
@@ -190,6 +242,44 @@ class _FilterParser:
             return F.col(t.value)
         return F.lit(t.value)
 
+    def parse_value(self):
+        """Entry point for BIND: a single value expression -> Column."""
+        col = self._value(self._next())
+        if self._peek() is not None:
+            raise SparqlError(f"trailing tokens in expression: {self.toks[self.i:]}")
+        return col
+
+    def _value(self, tok: str):
+        """Value expression: term | CONCAT(v,...) | STR(v) | UCASE(v) |
+        LCASE(v) | STRLEN(v) | REPLACE(v, "pat", "rep"). Everything stays a
+        string column (the graph stores strings; STRLEN stringifies), so
+        BIND output unions/compares like any other graph value."""
+        fn = tok.upper()
+        if fn in _VALUE_FNS:
+            lo, hi = _VALUE_FNS[fn]
+            self._expect("(")
+            args = [self._value(self._next())]
+            while self._peek() == ",":
+                self._next()
+                args.append(self._value(self._next()))
+            self._expect(")")
+            if not lo <= len(args) <= hi:
+                raise SparqlError(f"{fn} takes {lo}..{hi} arguments, got {len(args)}")
+            if fn == "CONCAT":
+                return F.concat(*args)
+            if fn == "STR":
+                return args[0].cast("string")
+            if fn == "UCASE":
+                return F.upper(args[0])
+            if fn == "LCASE":
+                return F.lower(args[0])
+            if fn == "STRLEN":
+                return F.length(args[0]).cast("string")
+            # REPLACE is regex-based in SPARQL 1.1 (fn:replace)
+            pat, rep = args[1], args[2]
+            return F.regexp_replace(args[0], pat, rep)
+        return self._term_col(tok)
+
     def _prim(self):
         tok = self._next()
         if tok == "(":
@@ -198,7 +288,8 @@ class _FilterParser:
             return col
         if tok.upper() == "REGEX":
             self._expect("(")
-            target = self._term_col(self._next())
+            target = self._value(self._next())
+            self._accept(",")
             pat_tok = self._next()
             if not pat_tok.startswith('"'):
                 raise SparqlError("REGEX pattern must be a string literal")
@@ -208,7 +299,8 @@ class _FilterParser:
         if tok.upper() in ("CONTAINS", "STRSTARTS", "STRENDS"):
             fn = tok.upper()
             self._expect("(")
-            target = self._term_col(self._next())
+            target = self._value(self._next())
+            self._accept(",")
             arg_tok = self._next()
             if not arg_tok.startswith('"'):
                 raise SparqlError(f"{fn} needs a string literal second argument")
@@ -227,9 +319,9 @@ class _FilterParser:
             col = self._term_col(var)
             self._expect(")")
             return col.isNotNull()
-        left = self._term_col(tok)
+        left = self._value(tok)
         op = self._next()
-        right = self._term_col(self._next())
+        right = self._value(self._next())
         ops = {
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -262,7 +354,7 @@ def _parse_patterns(block: str, prefixes: dict[str, str]):
     for g in patterns:
         if len(g) < 3:
             raise SparqlError(f"triple pattern must have 3 terms: {g!r}")
-        if len(g) == 3 and not any(t in "/+^" for t in g):
+        if len(g) == 3 and not any(t in "/+^|*?()" for t in g):
             out.append(tuple(_parse_term(t, prefixes) for t in g))
             continue
         out.append(
@@ -276,32 +368,90 @@ def _parse_patterns(block: str, prefixes: dict[str, str]):
 
 
 def _parse_path(mid: list, prefixes: dict[str, str]) -> _Path:
-    """['^'] iri ['+'] ('/' ['^'] iri ['+'])* -> _Path. Property paths are
-    IRI-only (SPARQL 1.1 §9); a variable inside a path is an error."""
-    units, i = [], 0
-    while i < len(mid):
+    """Recursive-descent parse of the predicate-position token list into a
+    property-path AST (SPARQL 1.1 §9 subset):
+
+        alt  := seq ('|' seq)*
+        seq  := elt ('/' elt)*
+        elt  := ['^'] prim ['+' | '*' | '?']
+        prim := iri | '(' alt ')'
+
+    Property paths are IRI-only; a variable inside a path is an error.
+    Note ^p+ parses (per the SPARQL grammar) as (^p)+ — equal to ^(p+) by
+    reversal, so no expressiveness is lost."""
+    if not mid:
+        raise SparqlError("empty property path")
+    pos = 0
+
+    def peek():
+        return mid[pos] if pos < len(mid) else None
+
+    def alt():
+        nonlocal pos
+        items = [seq()]
+        while peek() == "|":
+            pos += 1
+            items.append(seq())
+        return items[0] if len(items) == 1 else _PathAlt(items)
+
+    def seq():
+        nonlocal pos
+        items = [elt()]
+        while peek() == "/":
+            pos += 1
+            items.append(elt())
+        return items[0] if len(items) == 1 else _PathSeq(items)
+
+    def elt():
+        nonlocal pos
         inv = False
-        if mid[i] == "^":
+        if peek() == "^":
             inv = True
-            i += 1
-        if i >= len(mid) or mid[i] in "/+^":
+            pos += 1
+        node = prim()
+        if inv:
+            node = _invert(node)
+        if peek() in ("+", "*", "?"):
+            node = _PathMod(node, mid[pos])
+            pos += 1
+        return node
+
+    def prim():
+        nonlocal pos
+        tok = peek()
+        if tok is None or tok in "/+^|*?)":
             raise SparqlError(f"malformed property path: {mid!r}")
-        t = _parse_term(mid[i], prefixes)
+        if tok == "(":
+            pos += 1
+            node = alt()
+            if peek() != ")":
+                raise SparqlError(f"unbalanced parentheses in property path: {mid!r}")
+            pos += 1
+            return node
+        t = _parse_term(tok, prefixes)
         if t.kind != "const":
             raise SparqlError("property-path elements must be IRIs, not variables")
-        i += 1
-        plus = False
-        if i < len(mid) and mid[i] == "+":
-            plus = True
-            i += 1
-        units.append(_PathUnit(inv, t.value, plus))
-        if i < len(mid):
-            if mid[i] != "/" or i + 1 >= len(mid):
-                raise SparqlError(f"malformed property path: {mid!r}")
-            i += 1
-    if not units:
-        raise SparqlError(f"empty property path: {mid!r}")
-    return _Path(units)
+        pos += 1
+        return _PathStep(t.value, inverse=False)
+
+    root = alt()
+    if pos != len(mid):
+        raise SparqlError(f"malformed property path: {mid!r}")
+    return _Path(root)
+
+
+def _invert(node):
+    """^path — push the inverse down to the leaves: (p/q)^- = q^-/p^-,
+    (p|q)^- = p^-|q^-, (p+)^- = (p^-)+."""
+    if isinstance(node, _PathStep):
+        return _PathStep(node.iri, inverse=not node.inverse)
+    if isinstance(node, _PathSeq):
+        return _PathSeq([_invert(c) for c in reversed(node.items)])
+    if isinstance(node, _PathAlt):
+        return _PathAlt([_invert(c) for c in node.items])
+    if isinstance(node, _PathMod):
+        return _PathMod(_invert(node.child), node.mod)
+    raise SparqlError(f"cannot invert path node {node!r}")
 
 
 def _extract_filters(where: str):
@@ -337,10 +487,53 @@ def _extract_filters(where: str):
         where = where[:m.start()] + " " + where[j:]
 
 
+def _extract_binds(where: str):
+    """Lift BIND(expr AS ?v) blocks (balanced parens, string-literal aware)
+    out of a pattern block, in document order. -> (residual_text,
+    [(expr_text, var), ...])."""
+    binds = []
+    pat = re.compile(r"(?i)\bBIND\s*\(")
+    while True:
+        m = pat.search(where)
+        if not m:
+            return where, binds
+        depth, j, in_str, esc = 1, m.end(), False, False
+        while j < len(where) and depth:
+            c = where[j]
+            if in_str:
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == '"':
+                    in_str = False
+            else:
+                if c == '"':
+                    in_str = True
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+            j += 1
+        if depth:
+            raise SparqlError("unbalanced parentheses in BIND")
+        inner = where[m.end():j - 1]
+        am = re.search(r"(?is)^(.*)\sAS\s+\?([A-Za-z_][\w]*)\s*$", inner)
+        if not am:
+            raise SparqlError(f"expected BIND(expr AS ?var), got BIND({inner})")
+        binds.append((am.group(1).strip(), am.group(2)))
+        where = where[:m.start()] + " " + where[j:]
+
+
 def _parse_group(text: str, prefixes: dict[str, str]):
-    """One conjunctive group: lift OPTIONALs, VALUES and FILTERs, parse the
-    rest as triple patterns. -> (patterns, optionals, filters, values).
-    values: list of (var, [constants]) inline-binding restrictions."""
+    """One conjunctive group: lift OPTIONALs, VALUES, BINDs and FILTERs,
+    parse the rest as triple patterns. -> (patterns, optionals, filters,
+    values, exists_groups, binds).
+    values: list of (var, [constants]) inline-binding restrictions.
+    binds: [(expr_text, var)] in document order — compiled to withColumn
+    after the group's joins, before VALUES/FILTER application (a superset
+    of SPARQL's positional scope: later binds and group filters may
+    reference earlier bind variables)."""
     optionals = []  # (patterns, filter_texts)
 
     def _lift(mo):
@@ -391,13 +584,14 @@ def _parse_group(text: str, prefixes: dict[str, str]):
     required = re.sub(r"(?is)\bMINUS\s*\{([^{}]*)\}", _lift_minus, required)
     if re.search(r"[{}]", required):
         raise SparqlError("unbalanced braces / nested groups not supported")
+    required, binds = _extract_binds(required)
     required, filters = _extract_filters(required)
     patterns = _parse_patterns(required, prefixes)
     if not patterns:
         raise SparqlError("empty WHERE block")
     if any(not pats for pats, _f in optionals):
         raise SparqlError("empty OPTIONAL block")
-    return patterns, optionals, filters, values, exists_groups
+    return patterns, optionals, filters, values, exists_groups, binds
 
 
 def _split_union(where: str):
@@ -448,8 +642,8 @@ def _split_union(where: str):
 def parse_sparql(query: str):
     """-> (select_vars | None for *, distinct, groups, prefixes,
     aggregates, group_vars, order_vars, limit). groups: one
-    (patterns, optionals, filters, values, exists_groups) tuple per UNION
-    branch (a plain WHERE body is one group); patterns: (subj, pred, obj)
+    (patterns, optionals, filters, values, exists_groups, binds) tuple per
+    UNION branch (a plain WHERE body is one group); patterns: (subj, pred, obj)
     _Term triples; filters: raw FILTER expression strings (compiled against
     the bound variables in sparql_select); exists_groups: (negated,
     patterns) for FILTER [NOT] EXISTS; order_vars: (var, ascending)."""
@@ -577,27 +771,75 @@ def _path_closure(step: DataFrame, max_iters: int = PATH_MAX_ITERS) -> DataFrame
     return total
 
 
+def _graph_nodes(edges: DataFrame) -> DataFrame:
+    """The zero-length-path identity relation: every node of the graph
+    (term in subject or object position), as (a, b=a) pairs. SPARQL 1.1
+    §9.1 evaluates a zero-length path over the graph's node set; two scans
+    of one table + a partial-aggregated distinct, no payload shuffle.
+
+    Known deviation (documented, rdflib differs): a CONSTANT subject/object
+    that appears nowhere in the graph does not zero-length-match itself
+    here — the identity relation is built from the graph, and the
+    surrounding join filters constants against it."""
+    nodes = (
+        edges.select(F.col("subj").alias("a"))
+        .unionByName(edges.select(F.col("obj").alias("a")))
+        .distinct()
+    )
+    return nodes.select("a", F.col("a").alias("b"))
+
+
 def _compile_path(edges: DataFrame, path: _Path) -> DataFrame:
-    """Property path -> (a, b) pair DataFrame: each unit is a filtered scan
-    of the edges table (constant predicate pushed down), '^' swaps the
-    columns, '+' takes the transitive closure, '/' chains by equi-join."""
-    pair = None
-    for u in path.units:
-        unit = edges.filter(F.col("pred") == u.iri).select(
-            F.col("obj" if u.inverse else "subj").alias("a"),
-            F.col("subj" if u.inverse else "obj").alias("b"),
+    """Property-path AST -> (a, b) pair DataFrame.
+
+    - step: one filtered scan of the edges table (constant predicate pushed
+      down; prunes whole partitions under --partition-edges-by-pred),
+      '^' swaps the columns.
+    - '/': chain by equi-join (Catalyst/AQE picks broadcast-vs-shuffle).
+    - '|': bag unionByName of the branch relations (no implicit distinct —
+      SPARQL alternation has bag semantics).
+    - '+': transitive closure (solution set, _path_closure).
+    - '*': closure UNION the graph-node identity relation, distinct.
+    - '?': step UNION the identity relation, distinct.
+
+    '+'/'*' run EAGER Spark jobs (the closure loop materializes per
+    doubling round) at compile time — see sparql_select's docstring."""
+    return _compile_path_node(edges, path.root)
+
+
+def _compile_path_node(edges: DataFrame, node) -> DataFrame:
+    if isinstance(node, _PathStep):
+        return edges.filter(F.col("pred") == node.iri).select(
+            F.col("obj" if node.inverse else "subj").alias("a"),
+            F.col("subj" if node.inverse else "obj").alias("b"),
         )
-        if u.plus:
-            unit = _path_closure(unit)
-        if pair is None:
-            pair = unit
-        else:
+    if isinstance(node, _PathSeq):
+        pair = None
+        for child in node.items:
+            unit = _compile_path_node(edges, child)
             pair = (
-                pair.withColumnRenamed("b", "_m")
+                unit
+                if pair is None
+                else pair.withColumnRenamed("b", "_m")
                 .join(unit.withColumnRenamed("a", "_m"), "_m")
                 .select("a", "b")
             )
-    return pair
+        return pair
+    if isinstance(node, _PathAlt):
+        out = None
+        for child in node.items:
+            unit = _compile_path_node(edges, child)
+            out = unit if out is None else out.unionByName(unit)
+        return out
+    if isinstance(node, _PathMod):
+        step = _compile_path_node(edges, node.child)
+        if node.mod == "+":
+            return _path_closure(step)
+        ident = _graph_nodes(edges)
+        if node.mod == "*":
+            return _path_closure(step).unionByName(ident).distinct()
+        return step.unionByName(ident).distinct()  # '?': zero-or-one
+    raise SparqlError(f"cannot compile path node {node!r}")
 
 
 def _compile_bgp(edges: DataFrame, patterns, tag: str):
@@ -644,7 +886,15 @@ def _compile_bgp(edges: DataFrame, patterns, tag: str):
 def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     """Run a SPARQL BGP SELECT against an edges table with (subj, pred, obj)
     string columns. Returns one column per selected variable; variables bound
-    only in an unmatched OPTIONAL group come back null, as in SPARQL."""
+    only in an unmatched OPTIONAL group come back null, as in SPARQL.
+
+    Evaluation contract: compilation is lazy (a DataFrame plan comes back
+    untouched) EXCEPT for `+`/`*` property paths — the transitive closure
+    is an inherently iterative fixpoint, so _path_closure runs its doubling
+    rounds (distinct/localCheckpoint/take per round, bounded by
+    PATH_MAX_ITERS) while this function builds the plan. A query with a
+    closure path therefore does Spark work before the caller's first
+    action; every other construct defers."""
     (
         select_vars,
         distinct,
@@ -656,8 +906,9 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         limit,
     ) = parse_sparql(query)
 
-    def compile_group(gidx, patterns, optionals, filters, values, exists_groups):
+    def compile_group(gidx, patterns, optionals, filters, values, exists_groups, binds):
         plan, bound = _compile_bgp(edges, patterns, f"u{gidx}r")
+        nullable: set[str] = set()  # vars an unmatched OPTIONAL can leave null
         for gi, (opt_patterns, opt_filters) in enumerate(optionals):
             opt_plan, opt_bound = _compile_bgp(edges, opt_patterns, f"u{gidx}o{gi}")
             # a FILTER inside OPTIONAL scopes to the optional group: it
@@ -674,6 +925,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             if not keys:
                 raise SparqlError("OPTIONAL group shares no variable with the required patterns")
             plan = plan.join(opt_plan, keys, "left")
+            nullable |= opt_bound - bound
             bound |= opt_bound
         for gi, (mode, ex_patterns) in enumerate(exists_groups):
             # FILTER [NOT] EXISTS { ... } = semi/anti join on the shared
@@ -692,11 +944,54 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                 raise SparqlError(
                     "FILTER EXISTS group shares no variable with the outer patterns"
                 )
+            null_keys = [k for k in keys if k in nullable]
+            if not null_keys:
+                # no shared key can be null: plain equi semi/anti join —
+                # shuffle- or broadcast-hash, the plan you want at scale
+                plan = plan.join(
+                    ex_plan.select(*keys),
+                    keys,
+                    "left_semi" if mode == "exists" else "left_anti",
+                )
+                continue
+            # An OPTIONAL-bound shared key can be null = unbound, and
+            # SPARQL's per-solution compatibility says unbound matches
+            # anything (for EXISTS, the unbound var stays free; for MINUS,
+            # compatibility plus a dom-overlap requirement — at least one
+            # shared var actually bound on the outer side, else nothing is
+            # removed, SPARQL 1.1 §8.3). Spark's null-unequal equi-join
+            # keys get that wrong in both directions, so compile an
+            # explicit condition: null outer key OR equal. This is a
+            # non-equi join (broadcast nested loop on the DEDUPED inner
+            # key set — bounded by the inner group's distinct key combos,
+            # small for selective gates); the fast path above covers every
+            # query without OPTIONAL-shared keys.
+            inner = ex_plan.select(
+                *[F.col(k).alias(f"__ex_{k}") for k in keys]
+            ).dropDuplicates()
+            compat = None
+            for k in keys:
+                c = F.col(k).isNull() | (F.col(k) == F.col(f"__ex_{k}"))
+                compat = c if compat is None else compat & c
+            if mode == "minus":
+                overlap = None
+                for k in keys:
+                    c = F.col(k).isNotNull()
+                    overlap = c if overlap is None else overlap | c
+                compat = compat & overlap
             plan = plan.join(
-                ex_plan.select(*keys),
-                keys,
-                "left_semi" if mode == "exists" else "left_anti",
+                inner, compat, "left_semi" if mode == "exists" else "left_anti"
             )
+        for expr_text, var in binds:
+            # BIND(expr AS ?v) -> withColumn; expr reuses the FILTER
+            # expression compiler's value subset (CONCAT/STR/UCASE/LCASE/
+            # STRLEN/REPLACE + terms), stays a string column, and is
+            # visible to later binds, VALUES and group FILTERs
+            if var in bound:
+                raise SparqlError(f"BIND would rebind already-bound variable ?{var}")
+            col = _FilterParser(expr_text, prefixes, bound).parse_value()
+            plan = plan.withColumn(var, col)
+            bound.add(var)
         for var, consts in values:
             # inline bindings restrict an already-bound variable; isin is an
             # In predicate Catalyst pushes into the scans
