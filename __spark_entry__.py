@@ -1259,6 +1259,19 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_decode_stats(gen_media_df(spark, docs=30))
 
 
+def q_media_video_decode(spark, sf_dir):
+    """REAL MP4 frame decode (pure-stdlib ISO BMFF sample-table walk,
+    wbkg/ops/multimodal.py decode_mp4_frames): dims from the stsd 'raw '
+    entry, frames sliced out of mdat via stsz/stco. Synthetic frames are
+    closed-form (r=(x+2f+base)%256, g=(y+3f+base)%256, b=(x+y+f+base)%256,
+    base=(2d+m)%251, m=2), so the oracle replays every per-frame channel
+    mean over a generated (f, x, y) grid — any sample-table or slicing bug
+    shifts the means and fails the hash."""
+    from wbkg.ops.multimodal import gen_media_df, video_decode_stats
+
+    return video_decode_stats(gen_media_df(spark, docs=30, per_doc=3))
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector symmetric int8 quantization (the 4x ANN-storage cut):
     scale, per-element codes, and max reconstruction error, computed as
@@ -1493,6 +1506,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": q_media_png_decode,
         "media_wav_decode": q_media_wav_decode,
         "media_mp4_meta": q_media_mp4_meta,
+        "media_video_decode": q_media_video_decode,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
         "sparql_not_exists": q_sparql_not_exists,
@@ -2235,6 +2249,22 @@ def _oracle_sqls() -> dict[str, str]:
                    round(avg((2*x + base) % 256), 4) AS mean_g,
                    round(avg((3*y + base) % 256), 4) AS mean_b
             FROM px GROUP BY d
+        """,
+        "media_video_decode": """
+            WITH px AS (
+                SELECT d.g AS d, f.g AS f, x.g AS x, y.g AS y,
+                       (2*d.g + 2) % 251 AS base
+                FROM generate_series(0, 29) d(g), generate_series(0, 3) f(g),
+                     generate_series(0, 31) x(g), generate_series(0, 23) y(g)
+            )
+            SELECT printf('M%05d_2', d) AS media_id,
+                   4::INTEGER AS n_frames,
+                   32::INTEGER AS width, 24::INTEGER AS height,
+                   f::INTEGER AS frame_idx,
+                   round(avg((x + 2*f + base) % 256), 4) AS mean_r,
+                   round(avg((y + 3*f + base) % 256), 4) AS mean_g,
+                   round(avg((x + y + f + base) % 256), 4) AS mean_b
+            FROM px GROUP BY d, f
         """,
         "media_wav_decode": """
             WITH s AS (

@@ -686,3 +686,70 @@ def test_quantize_embeddings(spark):
     # all-zero vector: scale falls back to 1.0, codes all zero
     r2 = out[2]
     assert r2.scale == 1.0 and r2.codes == [0, 0, 0, 0] and r2.recon_err == 0.0
+
+
+def test_mp4_rgb_codec_pure():
+    import numpy as np
+
+    from wbkg.ops.multimodal import (
+        decode_mp4_frames,
+        encode_mp4_rgb,
+        gen_video_frames,
+        parse_mp4_meta,
+    )
+
+    fr = gen_video_frames(7, 2, n_frames=3, width=16, height=8)
+    data = encode_mp4_rgb(fr, timescale=1000, duration=1200)
+    # container metadata parses with the existing box walk
+    m = parse_mp4_meta(data)
+    assert (m["brand"], m["timescale"], m["duration_ms"]) == ("isom", 1000, 1200)
+    assert m["boxes"] == ["ftyp", "moov", "mdat"]
+    # frame round-trip is byte-exact
+    out = decode_mp4_frames(data)
+    assert out.shape == (3, 8, 16, 3)
+    assert np.array_equal(out, fr)
+    # compressed codecs are a loud, named boundary (libav not in container)
+    i = data.rfind(b"raw ")  # the stsd sample-entry format tag
+    bad = bytearray(data)
+    bad[i:i + 4] = b"avc1"
+    with pytest.raises(ValueError, match="avc1"):
+        decode_mp4_frames(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_mp4_frames(b"garbage_data_no_ftyp")
+
+
+def test_video_decode_stats_real_frames(spark):
+    import numpy as np
+
+    from wbkg.ops.multimodal import gen_media_df, gen_video_frames, video_decode_stats
+
+    rows = video_decode_stats(gen_media_df(spark, docs=3, per_doc=3)).collect()
+    assert len(rows) == 3 * 4  # one row per decoded frame
+    by_key = {(r.media_id, r.frame_idx): r for r in rows}
+    for d in range(3):
+        fr = gen_video_frames(d, 2).astype(np.float64)
+        for f in range(4):
+            r = by_key[(f"M{d:05d}_2", f)]
+            assert (r.n_frames, r.width, r.height) == (4, 32, 24)
+            assert abs(r.mean_r - round(fr[f, :, :, 0].mean(), 4)) < 1e-9
+            assert abs(r.mean_g - round(fr[f, :, :, 1].mean(), 4)) < 1e-9
+            assert abs(r.mean_b - round(fr[f, :, :, 2].mean(), 4)) < 1e-9
+
+
+def test_extract_features_video_real_decode(spark):
+    """Video features now come from REAL decoded frames: the luminance
+    histogram over all frames sums to n_frames*w*h before normalization."""
+    import numpy as np
+
+    from wbkg.ops.multimodal import (
+        _feature_vector,
+        encode_mp4_rgb,
+        gen_video_frames,
+    )
+
+    fr = gen_video_frames(1, 2)
+    v = _feature_vector(encode_mp4_rgb(fr))
+    assert v.sum() == fr.shape[0] * fr.shape[1] * fr.shape[2]
+    lum = fr.astype(np.float64).mean(axis=3)
+    hist, _ = np.histogram(lum, bins=16, range=(0.0, 256.0))
+    assert np.array_equal(v, hist.astype(np.float64))

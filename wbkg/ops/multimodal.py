@@ -3,15 +3,18 @@
 Media is carried as opaque `binary` payload columns + typed metadata structs;
 transformations run as Arrow-batched pandas UDFs over mapInPandas.
 
-Codec status: PNG images and WAV audio have REAL decode paths — a pure-
-stdlib PNG codec (zlib inflate + full scanline-filter reconstruction:
-None/Sub/Up/Average/Paeth, decode_png) and a RIFF/PCM16 WAV parser
-(decode_wav) feed real pixels/samples into extract_features,
-png_decode_stats and wav_decode_stats. Only VIDEO decode remains STUBBED
-(no libav in this container): a deterministic fake keyed on the payload
-hash, clearly marked, so the Spark-side plumbing — schema, partitioning,
-UDF signature, batch shape — is real and tested while the frame math is
-not.
+Codec status: ALL THREE modalities have REAL decode paths — a pure-stdlib
+PNG codec (zlib inflate + full scanline-filter reconstruction:
+None/Sub/Up/Average/Paeth, decode_png), a RIFF/PCM16 WAV parser
+(decode_wav), and an ISO BMFF video codec (encode_mp4_rgb /
+decode_mp4_frames: moov/trak/stbl sample-table walk, frames sliced out of
+mdat by stsz/stco) for uncompressed-RGB ('raw ') tracks. They feed real
+pixels/samples/frames into extract_features, png_decode_stats,
+wav_decode_stats and video_decode_stats. The remaining honest boundary:
+COMPRESSED video codecs (avc1/hevc/...) need libav, which this container
+lacks — decode_mp4_frames raises ValueError naming the codec, and
+extract_features falls back to a deterministic payload-hash fake for such
+payloads only.
 
 At 100 TB: payloads dominate storage, so every operator here (a) prunes to
 the metadata columns when the payload is not needed and (b) processes
@@ -277,6 +280,246 @@ def encode_mp4_stub(timescale: int, duration: int, brand: bytes = b"isom") -> by
     return ftyp + moov
 
 
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def encode_mp4_rgb(
+    frames: np.ndarray, timescale: int = 1000, duration: int | None = None
+) -> bytes:
+    """REAL ISO BMFF encoder for an uncompressed 24-bit RGB video track:
+    ftyp + moov(mvhd + trak(tkhd + mdia(mdhd + hdlr + minf(vmhd + dinf +
+    stbl(stsd['raw '] + stts + stsc + stsz + stco))))) + mdat holding the
+    raw frames. 'raw ' is the classic QuickTime uncompressed-RGB sample
+    format; stco carries absolute file offsets, one sample per chunk.
+    frames: uint8 array (n_frames, height, width, 3)."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("encode_mp4_rgb takes (n, h, w, 3) RGB frames")
+    if duration is None:
+        duration = n * 40  # 25 fps at the default ms timescale
+    delta = duration // max(n, 1)
+    frame_size = w * h * 3
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+
+    def build_moov(offsets: list[int]) -> bytes:
+        mvhd = _mp4_box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80,
+        )
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"          # version 0, flags: enabled+in-movie+preview
+            + struct.pack(">II", 0, 0)    # creation/modification
+            + struct.pack(">II", 1, 0)    # track id, reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 8                 # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)  # layer, alt group, volume, reserved
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = _mp4_box(
+            b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"raw video\x00"
+        )
+        vmhd = _mp4_box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+        dref = _mp4_box(
+            b"dref",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">I", 1)
+            + _mp4_box(b"url ", b"\x00\x00\x00\x01"),  # self-contained
+        )
+        dinf = _mp4_box(b"dinf", dref)
+        compressor = bytes([3]) + b"raw" + b"\x00" * 28  # pascal string, 32 bytes
+        sample_entry = _mp4_box(
+            b"raw ",
+            b"\x00" * 6
+            + struct.pack(">H", 1)        # data_reference_index
+            + b"\x00" * 16                # pre_defined / reserved
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + struct.pack(">I", 0)        # reserved
+            + struct.pack(">H", 1)        # frame_count per sample
+            + compressor
+            + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+        )
+        stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + sample_entry)
+        stts = _mp4_box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, delta))
+        stsc = _mp4_box(b"stsc", b"\x00" * 4 + struct.pack(">IIII", 1, 1, 1, 1))
+        stsz = _mp4_box(
+            b"stsz",
+            b"\x00" * 4 + struct.pack(">II", frame_size, n),
+        )
+        stco = _mp4_box(
+            b"stco",
+            b"\x00" * 4 + struct.pack(">I", n) + struct.pack(f">{n}I", *offsets),
+        )
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    # stco holds absolute offsets into the file: build moov once with
+    # placeholders to learn its (offset-independent) size, then for real
+    moov_len = len(build_moov([0] * n))
+    mdat_data_start = len(ftyp) + moov_len + 8
+    offsets = [mdat_data_start + i * frame_size for i in range(n)]
+    moov = build_moov(offsets)
+    mdat = _mp4_box(b"mdat", frames.tobytes())
+    return ftyp + moov + mdat
+
+
+def _mp4_children(data: bytes, pos: int, end: int):
+    """Yield (tag, body_start, body_end) for the boxes in [pos, end)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        if size < 8 or pos + size > end:
+            raise ValueError(f"bad box size {size} at {pos}")
+        yield tag, pos + 8, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, pos: int, end: int, tag: bytes):
+    for t, s, e in _mp4_children(data, pos, end):
+        if t == tag:
+            return s, e
+    raise ValueError(f"MP4 missing {tag.decode('latin1')} box")
+
+
+def decode_mp4_frames(data: bytes) -> np.ndarray:
+    """REAL MP4 frame decode for uncompressed-RGB ('raw ') tracks: walk
+    moov/trak/mdia/minf/stbl, read the stsd sample entry for format and
+    dimensions, stsz for sample sizes, stco for absolute chunk offsets
+    (stsc validated as one-sample-per-chunk), slice the frames out of mdat
+    and reshape to (n_frames, height, width, 3) uint8.
+
+    Compressed codecs (avc1/hevc/vp09/...) need libav, which is not in
+    this container — they raise ValueError naming the codec, the honest
+    boundary that replaced the old blanket NotImplementedError stub."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) payload")
+    moov = _mp4_find(data, 0, len(data), b"moov")
+    trak = _mp4_find(data, *moov, b"trak")
+    mdia = _mp4_find(data, *trak, b"mdia")
+    minf = _mp4_find(data, *mdia, b"minf")
+    stbl = _mp4_find(data, *minf, b"stbl")
+
+    stsd_s, stsd_e = _mp4_find(data, *stbl, b"stsd")
+    (n_entries,) = struct.unpack(">I", data[stsd_s + 4:stsd_s + 8])
+    if n_entries < 1:
+        raise ValueError("empty stsd")
+    entry_start = stsd_s + 8
+    fmt = data[entry_start + 4:entry_start + 8]
+    if fmt != b"raw ":
+        raise ValueError(
+            f"video codec {fmt.decode('latin1')!r} requires libav (not in this "
+            "container); only uncompressed 'raw ' RGB tracks decode here"
+        )
+    # VisualSampleEntry: 8 header + 6 reserved + 2 dref index + 16 predefined
+    w, h = struct.unpack(">HH", data[entry_start + 32:entry_start + 36])
+    (depth,) = struct.unpack(">H", data[entry_start + 82:entry_start + 84])
+    if depth != 24:
+        raise ValueError(f"only 24-bit RGB supported, got depth {depth}")
+
+    stsz_s, stsz_e = _mp4_find(data, *stbl, b"stsz")
+    uniform, count = struct.unpack(">II", data[stsz_s + 4:stsz_s + 12])
+    sizes = (
+        [uniform] * count
+        if uniform
+        else list(struct.unpack(f">{count}I", data[stsz_s + 12:stsz_s + 12 + 4 * count]))
+    )
+
+    stsc_s, stsc_e = _mp4_find(data, *stbl, b"stsc")
+    (n_stsc,) = struct.unpack(">I", data[stsc_s + 4:stsc_s + 8])
+    if n_stsc != 1 or struct.unpack(">I", data[stsc_s + 12:stsc_s + 16])[0] != 1:
+        raise ValueError("only one-sample-per-chunk layouts supported")
+
+    stco_s, stco_e = _mp4_find(data, *stbl, b"stco")
+    (n_chunks,) = struct.unpack(">I", data[stco_s + 4:stco_s + 8])
+    if n_chunks != count:
+        raise ValueError(f"stco/stsz mismatch: {n_chunks} chunks, {count} samples")
+    offsets = struct.unpack(f">{n_chunks}I", data[stco_s + 8:stco_s + 8 + 4 * n_chunks])
+
+    frames = np.empty((count, h, w, 3), dtype=np.uint8)
+    expect = w * h * 3
+    for i, (off, sz) in enumerate(zip(offsets, sizes)):
+        if sz != expect:
+            raise ValueError(f"sample {i}: size {sz} != {w}x{h}x3")
+        if off + sz > len(data):
+            raise ValueError(f"sample {i} offset {off} beyond payload")
+        frames[i] = np.frombuffer(data[off:off + sz], dtype=np.uint8).reshape(h, w, 3)
+    return frames
+
+
+def gen_video_frames(
+    d: int, m: int, n_frames: int = 4, width: int = 32, height: int = 24
+) -> np.ndarray:
+    """Closed-form frames (like gen_png_pixels): with base=(2d+m)%251,
+    r=(x+2f+base)%256, g=(y+3f+base)%256, b=(x+y+f+base)%256 — so an
+    independent oracle can replay per-frame channel means over a generated
+    (f, x, y) grid without touching the codec."""
+    base = (2 * d + m) % 251
+    f = np.arange(n_frames)[:, None, None]
+    y = np.arange(height)[None, :, None]
+    x = np.arange(width)[None, None, :]
+    zero = np.zeros((n_frames, height, width), dtype=np.int64)
+    r = (x + 2 * f + base + zero) % 256
+    g = (y + 3 * f + base + zero) % 256
+    b = (x + y + f + base + zero) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def video_decode_stats(media: DataFrame) -> DataFrame:
+    """video/mp4 -> one row PER DECODED FRAME: (media_id, n_frames, width,
+    height, frame_idx, mean_r, mean_g, mean_b) from the payload's own
+    samples via decode_mp4_frames. Column-pruned input, Arrow-batched,
+    payloads never collected."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_frames": [], "width": [], "height": [],
+                "frame_idx": [], "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_mp4_frames(bytes(payload))
+                n, h, w, _ = frames.shape
+                means = frames.astype(np.float64).mean(axis=(1, 2))  # (n, 3)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["n_frames"].append(n)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["frame_idx"].append(i)
+                    out["mean_r"].append(round(means[i, 0], 4))
+                    out["mean_g"].append(round(means[i, 1], 4))
+                    out["mean_b"].append(round(means[i, 2], 4))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("mime") == "video/mp4")
+        .select("media_id", "payload")
+        .mapInPandas(
+            stats,
+            schema="media_id string, n_frames int, width int, height int, "
+                   "frame_idx int, mean_r double, mean_g double, mean_b double",
+        )
+    )
+
+
 def parse_mp4_meta(data: bytes) -> dict:
     """ISO BMFF box walk -> {brand, timescale, duration, duration_ms,
     boxes}. Handles 32-bit box sizes and version-0/1 mvhd; loud on junk."""
@@ -340,9 +583,9 @@ def mp4_meta_stats(media: DataFrame) -> DataFrame:
 
 def gen_media_df(spark, docs: int = 20, per_doc: int = 2, seed: int = 42) -> DataFrame:
     """Deterministic media table. Image payloads are REAL PNGs (closed-form
-    pixels via gen_png_pixels -> encode_png) and audio payloads are REAL
-    WAVs (gen_wav_samples -> encode_wav); video payloads are seeded opaque
-    bytes (that codec is the documented stub)."""
+    pixels via gen_png_pixels -> encode_png), audio payloads are REAL WAVs
+    (gen_wav_samples -> encode_wav), and video payloads are REAL MP4s with
+    an uncompressed-RGB track (gen_video_frames -> encode_mp4_rgb)."""
     rows = []
     for d in range(docs):
         for m in range(per_doc):
@@ -352,9 +595,11 @@ def gen_media_df(spark, docs: int = 20, per_doc: int = 2, seed: int = 42) -> Dat
             elif kind == "audio":
                 payload = encode_wav(gen_wav_samples(d, m))
             else:
-                # real ISO BMFF container (parseable metadata), no samples:
+                # real ISO BMFF with closed-form raw-RGB frames; mvhd
                 # duration matches the metadata column's 1000*(m+1) ms
-                payload = encode_mp4_stub(timescale=1000, duration=1000 * (m + 1))
+                payload = encode_mp4_rgb(
+                    gen_video_frames(d, m), timescale=1000, duration=1000 * (m + 1)
+                )
             rows.append(
                 (
                     f"M{d:05d}_{m}",
@@ -371,26 +616,19 @@ def gen_media_df(spark, docs: int = 20, per_doc: int = 2, seed: int = 42) -> Dat
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """STUB for the video codec: deterministic pseudo-samples derived from
-    the payload hash. A real deployment swaps this for libav decode —
-    signature and batch flow stay identical."""
+    """Fallback for payloads in codecs this container cannot decode
+    (compressed video, unknown containers): deterministic pseudo-samples
+    derived from the payload hash. A real deployment swaps this for libav
+    decode — signature and batch flow stay identical."""
     h = hashlib.blake2b(payload, digest_size=FEATURE_DIM * 4).digest()
     return np.frombuffer(h, dtype=np.uint32).astype(np.float64) / np.iinfo(np.uint32).max
 
 
-def decode_unavailable(*_args, **_kwargs):
-    """The honest entry point for real VIDEO decoding in this container
-    (PNG and WAV decode for real via decode_png / decode_wav)."""
-    raise NotImplementedError(
-        "video codecs are not installed in this environment; "
-        "extract_features uses the deterministic _fake_decode stub for video"
-    )
-
-
 def _feature_vector(payload: bytes) -> np.ndarray:
     """REAL paths for PNG (decode_png -> 16-bin luminance histogram over
-    actual pixels) and WAV (decode_wav -> 16-bin sample histogram);
-    deterministic hash stub for everything else (video)."""
+    actual pixels), WAV (decode_wav -> 16-bin sample histogram) and
+    uncompressed-RGB MP4 (decode_mp4_frames -> luminance histogram over
+    all frames); deterministic hash fallback only for foreign codecs."""
     if payload[:8] == PNG_SIG:
         px = decode_png(payload).astype(np.float64)
         lum = px.mean(axis=2) if px.shape[2] > 1 else px[:, :, 0]
@@ -401,6 +639,14 @@ def _feature_vector(payload: bytes) -> np.ndarray:
         hist, _ = np.histogram(
             samples.astype(np.float64), bins=FEATURE_DIM, range=(-2048.0, 2048.0)
         )
+        return hist.astype(np.float64)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        try:
+            frames = decode_mp4_frames(payload)
+        except ValueError:
+            return _fake_decode(payload)  # compressed codec: needs libav
+        lum = frames.astype(np.float64).mean(axis=3)
+        hist, _ = np.histogram(lum, bins=FEATURE_DIM, range=(0.0, 256.0))
         return hist.astype(np.float64)
     return _fake_decode(payload)
 
