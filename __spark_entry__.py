@@ -829,6 +829,70 @@ def q_sparql_bind(spark, sf_dir):
     )
 
 
+def q_sparql_offset(spark, sf_dir):
+    """LIMIT/OFFSET solution-sequence slicing (SPARQL 1.1 §15.4/15.5):
+    deterministic under the unique-name ORDER BY; Spark collapses
+    offset+limit into one GlobalLimit."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:name").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        "SELECT ?nm WHERE { ?n <urn:p:name> ?nm . } ORDER BY ?nm LIMIT 10 OFFSET 5",
+    )
+
+
+def q_sparql_path_neg(spark, sf_dir):
+    """Negated property set !<iri> (SPARQL 1.1 §9.1 NegatedPropertySet):
+    compiles to a NOT-IN predicate scan — over the two-predicate
+    membership graph it keeps exactly the supplier edges."""
+    from wbkg.sparql import sparql_select
+
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("urn:p:cust_nation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("subj"),
+            F.lit("urn:p:supp_nation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        edges, "SELECT ?x ?n WHERE { ?x !<urn:p:cust_nation> ?n . }"
+    )
+
+
+def q_sparql_describe(spark, sf_dir):
+    """DESCRIBE verb (concise bounded description): constants become an
+    isin subject filter, variables a left-semi join against the WHERE
+    bindings — here every nation in region 0, via the variable form."""
+    from wbkg.sparql import sparql_describe
+
+    n = _read(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    edges = n.select(
+        subj.alias("subj"), F.lit("urn:p:name").alias("pred"), F.col("n_name").alias("obj")
+    ).unionByName(
+        n.select(
+            subj.alias("subj"),
+            F.lit("urn:p:region").alias("pred"),
+            F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+        )
+    )
+    return sparql_describe(
+        edges, 'DESCRIBE ?n WHERE { ?n <urn:p:region> "r:0" . }'
+    )
+
+
 def q_k1_ttl_roundtrip(spark, sf_dir):
     """K1 round-trip — serialize edges to Turtle lines and parse them back
     (ref src/graph.py:782-811 load_or_build). Literals are spiked with quotes
@@ -1520,6 +1584,9 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_alt": q_sparql_path_alt,
         "sparql_path_star": q_sparql_path_star,
         "sparql_bind": q_sparql_bind,
+        "sparql_offset": q_sparql_offset,
+        "sparql_path_neg": q_sparql_path_neg,
+        "sparql_describe": q_sparql_describe,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
         "kg_pipeline_heur_edges": q_kg_pipeline_heur_edges,
@@ -2130,6 +2197,21 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT 'n:' || n_nationkey AS n,
                    upper(n_name) || '/' || length(n_name) AS lbl
             FROM nation
+        """,
+        "sparql_offset": """
+            SELECT n_name AS nm FROM nation ORDER BY nm LIMIT 10 OFFSET 5
+        """,
+        "sparql_path_neg": """
+            SELECT 's:' || s_suppkey AS x, 'n:' || s_nationkey AS n FROM supplier
+        """,
+        "sparql_describe": """
+            SELECT 'n:' || n_nationkey AS subj, 'urn:p:name' AS pred,
+                   n_name AS obj
+            FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT 'n:' || n_nationkey AS subj, 'urn:p:region' AS pred,
+                   'r:0' AS obj
+            FROM nation WHERE n_regionkey = 0
         """,
         "sample_mixture": """
             WITH w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.25::DOUBLE), ('fr', 0.25::DOUBLE)),

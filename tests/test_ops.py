@@ -194,11 +194,18 @@ def test_multimodal_plumbing(spark):
         assert max(r.target_w, r.target_h) <= 32
 
 
-def test_decode_stub_is_honest():
-    from wbkg.ops.multimodal import decode_unavailable
+def test_codec_boundary_is_honest():
+    """Raw-RGB MP4 tracks decode for real; COMPRESSED codecs are the honest
+    remaining boundary (no libav in this container) and raise a ValueError
+    naming the codec instead of pretending."""
+    from wbkg.ops.multimodal import decode_mp4_frames, encode_mp4_rgb, gen_video_frames
 
-    with pytest.raises(NotImplementedError):
-        decode_unavailable(b"payload")
+    data = encode_mp4_rgb(gen_video_frames(0, 2))
+    i = data.rfind(b"raw ")  # stsd sample-entry format tag
+    bad = bytearray(data)
+    bad[i:i + 4] = b"hvc1"
+    with pytest.raises(ValueError, match="hvc1"):
+        decode_mp4_frames(bytes(bad))
 
 
 # --------------------------------------------------------------------------- #

@@ -638,3 +638,74 @@ def test_exists_with_optional_null_shared_key(null_key_graph):
         "FILTER NOT EXISTS { ?e <p:r> ?k . } } ORDER BY ?e",
     ).collect()
     assert [r.e for r in out2] == ["a"]
+
+
+def test_limit_offset(graph):
+    base = sparql_select(
+        graph, "SELECT ?e ?n WHERE { ?e <p:in> ?n . } ORDER BY ?e"
+    ).collect()
+    off = sparql_select(
+        graph, "SELECT ?e ?n WHERE { ?e <p:in> ?n . } ORDER BY ?e LIMIT 1 OFFSET 1"
+    ).collect()
+    assert [(r.e, r.n) for r in off] == [(base[1].e, base[1].n)]
+    # OFFSET-first spelling and OFFSET without LIMIT
+    off2 = sparql_select(
+        graph, "SELECT ?e ?n WHERE { ?e <p:in> ?n . } ORDER BY ?e OFFSET 2"
+    ).collect()
+    assert [(r.e, r.n) for r in off2] == [(base[2].e, base[2].n)]
+
+
+def test_negated_property_set(graph):
+    # !<p:in> over e:a's out-edges: keeps knows/type/name... but not p:in
+    out = sparql_select(
+        graph, "SELECT ?o WHERE { <e:a> !<p:in> ?o . } ORDER BY ?o"
+    ).collect()
+    assert "n:1" not in [r.o for r in out]
+    assert "e:b" in [r.o for r in out]  # p:knows survives
+    # multi-member set
+    out2 = sparql_select(
+        graph,
+        "SELECT ?o WHERE { <e:a> !(<p:in>|<p:knows>) ?o . } ORDER BY ?o",
+    ).collect()
+    assert {r.o for r in out2} == {"c:Org"}  # only the type edges remain
+    # inverse member: !(^<p:in>) from n:1 matches nothing forward-negated...
+    inv = sparql_select(
+        graph, "SELECT ?o WHERE { <n:1> !(^<p:knows>) ?o . } ORDER BY ?o"
+    ).collect()
+    # inverse clause only: pairs (x,y) with (y,p,x), p != p:knows;
+    # from n:1 that's the p:in sources e:a and e:b
+    assert [r.o for r in inv] == ["e:a", "e:b"]
+
+
+def test_describe_constants(graph):
+    from wbkg.sparql import sparql_describe
+
+    out = sparql_describe(graph, "DESCRIBE <n:1> <n:2>").collect()
+    got = {(r.subj, r.pred, r.obj) for r in out}
+    assert got == {("n:1", "p:name", "alpha"), ("n:2", "p:name", "beta")}
+
+
+def test_describe_with_where(graph):
+    from wbkg.sparql import sparql_describe
+
+    out = sparql_describe(
+        graph, 'DESCRIBE ?n WHERE { ?n <p:name> "alpha" . }'
+    ).collect()
+    assert {(r.subj, r.pred, r.obj) for r in out} == {("n:1", "p:name", "alpha")}
+    with pytest.raises(SparqlError):
+        sparql_describe(graph, "DESCRIBE ?n")  # variables need WHERE
+
+
+def test_describe_bnode_closure(spark):
+    """CBD: blank-node objects pull their own description in, recursively."""
+    from wbkg.sparql import sparql_describe
+
+    g = spark.createDataFrame(
+        [("e:x", "p:addr", "_:b1"), ("_:b1", "p:city", "_:b2"),
+         ("_:b2", "p:name", "Lima"), ("e:y", "p:other", "zzz")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_describe(g, "DESCRIBE <e:x>").collect()
+    assert {(r.subj, r.pred, r.obj) for r in out} == {
+        ("e:x", "p:addr", "_:b1"), ("_:b1", "p:city", "_:b2"), ("_:b2", "p:name", "Lima"),
+    }

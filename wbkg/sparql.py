@@ -26,15 +26,18 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
     WHERE { ... BIND(expr AS ?v) }          # derived binding (withColumn)
     GROUP BY ?a [?b ...]
     ORDER BY ?a [ASC(?b)|DESC(?b) ...]
-    LIMIT n
+    LIMIT n [OFFSET k] | OFFSET k [LIMIT n]
+    DESCRIBE <iri>... | DESCRIBE ?v ... WHERE { ... }   # sparql_describe
 
 Property paths in the predicate position (SPARQL 1.1 §9 subset, IRI-only):
 sequence `p/q`, inverse `^p`, alternation `p|q`, one-or-more `p+`,
-zero-or-more `p*`, zero-or-one `p?`, and parenthesized groups like
-`(p|q)+`. `/` compiles to an equi-join chain, `|` to a bag union, `^`
-pushes column-swap to the leaves, and `+` to a doubling semi-naive
-transitive closure; `*`/`?` union the graph-node identity relation per
-§9.1 ZeroOrMorePath. The closure runs EAGERLY at compile time — see
+zero-or-more `p*`, zero-or-one `p?`, negated property sets `!iri` /
+`!(iri|^iri|...)`, and parenthesized groups like `(p|q)+`. `/` compiles to
+an equi-join chain, `|` to a bag union, `^` pushes column-swap to the
+leaves, `!(...)` to a NOT-IN predicate scan (forward/inverse clauses per
+the spec's NPS translation), and `+` to a doubling semi-naive transitive
+closure; `*`/`?` union the graph-node identity relation per §9.1
+ZeroOrMorePath. The closure runs EAGERLY at compile time — see
 sparql_select's docstring.
 
 Terms: ?var, <iri>, pfx:local, "literal". OPTIONAL groups compile to left
@@ -76,7 +79,7 @@ _TOKEN = re.compile(
       | "(?:[^"\\]|\\.)*"  # literal
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*   # prefixed name
       | \ba\b              # rdf:type shorthand
-      | [.{}/+^|*?()]""",
+      | [.{}/+^|*?()!]""",
     re.X,
 )
 
@@ -118,6 +121,18 @@ class _PathMod:
 
     child: object
     mod: str  # "+" | "*" | "?"
+
+
+@dataclass
+class _PathNeg:
+    """!iri / !(iri|^iri|...) — negated property set (SPARQL 1.1 §9.1
+    NegatedPropertySet): per the spec's translation, the forward clause
+    (any triple whose predicate is NOT in `fwd`) exists iff there is at
+    least one forward member, the inverse clause likewise for `inv`, and a
+    mixed set is the union of both."""
+
+    fwd: list  # forward-negated IRIs
+    inv: list  # inverse-negated IRIs (^iri members)
 
 
 @dataclass
@@ -354,7 +369,7 @@ def _parse_patterns(block: str, prefixes: dict[str, str]):
     for g in patterns:
         if len(g) < 3:
             raise SparqlError(f"triple pattern must have 3 terms: {g!r}")
-        if len(g) == 3 and not any(t in "/+^|*?()" for t in g):
+        if len(g) == 3 and not any(t in "/+^|*?()!" for t in g):
             out.append(tuple(_parse_term(t, prefixes) for t in g))
             continue
         out.append(
@@ -421,6 +436,9 @@ def _parse_path(mid: list, prefixes: dict[str, str]) -> _Path:
         tok = peek()
         if tok is None or tok in "/+^|*?)":
             raise SparqlError(f"malformed property path: {mid!r}")
+        if tok == "!":
+            pos += 1
+            return negset()
         if tok == "(":
             pos += 1
             node = alt()
@@ -433,6 +451,38 @@ def _parse_path(mid: list, prefixes: dict[str, str]) -> _Path:
             raise SparqlError("property-path elements must be IRIs, not variables")
         pos += 1
         return _PathStep(t.value, inverse=False)
+
+    def negset():
+        nonlocal pos
+        fwd, inv = [], []
+
+        def member():
+            nonlocal pos
+            target = fwd
+            if peek() == "^":
+                target = inv
+                pos += 1
+            tok = peek()
+            if tok is None or tok in "/+^|*?()!":
+                raise SparqlError(f"malformed negated property set: {mid!r}")
+            t = _parse_term(tok, prefixes)
+            if t.kind != "const":
+                raise SparqlError("negated-property-set members must be IRIs")
+            pos += 1
+            target.append(t.value)
+
+        if peek() == "(":
+            pos += 1
+            member()
+            while peek() == "|":
+                pos += 1
+                member()
+            if peek() != ")":
+                raise SparqlError(f"unbalanced parentheses in negated property set: {mid!r}")
+            pos += 1
+        else:
+            member()
+        return _PathNeg(fwd, inv)
 
     root = alt()
     if pos != len(mid):
@@ -451,6 +501,10 @@ def _invert(node):
         return _PathAlt([_invert(c) for c in node.items])
     if isinstance(node, _PathMod):
         return _PathMod(_invert(node.child), node.mod)
+    if isinstance(node, _PathNeg):
+        # inverse of the forward clause IS the inverse clause with the same
+        # negation set, and vice versa — swap the member lists
+        return _PathNeg(list(node.inv), list(node.fwd))
     raise SparqlError(f"cannot invert path node {node!r}")
 
 
@@ -656,17 +710,20 @@ def parse_sparql(query: str):
         r"(?is)SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*"
         r"(?:GROUP\s+BY\s+((?:\?[\w]+\s*)+))?\s*"
         r"(?:ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?[\w]+\s*\)\s*|\?[\w]+\s*)+))?"
-        r"\s*(?:LIMIT\s+(\d+))?\s*$",
+        r"\s*(?:LIMIT\s+(\d+)\s*(?:OFFSET\s+(\d+))?|OFFSET\s+(\d+)\s*(?:LIMIT\s+(\d+))?)?\s*$",
         body.strip(),
     )
     if not m:
         raise SparqlError(
-            "expected SELECT ... WHERE { ... } [GROUP BY ...] [ORDER BY ...] [LIMIT n]"
+            "expected SELECT ... WHERE { ... } [GROUP BY ...] [ORDER BY ...] "
+            "[LIMIT n] [OFFSET k]"
         )
     distinct = bool(m.group(1))
-    sel_raw, where, group_raw, order_raw, limit = (
-        m.group(2), m.group(3), m.group(4), m.group(5), m.group(6),
+    sel_raw, where, group_raw, order_raw = (
+        m.group(2), m.group(3), m.group(4), m.group(5),
     )
+    limit = m.group(6) or m.group(9)
+    offset = m.group(7) or m.group(8)
     group_vars = [v[1:] for v in re.findall(r"\?[\w]+", group_raw or "")]
 
     # SELECT items: plain ?var or
@@ -720,6 +777,7 @@ def parse_sparql(query: str):
         group_vars,
         order_vars,
         (int(limit) if limit else None),
+        (int(offset) if offset else None),
     )
 
 
@@ -839,6 +897,24 @@ def _compile_path_node(edges: DataFrame, node) -> DataFrame:
         if node.mod == "*":
             return _path_closure(step).unionByName(ident).distinct()
         return step.unionByName(ident).distinct()  # '?': zero-or-one
+    if isinstance(node, _PathNeg):
+        parts = []
+        if node.fwd or not node.inv:
+            parts.append(
+                edges.filter(~F.col("pred").isin(node.fwd)).select(
+                    F.col("subj").alias("a"), F.col("obj").alias("b")
+                )
+            )
+        if node.inv:
+            parts.append(
+                edges.filter(~F.col("pred").isin(node.inv)).select(
+                    F.col("obj").alias("a"), F.col("subj").alias("b")
+                )
+            )
+        out = parts[0]
+        for nxt in parts[1:]:
+            out = out.unionByName(nxt)
+        return out
     raise SparqlError(f"cannot compile path node {node!r}")
 
 
@@ -904,6 +980,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         group_vars,
         order_vars,
         limit,
+        offset,
     ) = parse_sparql(query)
 
     def compile_group(gidx, patterns, optionals, filters, values, exists_groups, binds):
@@ -1059,6 +1136,8 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             out = out.distinct()
         if order_vars:
             out = out.orderBy(*_order_cols(order_vars))
+        if offset is not None:
+            out = out.offset(offset)
         if limit is not None:
             out = out.limit(limit)
         return out
@@ -1073,6 +1152,10 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         out = out.distinct()
     if order_vars:
         out = out.orderBy(*_order_cols(order_vars))
+    if offset is not None:
+        # SPARQL OFFSET: skip k solutions (after ORDER BY, before LIMIT);
+        # Spark's offset+limit collapse into one GlobalLimit at the driver
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
     return out
@@ -1138,3 +1221,74 @@ def sparql_ask(edges: DataFrame, query: str) -> bool:
         raise SparqlError("expected ASK [WHERE] { ... }")
     inner = f"{m.group(1)} SELECT * WHERE {m.group(2)} LIMIT 1"
     return len(sparql_select(edges, inner).take(1)) > 0
+
+
+def sparql_describe(edges: DataFrame, query: str) -> DataFrame:
+    """DESCRIBE <iri> [<iri> ...] or DESCRIBE ?v [?w ...] WHERE { ... } ->
+    an edges-shaped (subj, pred, obj) DataFrame holding the concise bounded
+    description of each resource: every triple whose subject is a described
+    resource, recursively pulling in the descriptions of blank-node objects
+    (CBD — the same default Jena and rdflib serve for DESCRIBE; which
+    triples DESCRIBE returns is implementation-defined in SPARQL 1.1 §16.4).
+
+    Plan shape: constants become an isin filter on the subject scan;
+    variables run the WHERE block through the SELECT machinery and
+    left-semi-join the edges table against the distinct binding set — no
+    collect, targets stay distributed. The blank-node closure iterates like
+    the property-path fixpoint (bounded, eager take(1) per round — same
+    evaluation contract as `+`/`*` paths; graphs here hold bnodes only from
+    Turtle-ingested property lists, so rounds are shallow)."""
+    m = re.search(
+        r"(?is)^(\s*(?:PREFIX[^\n]*\n?\s*)*)DESCRIBE\s+((?:[^\s{]+\s*)+?)(WHERE\s*\{.*)?$",
+        query.strip(),
+    )
+    if not m:
+        raise SparqlError("expected DESCRIBE <iri>... or DESCRIBE ?v ... WHERE { ... }")
+    prefixes = {
+        pfx: iri
+        for pfx, iri in re.findall(r"(?i)PREFIX\s+([A-Za-z_][\w-]*):\s*<([^>]*)>", m.group(1))
+    }
+    terms = [_parse_term(t, prefixes) for t in _TOKEN.findall(m.group(2))]
+    if not terms:
+        raise SparqlError("DESCRIBE needs at least one resource or variable")
+    vars_ = [t.value for t in terms if t.kind == "var"]
+    consts = [t.value for t in terms if t.kind == "const"]
+
+    edges = edges.select("subj", "pred", "obj")
+    if vars_:
+        if not m.group(3):
+            raise SparqlError("DESCRIBE with variables needs a WHERE block")
+        inner = f"{m.group(1)} SELECT {' '.join('?' + v for v in vars_)} {m.group(3)}"
+        bindings = sparql_select(edges, inner)
+        tgt = None
+        for v in vars_:
+            part = bindings.select(F.col(v).alias("subj")).filter(
+                F.col("subj").isNotNull()
+            )
+            tgt = part if tgt is None else tgt.unionByName(part)
+        if consts:
+            tgt = tgt.unionByName(
+                edges.sparkSession.createDataFrame([(c,) for c in consts], "subj string")
+            )
+        tgt = tgt.distinct()
+        base = edges.join(tgt, "subj", "left_semi")
+        described = tgt
+    else:
+        base = edges.filter(F.col("subj").isin(consts))
+        described = base.select("subj").distinct()
+
+    out, frontier = base, base
+    for _ in range(8):  # CBD blank-node closure, depth-bounded like rdflib's
+        bn = (
+            frontier.filter(F.col("obj").startswith("_:"))
+            .select(F.col("obj").alias("subj"))
+            .distinct()
+            .join(described, "subj", "left_anti")
+        )
+        if not bn.take(1):
+            break
+        add = edges.join(bn, "subj", "left_semi")
+        out = out.unionByName(add)
+        described = described.unionByName(bn)
+        frontier = add
+    return out.dropDuplicates(["subj", "pred", "obj"])
