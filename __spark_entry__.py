@@ -829,6 +829,30 @@ def q_sparql_bind(spark, sf_dir):
     )
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (wbkg/ops/prep.py
+    normalize_urls / url_canonical_docs): scheme/host case-fold, www and
+    default-port strip, fragment drop, tracking-param removal, param sort,
+    trailing-slash strip — then smallest doc_id per canonical URL wins.
+    URLs are built deterministically from doc_id (4 raw variants, two of
+    which normalize to the SAME canonical), so the oracle states the
+    expected canonical form per variant in closed form — it does not
+    reimplement the parser."""
+    from wbkg.ops.prep import url_canonical_docs
+
+    k = F.floor(F.col("doc_id") / 8).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://WWW.Example.COM:80/a/b/?x=2&utm_source=tw&a=1&id="), k, F.lit("#frag")))
+        .when(v == 1, F.concat(F.lit("https://example.com/a/b?id="), k, F.lit("&a=1&x=2")))
+        .when(v == 2, F.concat(F.lit("http://example.com/a/b?a=1&x=2&id="), k, F.lit("&fbclid=abc")))
+        .otherwise(F.concat(F.lit("https://sub.example.org:8443/p/?gclid=zz&id="), k))
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id").withColumn("url", url)
+    return url_canonical_docs(docs).select("doc_id", "url", "norm_url", "is_canonical")
+
+
 def q_sparql_offset(spark, sf_dir):
     """LIMIT/OFFSET solution-sequence slicing (SPARQL 1.1 §15.4/15.5):
     deterministic under the unique-name ORDER BY; Spark collapses
@@ -1587,6 +1611,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_offset": q_sparql_offset,
         "sparql_path_neg": q_sparql_path_neg,
         "sparql_describe": q_sparql_describe,
+        "url_normalize": q_url_normalize,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
         "kg_pipeline_heur_edges": q_kg_pipeline_heur_edges,
@@ -2200,6 +2225,28 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "sparql_offset": """
             SELECT n_name AS nm FROM nation ORDER BY nm LIMIT 10 OFFSET 5
+        """,
+        "url_normalize": """
+            WITH u AS (
+              SELECT doc_id, (doc_id // 8)::VARCHAR AS k, doc_id % 4 AS v
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id,
+                CASE v
+                  WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/b/?x=2&utm_source=tw&a=1&id=' || k || '#frag'
+                  WHEN 1 THEN 'https://example.com/a/b?id=' || k || '&a=1&x=2'
+                  WHEN 2 THEN 'http://example.com/a/b?a=1&x=2&id=' || k || '&fbclid=abc'
+                  ELSE 'https://sub.example.org:8443/p/?gclid=zz&id=' || k
+                END AS url,
+                CASE WHEN v IN (0, 2) THEN 'http://example.com/a/b?a=1&id=' || k || '&x=2'
+                     WHEN v = 1 THEN 'https://example.com/a/b?a=1&id=' || k || '&x=2'
+                     ELSE 'https://sub.example.org:8443/p?id=' || k
+                END AS norm_url
+              FROM u)
+            SELECT doc_id, url, norm_url,
+                   doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS is_canonical
+            FROM n
         """,
         "sparql_path_neg": """
             SELECT 's:' || s_suppkey AS x, 'n:' || s_nationkey AS n FROM supplier

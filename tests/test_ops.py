@@ -760,3 +760,28 @@ def test_extract_features_video_real_decode(spark):
     lum = fr.astype(np.float64).mean(axis=3)
     hist, _ = np.histogram(lum, bins=16, range=(0.0, 256.0))
     assert np.array_equal(v, hist.astype(np.float64))
+
+
+def test_normalize_urls(spark):
+    from wbkg.ops.prep import normalize_urls, url_canonical_docs
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/a/b/?x=2&utm_source=tw&a=1#frag"),
+        (2, "http://example.com/a/b?a=1&x=2&fbclid=zzz"),
+        (3, "https://example.com:443/a/b?a=1&x=2"),
+        (4, "https://sub.example.org:8443/p/?gclid=zz&id=9"),
+        (5, "http://example.com"),
+        (6, "http://example.com/"),
+    ]
+    out = {r.doc_id: r.norm_url for r in
+           normalize_urls(spark.createDataFrame(rows, "doc_id long, url string")).collect()}
+    # case-fold, www/default-port strip, fragment drop, tracking removal,
+    # param sort, trailing-slash strip
+    assert out[1] == "http://example.com/a/b?a=1&x=2"
+    assert out[2] == "http://example.com/a/b?a=1&x=2"   # same canonical as 1
+    assert out[3] == "https://example.com/a/b?a=1&x=2"  # scheme differs -> distinct
+    assert out[4] == "https://sub.example.org:8443/p?id=9"  # non-default port kept
+    assert out[5] == out[6] == "http://example.com"     # root slash irrelevant
+    dedup = {r.doc_id: r.is_canonical for r in
+             url_canonical_docs(spark.createDataFrame(rows, "doc_id long, url string")).collect()}
+    assert dedup == {1: True, 2: False, 3: True, 4: True, 5: True, 6: False}

@@ -168,3 +168,69 @@ def cap_per_source(
         df.withColumn("kept_rank", F.row_number().over(w))
         .filter(F.col("kept_rank") <= max_per_key)
     )
+
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def normalize_urls(
+    df: DataFrame, url_col: str = "url", strip_www: bool = True
+) -> DataFrame:
+    """Canonical URL normalization (the CommonCrawl-style URL-dedup key):
+
+    - scheme and host lowercased; leading ``www.`` stripped (option);
+    - default ports dropped (``:80`` for http, ``:443`` for https),
+      non-default ports kept;
+    - fragment dropped;
+    - query parameters split, tracking params removed (``utm_*``,
+      ``fbclid``, ``gclid``, ``ref``), the rest SORTED and rejoined —
+      param order never splits a dedup group;
+    - trailing slashes stripped from the path (root becomes empty, so
+      ``http://a.com`` == ``http://a.com/``).
+
+    Pure Catalyst: parse_url + split/filter/array_sort/array_join, one
+    map-side projection — no shuffle, no Python. Adds ``norm_url``."""
+    url = F.col(url_col)
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    auth = F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit(""))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == "80")) | ((proto == "https") & (port == "443"))
+    )
+    hostport = F.when(keep_port, F.concat(host, F.lit(":"), port)).otherwise(host)
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qn = F.array_join(F.array_sort(params), "&")
+    norm = F.concat(
+        proto,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), qn)),
+    )
+    return df.withColumn("norm_url", norm)
+
+
+def url_canonical_docs(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup verdict: normalize, then keep the smallest id per
+    canonical URL (`is_canonical`). One partial-aggregated window shuffle
+    on the normalized key; payloads never move — at 100 TB you project
+    (id, url) first, dedup, then semi-join survivors back."""
+    w = Window.partitionBy("norm_url")
+    return (
+        normalize_urls(df, url_col=url_col)
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("keep_id"))
+        .drop("keep_id")
+    )
