@@ -829,6 +829,86 @@ def q_sparql_bind(spark, sf_dir):
     )
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (wbkg/ops/prep.py sessionize): lag-gap-
+    cumsum window dataflow, 30-minute gap — the batch twin of Structured
+    Streaming's session_window. Oracle replays the identical windows."""
+    from wbkg.ops.prep import sessionize
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return sessionize(ev, gap_minutes=30).select(
+        "user_id", "event_id", "session_seq", "session_id"
+    )
+
+
+def q_sketch_distinct_sources(spark, sf_dir):
+    """HLL++ cardinality sketch vs exact distinct per language
+    (wbkg/ops/prep.py sketch_distinct): the exact count and the 5-sigma
+    bound check are oracle-replayable; a broken sketch (or a broken exact
+    path) flips within_bounds and fails the value hash."""
+    from wbkg.ops.prep import sketch_distinct
+
+    return sketch_distinct(
+        _read(spark, sf_dir, "documents"), group_col="lang", value_col="source"
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Power-iteration PageRank (wbkg/graph_analytics.py) over the
+    per-region nation chain: every node has <=1 in-edge, so each
+    iteration's update is a single-term recurrence and the oracle replays
+    all 10 iterations EXACTLY with a single-row recursive CTE over the 5
+    chain positions (nation is the fixed 5x5 TPC-H table at every sf).
+    Dangling mass (the 5 chain tails) is redistributed uniformly each
+    round, same correction on both sides; ranks rounded to 8 decimals to
+    absorb sum-order ulp."""
+    from wbkg.graph_analytics import pagerank
+
+    chain = _nation_chain_edges(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    pr = pagerank(chain, iterations=10, damping=0.85)
+    return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle count (ordered three-way self-join) over the part
+    co-purchase graph — parts co-occurring in one order, the same pair
+    generator as a5_cooccurrence. Oracle restates the identical ordered
+    join in SQL."""
+    from wbkg.graph_analytics import triangle_count
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return triangle_count(pairs)
+
+
+def q_graph_degree_stats(spark, sf_dir):
+    """Per-node in/out/total degree over the customer->nation->region
+    membership digraph; one partial-aggregated shuffle per direction plus
+    a full outer merge."""
+    from wbkg.graph_analytics import degree_stats
+
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+        )
+    )
+    return degree_stats(edges)
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization + URL-level dedup (wbkg/ops/prep.py
     normalize_urls / url_canonical_docs): scheme/host case-fold, www and
@@ -1612,6 +1692,11 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_neg": q_sparql_path_neg,
         "sparql_describe": q_sparql_describe,
         "url_normalize": q_url_normalize,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "graph_degree_stats": q_graph_degree_stats,
+        "sessionize_events": q_sessionize_events,
+        "sketch_distinct_sources": q_sketch_distinct_sources,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
         "kg_pipeline_heur_edges": q_kg_pipeline_heur_edges,
@@ -2225,6 +2310,89 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "sparql_offset": """
             SELECT n_name AS nm FROM nation ORDER BY nm LIMIT 10 OFFSET 5
+        """,
+        "sessionize_events": """
+            WITH x AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN pts IS NULL
+                               OR (ts - pts) > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS ns
+              FROM x
+            ),
+            q AS (
+              SELECT user_id, event_id,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+              FROM s
+            )
+            SELECT user_id, event_id, session_seq,
+                   user_id || '#' || session_seq AS session_id
+            FROM q
+        """,
+        "sketch_distinct_sources": """
+            SELECT lang, count(DISTINCT source)::BIGINT AS exact,
+                   TRUE AS within_bounds
+            FROM documents GROUP BY lang
+        """,
+        "graph_pagerank": """
+            WITH RECURSIVE it AS (
+              SELECT 0 AS t,
+                     (1.0::DOUBLE/25) AS r0, (1.0::DOUBLE/25) AS r1,
+                     (1.0::DOUBLE/25) AS r2, (1.0::DOUBLE/25) AS r3,
+                     (1.0::DOUBLE/25) AS r4
+              UNION ALL
+              SELECT t + 1,
+                ((1.0::DOUBLE - 0.85::DOUBLE)/25) + 0.85::DOUBLE * ((5*r4)/25),
+                ((1.0::DOUBLE - 0.85::DOUBLE)/25) + 0.85::DOUBLE * (r0 + (5*r4)/25),
+                ((1.0::DOUBLE - 0.85::DOUBLE)/25) + 0.85::DOUBLE * (r1 + (5*r4)/25),
+                ((1.0::DOUBLE - 0.85::DOUBLE)/25) + 0.85::DOUBLE * (r2 + (5*r4)/25),
+                ((1.0::DOUBLE - 0.85::DOUBLE)/25) + 0.85::DOUBLE * (r3 + (5*r4)/25)
+              FROM it WHERE t < 10
+            ),
+            fin AS (SELECT * FROM it WHERE t = 10),
+            pos AS (
+              SELECT 'n:' || n_nationkey AS node,
+                     (row_number() OVER (PARTITION BY n_regionkey
+                                         ORDER BY n_nationkey) - 1) AS p
+              FROM nation
+            )
+            SELECT node,
+                   round(CASE p WHEN 0 THEN r0 WHEN 1 THEN r1 WHEN 2 THEN r2
+                                WHEN 3 THEN r3 ELSE r4 END, 8) AS rank
+            FROM pos, fin
+        """,
+        "graph_triangles": """
+            WITH und AS (
+              SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+              FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+              JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM und ab
+            JOIN und bc ON ab.b = bc.a
+            JOIN und ac ON ab.a = ac.a AND bc.b = ac.b
+        """,
+        "graph_degree_stats": """
+            WITH e AS (
+              SELECT DISTINCT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
+              FROM customer
+              UNION
+              SELECT DISTINCT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst
+              FROM nation
+            ),
+            o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+            i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)
+            SELECT coalesce(o.node, i.node) AS node,
+                   coalesce(out_deg, 0)::BIGINT AS out_deg,
+                   coalesce(in_deg, 0)::BIGINT AS in_deg,
+                   (coalesce(out_deg, 0) + coalesce(in_deg, 0))::BIGINT AS degree
+            FROM o FULL JOIN i ON o.node = i.node
         """,
         "url_normalize": """
             WITH u AS (

@@ -1,0 +1,59 @@
+"""Graph analytics (wbkg/graph_analytics.py): PageRank, triangles, degrees."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wbkg.graph_analytics import degree_stats, pagerank, triangle_count
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_cycle_uniform(spark):
+    # a 4-cycle: uniform distribution is the fixed point
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    ranks = {r.node: r.rank for r in pagerank(e, iterations=5).collect()}
+    for v in ranks.values():
+        assert abs(v - 0.25) < 1e-12
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """Spark result == a plain-python power iteration with the identical
+    dangling-redistribution rule, on a graph WITH dangling nodes."""
+    pairs = [("a", "c"), ("b", "c"), ("c", "d")]  # d dangles
+    nodes = ["a", "b", "c", "d"]
+    out = {"a": ["c"], "b": ["c"], "c": ["d"], "d": []}
+    d, n = 0.85, len(nodes)
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(10):
+        dang = sum(r[x] for x in nodes if not out[x])
+        nxt = {}
+        for x in nodes:
+            in_sum = sum(r[m] / len(out[m]) for m in nodes if x in out[m])
+            nxt[x] = (1 - d) / n + d * (in_sum + dang / n)
+        r = nxt
+    got = {row.node: row.rank for row in pagerank(_edges(spark, pairs), iterations=10).collect()}
+    for x in nodes:
+        assert abs(got[x] - r[x]) < 1e-12, (x, got[x], r[x])
+    assert got["c"] > got["a"]  # the hub outranks its sources
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count(spark):
+    # two triangles sharing the edge (a,b); directions and duplicates must
+    # not matter after undirected canonicalization
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"), ("a", "d"), ("d", "b"),
+         ("a", "b"), ("d", "e")],
+    )
+    assert triangle_count(e).first().n_triangles == 2
+    assert triangle_count(_edges(spark, [("a", "b"), ("b", "c")])).first().n_triangles == 0
+
+
+def test_degree_stats(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")])
+    got = {r.node: (r.out_deg, r.in_deg, r.degree) for r in degree_stats(e).collect()}
+    assert got == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}

@@ -785,3 +785,40 @@ def test_normalize_urls(spark):
     dedup = {r.doc_id: r.is_canonical for r in
              url_canonical_docs(spark.createDataFrame(rows, "doc_id long, url string")).collect()}
     assert dedup == {1: True, 2: False, 3: True, 4: True, 5: True, 6: False}
+
+
+def test_sessionize(spark):
+    from datetime import datetime
+
+    from wbkg.ops.prep import sessionize
+
+    T = datetime
+    rows = [
+        (1, 1, T(2024, 1, 1, 10, 0, 0)),
+        (1, 2, T(2024, 1, 1, 10, 20, 0)),   # 20 min gap -> same session
+        (1, 3, T(2024, 1, 1, 11, 0, 1)),    # 40+ min gap -> new session
+        (2, 4, T(2024, 1, 1, 10, 0, 0)),    # other user independent
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {r.event_id: (r.session_seq, r.session_id) for r in sessionize(df).collect()}
+    assert got[1] == (1, "1#1") and got[2] == (1, "1#1")
+    assert got[3] == (2, "1#2")
+    assert got[4] == (1, "2#1")
+    # boundary: exactly the gap is NOT a new session (> , not >=)
+    df2 = spark.createDataFrame(
+        [(1, 1, T(2024, 1, 1, 10, 0, 0)), (1, 2, T(2024, 1, 1, 10, 30, 0))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    got2 = {r.event_id: r.session_seq for r in sessionize(df2).collect()}
+    assert got2 == {1: 1, 2: 1}
+
+
+def test_sketch_distinct(spark):
+    from wbkg.ops.prep import sketch_distinct
+
+    df = spark.createDataFrame(
+        [(g, f"v{v % (g + 1)}") for g in range(3) for v in range(50)],
+        "grp int, val string",
+    )
+    got = {r.grp: (r.exact, r.within_bounds) for r in sketch_distinct(df, "grp", "val").collect()}
+    assert got == {0: (1, True), 1: (2, True), 2: (3, True)}

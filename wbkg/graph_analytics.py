@@ -1,0 +1,132 @@
+"""Graph analytics over the finished KG: PageRank, triangle counting,
+degree statistics.
+
+The reference stops at community detection (ref src/pipeline.py builds the
+graph, graspologic partitions it); once a KG exists users immediately ask
+"which entities matter" (PageRank over the edge table) and "how clustered
+is it" (triangles/degrees). These are the standard iterative/join-shaped
+graph algorithms expressed as DataFrame plans:
+
+- pagerank: power iteration. Per round: one equi-join of ranks against the
+  out-edge list, one partial-aggregated groupBy sum — two shuffles, both on
+  the node key, so a cluster co-partitions them; localCheckpoint every
+  round truncates lineage exactly like the CC/LP loops
+  (wbkg/canonicalize.py). Dangling mass is redistributed uniformly (the
+  standard correction) so ranks stay a probability distribution.
+- triangle_count: the classic ordered three-way self-join — edges are
+  de-duplicated, undirected-canonicalized (a<b), then joined twice with
+  the ordering constraint so each triangle is counted exactly once. Two
+  shuffle joins on node keys; degree-ordering (count small-degree side
+  first) is left to AQE's runtime reordering.
+- degree_stats: one partial-aggregated groupBy per direction.
+
+At 100 TB: ranks/degrees shuffle (node_id, double) pairs only — never
+payloads; the triangle join's quadratic term is bounded by the max degree,
+so callers cap hub degrees first (same hub-cap primitive as
+wbkg/communities.py co-occurrence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list -> (node, rank).
+
+    rank_{t+1}(n) = (1-d)/N + d * (dangling_t/N + sum_{m->n} rank_t(m)/outdeg(m))
+
+    Fixed iteration count (the driver-friendly contract — no per-round
+    convergence job); every `checkpoint_every` rounds the rank table is
+    localCheckpoint-ed so lineage stays flat. Returns ranks summing to 1."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+    for i in range(iterations):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left").select(
+            "node", "rank", "out_deg"
+        )
+        # dangling nodes (no out-edges) leak their mass; collect it once per
+        # round (a scalar agg, not a collect of rows) and spread it uniformly
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            with_deg.filter(F.col("out_deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Total triangle count of the UNDIRECTED simple graph induced by the
+    edge list -> a 1-row (n_triangles) DataFrame.
+
+    Canonicalize each edge to (lo, hi) with lo < hi and deduplicate, then
+    the ordered three-way join counts each triangle exactly once:
+    (a<b), (b<c), (a,c) present."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = und
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node (out_deg, in_deg, degree) over the distinct directed edge
+    list — one partial-aggregated shuffle per direction plus the outer-join
+    merge."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    out_d = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_deg"))
+    return (
+        out_d.join(in_d, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+        .withColumn("degree", F.col("out_deg") + F.col("in_deg"))
+    )

@@ -234,3 +234,61 @@ def url_canonical_docs(
         .withColumn("is_canonical", F.col(id_col) == F.col("keep_id"))
         .drop("keep_id")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    order_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Classic gap-based sessionization: events of one user belong to the
+    same session while consecutive gaps stay under `gap_minutes`. Adds
+    `session_seq` (per-user session ordinal, 1-based) and `session_id`
+    ("<user>#<seq>").
+
+    One window shuffle on the user key; the session boundary is the
+    standard lag-gap-cumsum dataflow (a new session starts where
+    ts - lag(ts) exceeds the gap), entirely Catalyst window expressions —
+    the same computation Structured Streaming's session_window performs
+    incrementally, here as the batch/backfill twin."""
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # timestamp subtraction -> day-time interval: timezone-independent and
+    # valid for both TIMESTAMP and TIMESTAMP_NTZ columns (a cast to long is
+    # not: NTZ refuses it in Spark 4)
+    gap = F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    new_session = (prev_ts.isNull() | ((F.col(ts_col) - prev_ts) > gap)).cast("int")
+    return (
+        df.withColumn("_new_s", new_session)
+        .withColumn("session_seq", F.sum("_new_s").over(w))
+        .drop("_new_s")
+        .withColumn(
+            "session_id",
+            F.concat(F.col(user_col).cast("string"), F.lit("#"), F.col("session_seq")),
+        )
+    )
+
+
+def sketch_distinct(
+    df: DataFrame, group_col: str, value_col: str, rsd: float = 0.02
+) -> DataFrame:
+    """Exact vs HLL++ distinct counts per group — the cardinality-sketch
+    primitive a 100 TB pipeline uses where exact distinct is a full
+    shuffle it can't afford. Emits (group, exact, within_bounds) where
+    within_bounds checks the sketch against its advertised relative
+    standard deviation (5 sigma): the EXACT count and the bound-check are
+    oracle-replayable even though the sketch's estimate is
+    implementation-specific."""
+    return df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("exact"),
+        F.approx_count_distinct(F.col(value_col), rsd).alias("_approx"),
+    ).select(
+        group_col,
+        "exact",
+        (
+            F.abs(F.col("_approx") - F.col("exact"))
+            <= F.greatest(F.col("exact") * (5 * rsd), F.lit(1.0))
+        ).alias("within_bounds"),
+    )
