@@ -909,6 +909,30 @@ def q_graph_degree_stats(spark, sf_dir):
     return degree_stats(edges)
 
 
+def q_sparql_having_groupconcat(spark, sf_dir):
+    """GROUP_CONCAT (sorted for determinism; SPARQL leaves order
+    implementation-defined), SAMPLE (pinned to MIN) and HAVING (hidden
+    aggregate column + post-agg filter, one exchange) in one grouped
+    query over the nation->region membership edges."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:region").alias("pred"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?r (GROUP_CONCAT(?n; SEPARATOR=",") AS ?nations)
+               (COUNT(?n) AS ?c) (SAMPLE(?n) AS ?first)
+        WHERE { ?n <urn:p:region> ?r . }
+        GROUP BY ?r HAVING(COUNT(?n) > 1)
+        """,
+    )
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization + URL-level dedup (wbkg/ops/prep.py
     normalize_urls / url_canonical_docs): scheme/host case-fold, www and
@@ -1696,6 +1720,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_degree_stats": q_graph_degree_stats,
         "sessionize_events": q_sessionize_events,
+        "sparql_having_groupconcat": q_sparql_having_groupconcat,
         "sketch_distinct_sources": q_sketch_distinct_sources,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
@@ -2310,6 +2335,13 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "sparql_offset": """
             SELECT n_name AS nm FROM nation ORDER BY nm LIMIT 10 OFFSET 5
+        """,
+        "sparql_having_groupconcat": """
+            SELECT 'r:' || n_regionkey AS r,
+                   array_to_string(list_sort(list('n:' || n_nationkey)), ',') AS nations,
+                   count(*)::BIGINT AS c,
+                   min('n:' || n_nationkey) AS first
+            FROM nation GROUP BY 1 HAVING count(*) > 1
         """,
         "sessionize_events": """
             WITH x AS (

@@ -709,3 +709,43 @@ def test_describe_bnode_closure(spark):
     assert {(r.subj, r.pred, r.obj) for r in out} == {
         ("e:x", "p:addr", "_:b1"), ("_:b1", "p:city", "_:b2"), ("_:b2", "p:name", "Lima"),
     }
+
+
+def test_group_concat_and_sample(graph):
+    out = sparql_select(
+        graph,
+        'SELECT ?n (GROUP_CONCAT(?e; SEPARATOR="|") AS ?members) '
+        "(SAMPLE(?e) AS ?any) WHERE { ?e <p:in> ?n . } GROUP BY ?n ORDER BY ?n",
+    ).collect()
+    # GROUP_CONCAT is sorted for determinism; SAMPLE pinned to MIN
+    assert [(r.n, r.members, r.any) for r in out] == [
+        ("n:1", "e:a|e:b", "e:a"), ("n:2", "e:c", "e:c")
+    ]
+    # default separator is a single space; DISTINCT collapses duplicates
+    out2 = sparql_select(
+        graph,
+        "SELECT ?s (GROUP_CONCAT(DISTINCT ?o) AS ?knows) "
+        "WHERE { ?s <p:knows> ?o . } GROUP BY ?s",
+    ).collect()
+    assert [(r.s, r.knows) for r in out2] == [("e:a", "e:a e:b")]
+
+
+def test_having(graph):
+    out = sparql_select(
+        graph,
+        "SELECT ?n (COUNT(?e) AS ?c) WHERE { ?e <p:in> ?n . } "
+        "GROUP BY ?n HAVING(COUNT(?e) > 1)",
+    ).collect()
+    assert [(r.n, r.c) for r in out] == [("n:1", 2)]
+    # HAVING without the aggregate in SELECT; string comparison form
+    out2 = sparql_select(
+        graph,
+        "SELECT ?n WHERE { ?e <p:in> ?n . } GROUP BY ?n "
+        'HAVING(MIN(?e) = "e:c") ORDER BY ?n',
+    ).collect()
+    assert [r.n for r in out2] == ["n:2"]
+    with pytest.raises(SparqlError):
+        sparql_select(
+            graph,
+            "SELECT ?n WHERE { ?e <p:in> ?n . } GROUP BY ?n HAVING(COUNT(?zz) > 1)",
+        )

@@ -35,7 +35,7 @@ def test_any_valid_bgp_parses(vars_, pred_iri, use_prefix, pfx, local):
     else:
         q = f"SELECT ?{s} ?{o} WHERE {{ ?{s} <{pred_iri}> ?{o} . }}"
         want_pred = pred_iri
-    select_vars, _d, groups, _pfx, _agg, _g, _ov, _lim, _off = parse_sparql(q)
+    select_vars, _d, groups, _pfx, _agg, _g, _ov, _lim, _off, _hav = parse_sparql(q)
     assert select_vars == [s, o]
     (patterns, _opts, _filters, _values, _exists, _binds), = groups
     (subj, pred, obj), = patterns
@@ -57,7 +57,7 @@ LIT_BODY = st.text(
 def test_literal_roundtrip_through_parser(body):
     escaped = body.replace("\\", "\\\\").replace('"', '\\"')
     q = f'SELECT ?s WHERE {{ ?s <p:name> "{escaped}" . }}'
-    _sv, _d, groups, _pfx, _agg, _g, _ov, _lim, _off = parse_sparql(q)
+    _sv, _d, groups, _pfx, _agg, _g, _ov, _lim, _off, _hav = parse_sparql(q)
     (_s, _p, obj), = groups[0][0]
     assert obj.kind == "const"
     # the tokenizer may drop tokens it cannot lex only for whitespace-

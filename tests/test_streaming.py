@@ -262,3 +262,43 @@ def test_compact_stream_output(spark, tmp_path):
     assert after_rows == before_rows
     # hive layout preserved: replay of a batch overwrites its own partition
     assert any(d.startswith("batch_id=") for d in os.listdir(out_dir))
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Streaming session_window sessions == the batch lag-gap-cumsum
+    sessionize on the same data: same session count and sizes per user."""
+    import shutil
+
+    from wbkg.ops.prep import sessionize
+    from wbkg.streaming import session_window_counts
+
+    src_dir = str(tmp_path / "sess_in")
+    os.makedirs(src_dir, exist_ok=True)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir)
+    batch_df = spark.read.parquet(src_dir)
+
+    stream_df = (
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    q = (
+        session_window_counts(stream_df, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    )
+    want = sorted(
+        (r.user_id, r.n)
+        for r in sessionize(batch_df, gap_minutes=30)
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want and len(got) > 0

@@ -706,6 +706,29 @@ def parse_sparql(query: str):
         prefixes[pfx] = iri
     body = re.sub(r"(?i)PREFIX\s+[A-Za-z_][\w-]*:\s*<[^>]*>", " ", query)
 
+    # lift HAVING(...) (balanced parens) before the main shape regex
+    having = []
+
+    def _lift_having(text: str) -> str:
+        pat = re.compile(r"(?i)\bHAVING\s*\(")
+        while True:
+            hm = pat.search(text)
+            if not hm:
+                return text
+            depth, j = 1, hm.end()
+            while j < len(text) and depth:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise SparqlError("unbalanced parentheses in HAVING")
+            having.append(text[hm.end():j - 1])
+            text = text[:hm.start()] + " " + text[j:]
+
+    body = _lift_having(body)
+
     m = re.search(
         r"(?is)SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*"
         r"(?:GROUP\s+BY\s+((?:\?[\w]+\s*)+))?\s*"
@@ -729,7 +752,8 @@ def parse_sparql(query: str):
     # SELECT items: plain ?var or
     # (COUNT|MIN|MAX|SUM|AVG([DISTINCT] ?v|*) AS ?alias)
     _AGG = re.compile(
-        r"(?is)\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?(\?[\w]+|\*)\s*\)\s+AS\s+\?([\w]+)\s*\)"
+        r"(?is)\(\s*(COUNT|MIN|MAX|SUM|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?(\?[\w]+|\*)\s*"
+        r'(?:;\s*SEPARATOR\s*=\s*"((?:[^"\\]|\\.)*)"\s*)?\)\s+AS\s+\?([\w]+)\s*\)'
         r"|(\?[\w]+)"
     )
     if sel_raw.strip() == "*":
@@ -738,16 +762,20 @@ def parse_sparql(query: str):
     else:
         select_vars, aggregates = [], []
         for am in _AGG.finditer(sel_raw):
-            if am.group(5):
-                select_vars.append(am.group(5)[1:])
+            if am.group(6):
+                select_vars.append(am.group(6)[1:])
             else:
-                func, dist, target, alias = (
-                    am.group(1).upper(), bool(am.group(2)), am.group(3), am.group(4),
+                func, dist, target, sep, alias = (
+                    am.group(1).upper(), bool(am.group(2)), am.group(3),
+                    am.group(4), am.group(5),
                 )
                 if func != "COUNT" and target == "*":
                     raise SparqlError(f"{func}(*) is not valid SPARQL")
+                if sep is not None and func != "GROUP_CONCAT":
+                    raise SparqlError(f"SEPARATOR is only valid in GROUP_CONCAT, not {func}")
+                sep = " " if sep is None else re.sub(r'\\(["\\])', r"\1", sep)
                 aggregates.append(
-                    (func, dist, None if target == "*" else target[1:], alias)
+                    (func, dist, None if target == "*" else target[1:], alias, sep)
                 )
         if not select_vars and not aggregates:
             raise SparqlError(f"empty SELECT clause: {sel_raw!r}")
@@ -778,6 +806,7 @@ def parse_sparql(query: str):
         order_vars,
         (int(limit) if limit else None),
         (int(offset) if offset else None),
+        having,
     )
 
 
@@ -981,6 +1010,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         order_vars,
         limit,
         offset,
+        having,
     ) = parse_sparql(query)
 
     def compile_group(gidx, patterns, optionals, filters, values, exists_groups, binds):
@@ -1095,7 +1125,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     for nxt in aligned[1:]:
         plan = plan.unionByName(nxt)
 
-    if aggregates or group_vars:
+    if aggregates or group_vars or having:
         # grouped/aggregated query: Spark's partial-aggregation (map-side
         # combine before the group exchange) is exactly what a 100 TB
         # COUNT-per-group wants
@@ -1103,32 +1133,25 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             raise SparqlError("SELECT * cannot be combined with GROUP BY / aggregates")
         missing = [v for v in group_vars + [ov for ov, _a in order_vars]
                    if v not in bound and v not in [a[3] for a in aggregates]]
-        missing += [t for _f, _d, t, _a in aggregates if t is not None and t not in bound]
+        missing += [t for _f, _d, t, _a, _s in aggregates if t is not None and t not in bound]
         if missing:
             raise SparqlError(f"unbound variable(s) in GROUP BY/ORDER BY/aggregate: {missing}")
         agg_cols = []
-        for func, dist, target, alias in aggregates:
-            if func == "COUNT" and target is None:
-                c = F.count(F.lit(1))
-            elif func == "COUNT" and dist:
-                c = F.count_distinct(F.col(target))
-            elif func == "COUNT":
-                c = F.count(F.col(target))
-            elif func == "MIN":
-                c = F.min(F.col(target))
-            elif func == "MAX":
-                c = F.max(F.col(target))
-            elif func == "SUM":
-                # the graph stores strings; numeric literals aggregate as
-                # doubles (rdflib promotes the same way for mixed input)
-                c = F.sum(F.col(target).cast("double"))
-            else:
-                c = F.avg(F.col(target).cast("double"))
-            agg_cols.append(c.alias(alias))
-        if agg_cols:
-            out = plan.groupBy(*group_vars).agg(*agg_cols).select(
-                *(select_vars + [a[3] for a in aggregates])
-            )
+        for func, dist, target, alias, sep in aggregates:
+            agg_cols.append(_agg_column(func, dist, target, sep).alias(alias))
+        having_cols, having_preds = [], []
+        for hi, h_text in enumerate(having):
+            agg_expr, pred = _parse_having(h_text, bound, f"__having_{hi}")
+            having_cols.append(agg_expr)
+            having_preds.append(pred)
+        if agg_cols or having_cols:
+            out = plan.groupBy(*group_vars).agg(*agg_cols, *having_cols)
+            # HAVING: filter on the hidden aggregate columns, then project
+            # them away — Spark's partial aggregation runs once for all of
+            # them (one exchange), same plan HAVING compiles to in SQL
+            for pred in having_preds:
+                out = out.filter(pred)
+            out = out.select(*(select_vars + [a[3] for a in aggregates]))
         else:
             # GROUP BY with no aggregates = distinct group rows
             out = plan.select(*group_vars).dropDuplicates(group_vars).select(*select_vars)
@@ -1159,6 +1182,71 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def _agg_column(func: str, dist: bool, target, sep: str):
+    """One SPARQL aggregate -> a Spark aggregate Column (unaliased).
+    GROUP_CONCAT sorts its operands so the result is deterministic under
+    Spark's nondeterministic row order (SPARQL leaves concat order
+    implementation-defined); SAMPLE is pinned to MIN for the same reason."""
+    if func == "COUNT" and target is None:
+        return F.count(F.lit(1))
+    col = F.col(target)
+    if func == "COUNT":
+        return F.count_distinct(col) if dist else F.count(col)
+    if func == "MIN":
+        return F.min(col)
+    if func == "MAX":
+        return F.max(col)
+    if func == "SUM":
+        # the graph stores strings; numeric literals aggregate as doubles
+        # (rdflib promotes the same way for mixed input)
+        return F.sum(col.cast("double"))
+    if func == "AVG":
+        return F.avg(col.cast("double"))
+    if func == "SAMPLE":
+        return F.min(col)
+    if func == "GROUP_CONCAT":
+        collected = F.collect_set(col) if dist else F.collect_list(col)
+        return F.array_join(F.array_sort(collected), sep)
+    raise SparqlError(f"unsupported aggregate {func}")
+
+
+_HAVING = re.compile(
+    r"""(?isx)^\s*(COUNT|MIN|MAX|SUM|AVG|SAMPLE)\s*\(\s*(DISTINCT\s+)?(\?[\w]+|\*)\s*\)
+        \s*(!=|<=|>=|=|<|>)\s*("(?:[^"\\]|\\.)*"|[0-9.]+)\s*$"""
+)
+
+
+def _parse_having(text: str, bound: set, hidden: str):
+    """HAVING(AGG([DISTINCT] ?v|*) cmp literal) -> (hidden agg Column,
+    filter predicate over it). Quoted literals compare lexically; bare
+    numbers numerically (the aggregate is cast to double)."""
+    m = _HAVING.match(text)
+    if not m:
+        raise SparqlError(
+            f"unsupported HAVING expression {text!r} — expected "
+            "AGG([DISTINCT] ?var|*) <op> <number|string>"
+        )
+    func, dist, target, op, lit = (
+        m.group(1).upper(), bool(m.group(2)), m.group(3), m.group(4), m.group(5),
+    )
+    if func != "COUNT" and target == "*":
+        raise SparqlError(f"{func}(*) is not valid SPARQL")
+    tname = None if target == "*" else target[1:]
+    if tname is not None and tname not in bound:
+        raise SparqlError(f"unbound variable ?{tname} in HAVING")
+    agg = _agg_column(func, dist, tname, " ").alias(hidden)
+    if lit.startswith('"'):
+        left, right = F.col(hidden), F.lit(re.sub(r'\\(["\\])', r"\1", lit[1:-1]))
+    else:
+        left, right = F.col(hidden).cast("double"), F.lit(float(lit))
+    ops = {
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+    return agg, ops[op](left, right)
 
 
 def _order_cols(order_vars):

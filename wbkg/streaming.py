@@ -226,3 +226,26 @@ def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes
         .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
         .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
     )
+
+
+def session_window_counts(
+    events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+):
+    """Watermarked SESSION-window aggregation per user — the streaming twin
+    of wbkg/ops/prep.py's batch `sessionize` (same gap rule evaluated
+    incrementally by Structured Streaming's session_window state store:
+    sessions merge as events arrive; the watermark closes a session once no
+    event can extend it). -> (user_id, session struct, n_events,
+    total_value)."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window").alias("session"),
+            "n_events",
+            "total_value",
+        )
+    )
