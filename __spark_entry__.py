@@ -909,6 +909,36 @@ def q_graph_degree_stats(spark, sf_dir):
     return degree_stats(edges)
 
 
+def q_sparql_nested_groups(spark, sf_dir):
+    """Nested group graph patterns (r05: groups recurse arbitrarily — the
+    old 'nested groups not supported' boundary is gone): an outer pattern
+    joined with a bare subgroup whose body is a UNION. Compiles to the
+    union of the two branch joins; oracle is the equivalent UNION ALL."""
+    from wbkg.sparql import sparql_select
+
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    nsub = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    edges = (
+        c.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit("urn:p:in_nation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+        )
+        .unionByName(n.select(nsub.alias("subj"), F.lit("urn:p:name").alias("pred"),
+                              F.col("n_name").alias("obj")))
+        .unionByName(n.select(nsub.alias("subj"), F.lit("urn:p:region").alias("pred"),
+                              F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj")))
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?c ?x WHERE { ?c <urn:p:in_nation> ?n .
+          { { ?n <urn:p:name> ?x . } UNION { ?n <urn:p:region> ?x . } } }
+        """,
+    )
+
+
 def q_sparql_having_groupconcat(spark, sf_dir):
     """GROUP_CONCAT (sorted for determinism; SPARQL leaves order
     implementation-defined), SAMPLE (pinned to MIN) and HAVING (hidden
@@ -1721,6 +1751,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": q_graph_degree_stats,
         "sessionize_events": q_sessionize_events,
         "sparql_having_groupconcat": q_sparql_having_groupconcat,
+        "sparql_nested_groups": q_sparql_nested_groups,
         "sketch_distinct_sources": q_sketch_distinct_sources,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
@@ -2335,6 +2366,13 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "sparql_offset": """
             SELECT n_name AS nm FROM nation ORDER BY nm LIMIT 10 OFFSET 5
+        """,
+        "sparql_nested_groups": """
+            SELECT 'c:' || c_custkey AS c, n_name AS x
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT 'c:' || c_custkey AS c, 'r:' || n_regionkey AS x
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
         """,
         "sparql_having_groupconcat": """
             SELECT 'r:' || n_regionkey AS r,

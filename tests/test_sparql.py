@@ -91,7 +91,7 @@ def test_parse_errors(graph):
         parse_sparql("SELECT ?x WHERE { ?x <p:in> . }")
     with pytest.raises(SparqlError, match="unbound"):
         sparql_select(graph, "SELECT ?zzz WHERE { ?x <p:in> ?y . }")
-    with pytest.raises(SparqlError, match="empty WHERE"):
+    with pytest.raises(SparqlError, match="empty group"):
         parse_sparql("SELECT ?x WHERE {  }")
 
 
@@ -190,12 +190,14 @@ def test_filter_errors(graph):
         sparql_select(graph, 'SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(?zz = "x") }')
     with pytest.raises(SparqlError, match="unbalanced"):
         parse_sparql('SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(?nm = "x" }')
-    # FILTER inside OPTIONAL is legal since round 4 (scoped to the group)
+    # FILTER inside OPTIONAL is legal since round 4 (scoped to the group);
+    # since round 5 the optional body is a full recursive group
     _sv, _d, groups, *_rest = parse_sparql(
         'SELECT ?e WHERE { ?e <p:in> ?n . OPTIONAL { ?e <p:knows> ?k . FILTER(?k = "x") } }'
     )
-    (opt_pats, opt_filters), = groups[0][1]
-    assert len(opt_pats) == 1 and opt_filters == ['?k = "x"']
+    (opt_body,) = groups[0].optionals
+    (opt_group,) = opt_body
+    assert len(opt_group.patterns) == 1 and opt_group.filters == ['?k = "x"']
 
 
 def test_group_by_count(graph):
@@ -267,10 +269,12 @@ def test_union_branches(graph):
 
 
 def test_union_errors(graph):
-    with pytest.raises(SparqlError, match="unexpected text between UNION"):
+    # junk between groups is not silently dropped (it fails pattern parse)
+    with pytest.raises(SparqlError):
         parse_sparql("SELECT ?e WHERE { { ?e <p:in> ?n . } JUNK { ?e <p:knows> ?k . } }")
-    with pytest.raises(SparqlError, match="at least two"):
-        parse_sparql("SELECT ?e WHERE { { ?e <p:in> ?n . } }")
+    # a single nested group is legal SPARQL since round 5 (recursive groups)
+    out = sparql_select(graph, "SELECT ?e WHERE { { ?e <p:in> ?n . } } ORDER BY ?e").collect()
+    assert [r.e for r in out] == ["e:a", "e:b", "e:c"]
 
 
 def test_construct_inverse_edges(graph):
@@ -749,3 +753,66 @@ def test_having(graph):
             graph,
             "SELECT ?n WHERE { ?e <p:in> ?n . } GROUP BY ?n HAVING(COUNT(?zz) > 1)",
         )
+
+
+def test_nested_optional(graph):
+    """OPTIONAL inside OPTIONAL: inner nulls don't drop outer optional rows."""
+    out = sparql_select(
+        graph,
+        "SELECT ?e ?n ?nm WHERE { ?e <p:in> ?n . "
+        "OPTIONAL { ?n <p:name> ?nm . OPTIONAL { ?nm <p:zzz> ?x } } } ORDER BY ?e",
+    ).collect()
+    assert [(r.e, r.nm) for r in out] == [
+        ("e:a", "alpha"), ("e:b", "alpha"), ("e:c", "beta")
+    ]
+
+
+def test_join_of_subgroups(graph):
+    """Adjacent bare groups join on shared variables."""
+    out = sparql_select(
+        graph,
+        "SELECT ?e ?nm WHERE { { ?e <p:in> ?n . } { ?n <p:name> ?nm . } } ORDER BY ?e",
+    ).collect()
+    assert [(r.e, r.nm) for r in out] == [
+        ("e:a", "alpha"), ("e:b", "alpha"), ("e:c", "beta")
+    ]
+
+
+def test_union_nested_in_group(graph):
+    """UNION inside a bare subgroup, joined with an outer pattern."""
+    out = sparql_select(
+        graph,
+        "SELECT ?e ?nm WHERE { ?e <p:in> ?n . ?n <p:name> ?nm . "
+        '{ { ?e a <c:Org> . } UNION { ?e <p:knows> <e:b> . } } } ORDER BY ?e',
+    ).collect()
+    # e:a matches BOTH branches -> bag semantics keeps two rows
+    assert [(r.e, r.nm) for r in out] == [("e:a", "alpha"), ("e:a", "alpha")]
+
+
+def test_optional_containing_union(graph):
+    out = sparql_select(
+        graph,
+        "SELECT ?e ?x WHERE { ?e <p:in> ?n . "
+        "OPTIONAL { { ?e <p:knows> ?x . } UNION { ?e a ?x . } } } ORDER BY ?e ?x",
+    ).collect()
+    got = [(r.e, r.x) for r in out]
+    assert ("e:a", "e:a") in got and ("e:a", "e:b") in got and ("e:a", "c:Org") in got
+    assert ("e:b", None) in got and ("e:c", None) in got
+
+
+def test_minus_with_nested_body(graph):
+    """MINUS body containing its own OPTIONAL/nested group compiles."""
+    out = sparql_select(
+        graph,
+        "SELECT ?e WHERE { ?e <p:in> ?n . "
+        "MINUS { { ?who <p:knows> ?e . } } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out] == ["e:c"]
+
+
+def test_deep_nesting_parses(graph):
+    out = sparql_select(
+        graph,
+        "SELECT ?e WHERE { { { { ?e <p:in> ?n . } } } } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out] == ["e:a", "e:b", "e:c"]

@@ -37,7 +37,8 @@ def test_any_valid_bgp_parses(vars_, pred_iri, use_prefix, pfx, local):
         want_pred = pred_iri
     select_vars, _d, groups, _pfx, _agg, _g, _ov, _lim, _off, _hav = parse_sparql(q)
     assert select_vars == [s, o]
-    (patterns, _opts, _filters, _values, _exists, _binds), = groups
+    (grp,) = groups
+    patterns = grp.patterns
     (subj, pred, obj), = patterns
     assert subj.kind == "var" and subj.value == s
     assert pred.kind == "const" and pred.value == want_pred
@@ -58,7 +59,7 @@ def test_literal_roundtrip_through_parser(body):
     escaped = body.replace("\\", "\\\\").replace('"', '\\"')
     q = f'SELECT ?s WHERE {{ ?s <p:name> "{escaped}" . }}'
     _sv, _d, groups, _pfx, _agg, _g, _ov, _lim, _off, _hav = parse_sparql(q)
-    (_s, _p, obj), = groups[0][0]
+    (_s, _p, obj), = groups[0].patterns
     assert obj.kind == "const"
     # the tokenizer may drop tokens it cannot lex only for whitespace-
     # normalized content; the literal itself must survive verbatim

@@ -18,7 +18,11 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
            | (MIN/MAX/SUM/AVG(?v) AS ?m)
     WHERE { s p o . s2 p2 o2 . ...
             OPTIONAL { s3 p3 o3 . ... } }   # `a` == rdf:type
-    WHERE { { ... } UNION { ... } }         # top-level alternation
+    WHERE { { ... } UNION { ... } }         # alternation (nests anywhere)
+    WHERE { A { B } { C UNION D } }          # groups nest ARBITRARILY:
+        bare { } subgroups join on shared vars; OPTIONAL / MINUS / EXISTS
+        bodies are full recursive groups (their own OPTIONALs, FILTERs,
+        BINDs, unions) — SPARQL's group scoping falls out of the recursion
     WHERE { ... VALUES ?v { "a" <iri:b> } }  # inline bindings
     ASK [WHERE] { ... }                      # sparql_ask -> bool
     WHERE { ... FILTER [NOT] EXISTS { ... } }  # semi/anti join gate
@@ -579,30 +583,89 @@ def _extract_binds(where: str):
         where = where[:m.start()] + " " + where[j:]
 
 
-def _parse_group(text: str, prefixes: dict[str, str]):
-    """One conjunctive group: lift OPTIONALs, VALUES, BINDs and FILTERs,
-    parse the rest as triple patterns. -> (patterns, optionals, filters,
-    values, exists_groups, binds).
-    values: list of (var, [constants]) inline-binding restrictions.
-    binds: [(expr_text, var)] in document order — compiled to withColumn
-    after the group's joins, before VALUES/FILTER application (a superset
-    of SPARQL's positional scope: later binds and group filters may
-    reference earlier bind variables)."""
-    optionals = []  # (patterns, filter_texts)
+@dataclass
+class _Group:
+    """One group graph pattern (SPARQL 1.1 GroupGraphPattern), recursive:
+    optionals / exists_groups / subgroups hold BODIES (lists of _Group —
+    UNION branches; a 1-element body is a plain group)."""
 
-    def _lift(mo):
-        body, opt_filters = _extract_filters(mo.group(1))
-        optionals.append((_parse_patterns(body, prefixes), opt_filters))
-        return " "
+    patterns: list       # triple patterns
+    optionals: list      # [body] — OPTIONAL { ... }
+    filters: list        # [str] — group-scoped FILTER expression texts
+    values: list         # [(var, [constants])]
+    exists_groups: list  # [(mode, body)] — FILTER [NOT] EXISTS / MINUS
+    binds: list          # [(expr_text, var)] in document order
+    subgroups: list      # [body] — bare { ... } join groups
 
-    required = re.sub(r"(?is)OPTIONAL\s*\{([^{}]*)\}", _lift, text)
+
+def _lift_blocks(text: str, keyword_re: str):
+    """Lift every `<keyword> { ... }` block (BALANCED braces, string-literal
+    aware) out of `text`. -> (residual, [(match_groups, body), ...])."""
+    pat = re.compile(keyword_re + r"\s*\{", re.I | re.S)
+    found = []
+    while True:
+        m = pat.search(text)
+        if not m:
+            return text, found
+        depth, j, in_str, esc = 1, m.end(), False, False
+        while j < len(text) and depth:
+            c = text[j]
+            if in_str:
+                if esc:
+                    esc = False
+                elif c == "\\":
+                    esc = True
+                elif c == '"':
+                    in_str = False
+            else:
+                if c == '"':
+                    in_str = True
+                elif c == "{":
+                    depth += 1
+                elif c == "}":
+                    depth -= 1
+            j += 1
+        if depth:
+            raise SparqlError(f"unbalanced braces after {m.group(0)!r}")
+        found.append((m.groups(), text[m.end():j - 1]))
+        text = text[:m.start()] + " " + text[j:]
+
+
+def _parse_body(text: str, prefixes: dict[str, str]) -> list:
+    """A WHERE body -> list of _Group UNION branches (bag semantics;
+    nested unions flatten — union is associative)."""
+    branches = _split_union(text)
+    if branches is None:
+        return [_parse_group(text, prefixes)]
+    out = []
+    for b in branches:
+        out.extend(_parse_body(b, prefixes))
+    return out
+
+
+def _parse_group(text: str, prefixes: dict[str, str]) -> _Group:
+    """One conjunctive group: recursively lift OPTIONALs, FILTER [NOT]
+    EXISTS, MINUS, bare `{ ... }` subgroups (all with BALANCED braces, so
+    groups nest arbitrarily), plus VALUES, BINDs and FILTERs; the rest is
+    triple patterns. Group-scoped FILTERs inside a lifted body stay inside
+    that body's _Group — SPARQL's scoping falls out of the recursion
+    (e.g. a FILTER inside OPTIONAL applies before the left join)."""
+    text, opt_blocks = _lift_blocks(text, r"\bOPTIONAL")
+    optionals = [_parse_body(body, prefixes) for _g, body in opt_blocks]
+
+    text, ex_blocks = _lift_blocks(text, r"\bFILTER\s+(NOT\s+)?EXISTS")
+    exists_groups = [
+        ("not_exists" if g[0] else "exists", _parse_body(body, prefixes))
+        for g, body in ex_blocks
+    ]
+    text, minus_blocks = _lift_blocks(text, r"\bMINUS")
+    exists_groups += [("minus", _parse_body(body, prefixes)) for _g, body in minus_blocks]
 
     values = []
-
-    def _lift_values(mo):
-        var = mo.group(1)
+    text, val_blocks = _lift_blocks(text, r"\bVALUES\s+\?([\w]+)")
+    for (var,), body in val_blocks:
         consts = []
-        for tok in _TOKEN.findall(mo.group(2)):
+        for tok in _TOKEN.findall(body):
             t = _parse_term(tok, prefixes)
             if t.kind != "const":
                 raise SparqlError(f"VALUES for ?{var} must list constants, got {tok!r}")
@@ -610,52 +673,38 @@ def _parse_group(text: str, prefixes: dict[str, str]):
         if not consts:
             raise SparqlError(f"empty VALUES block for ?{var}")
         values.append((var, consts))
-        return " "
 
-    required = re.sub(r"(?is)VALUES\s+\?([\w]+)\s*\{([^{}]*)\}", _lift_values, required)
+    # remaining bare { ... } blocks are join subgroups (each may be a
+    # nested UNION body)
+    text, bare_blocks = _lift_blocks(text, r"(?<![\w?])")
+    subgroups = [_parse_body(body, prefixes) for _g, body in bare_blocks]
 
-    exists_groups = []  # (mode: "exists"|"not_exists"|"minus", patterns)
-
-    def _lift_exists(mo):
-        mode = "not_exists" if mo.group(1) else "exists"
-        inner = _parse_patterns(mo.group(2), prefixes)
-        if not inner:
-            raise SparqlError("empty EXISTS block")
-        exists_groups.append((mode, inner))
-        return " "
-
-    required = re.sub(
-        r"(?is)FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", _lift_exists, required
-    )
-
-    def _lift_minus(mo):
-        inner = _parse_patterns(mo.group(1), prefixes)
-        if not inner:
-            raise SparqlError("empty MINUS block")
-        exists_groups.append(("minus", inner))
-        return " "
-
-    required = re.sub(r"(?is)\bMINUS\s*\{([^{}]*)\}", _lift_minus, required)
-    if re.search(r"[{}]", required):
-        raise SparqlError("unbalanced braces / nested groups not supported")
-    required, binds = _extract_binds(required)
-    required, filters = _extract_filters(required)
-    patterns = _parse_patterns(required, prefixes)
-    if not patterns:
-        raise SparqlError("empty WHERE block")
-    if any(not pats for pats, _f in optionals):
-        raise SparqlError("empty OPTIONAL block")
-    return patterns, optionals, filters, values, exists_groups, binds
+    if re.search(r"[{}]", text):
+        raise SparqlError(f"unbalanced braces in group: {text!r}")
+    text, binds = _extract_binds(text)
+    text, filters = _extract_filters(text)
+    # anything the pattern lexer cannot consume is an error, not silently
+    # dropped (e.g. junk text between nested groups)
+    residue = _TOKEN.sub(" ", text)
+    if residue.strip():
+        raise SparqlError(f"cannot parse group text: {residue.strip()[:60]!r}")
+    patterns = _parse_patterns(text, prefixes) if text.strip() else []
+    if not patterns and not subgroups:
+        raise SparqlError("empty group pattern")
+    return _Group(patterns, optionals, filters, values, exists_groups, binds, subgroups)
 
 
 def _split_union(where: str):
-    """Top-level `{ ... } UNION { ... }` bodies -> list of branch texts;
-    None when the body is a plain (braceless-at-top-level) group. String-
-    literal aware so quoted braces don't confuse the depth count."""
+    """`{ ... } UNION { ... } [UNION { ... }]*` covering the WHOLE text ->
+    list of branch texts. Returns None for anything else (plain group,
+    single nested group, adjacent join groups, trailing patterns — the
+    recursive group parser handles those). String-literal aware. Raises
+    only on unbalanced braces."""
     s = where.strip()
     if not s.startswith("{"):
         return None
     branches, depth, start = [], 0, None
+    between = []  # text seen at depth 0 between/after branches
     in_str = esc = False
     pos, n = 0, len(s)
     while pos < n:
@@ -679,17 +728,20 @@ def _split_union(where: str):
                 raise SparqlError("unbalanced braces in WHERE")
             if depth == 0:
                 branches.append(s[start:pos])
+                between.append("")
                 start = None
         elif depth == 0 and not c.isspace():
-            if s[pos:pos + 5].upper() == "UNION":
-                pos += 5
-                continue
-            raise SparqlError(f"unexpected text between UNION branches: {s[pos:pos+20]!r}")
+            if between:
+                between[-1] += c
         pos += 1
     if depth:
         raise SparqlError("unbalanced braces in WHERE")
     if len(branches) < 2:
-        raise SparqlError("UNION body needs at least two { } branches")
+        return None
+    # every gap between consecutive branches must be exactly UNION and
+    # nothing may trail the last branch
+    if any(t.upper() != "UNION" for t in between[:-1]) or between[-1]:
+        return None
     return branches
 
 
@@ -786,8 +838,7 @@ def parse_sparql(query: str):
                 f"non-aggregated SELECT variable(s) {extra} must appear in GROUP BY"
             )
 
-    branch_texts = _split_union(where)
-    groups = [_parse_group(t, prefixes) for t in (branch_texts or [where])]
+    groups = _parse_body(where, prefixes)
 
     # ORDER BY items: ?v (ascending), ASC(?v), DESC(?v) -> (var, ascending)
     order_vars = [
@@ -1013,37 +1064,75 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         having,
     ) = parse_sparql(query)
 
-    def compile_group(gidx, patterns, optionals, filters, values, exists_groups, binds):
-        plan, bound = _compile_bgp(edges, patterns, f"u{gidx}r")
-        nullable: set[str] = set()  # vars an unmatched OPTIONAL can leave null
-        for gi, (opt_patterns, opt_filters) in enumerate(optionals):
-            opt_plan, opt_bound = _compile_bgp(edges, opt_patterns, f"u{gidx}o{gi}")
-            # a FILTER inside OPTIONAL scopes to the optional group: it
-            # applies BEFORE the left join (SPARQL 1.1 §8 leftjoin with
-            # expression), so a failing filter nulls the optional columns
-            # instead of dropping the outer row. Only inner-bound variables
-            # are visible — the outer-var corner of the left-join scope
-            # debate is rejected loudly, not silently misevaluated.
-            for f_text in opt_filters:
-                opt_plan = opt_plan.filter(
-                    _FilterParser(f_text, prefixes, opt_bound).parse()
-                )
+    def compile_body(body, tag):
+        """UNION-branch list -> (plan, bound, nullable): branches align on
+        the variable union (unbound -> null string, SPARQL bag-union
+        semantics — no implicit DISTINCT); a variable missing from any
+        branch is nullable downstream."""
+        compiled = [compile_spec(g, f"{tag}b{i}") for i, g in enumerate(body)]
+        if len(compiled) == 1:
+            return compiled[0]
+        bound = set().union(*(b for _p, b, _n in compiled))
+        all_vars = sorted(bound)
+        aligned = [
+            p.select(*[F.col(v) if v in b else F.lit(None).cast("string").alias(v)
+                       for v in all_vars])
+            for p, b, _n in compiled
+        ]
+        plan = aligned[0]
+        for nxt in aligned[1:]:
+            plan = plan.unionByName(nxt)
+        common = set.intersection(*(b for _p, b, _n in compiled))
+        nullable = set().union(*(n for _p, _b, n in compiled)) | (bound - common)
+        return plan, bound, nullable
+
+    def compile_spec(g, tag):
+        """One _Group -> (plan, bound, nullable), recursing into nested
+        bodies. Join order: required patterns, then bare subgroups (equi
+        join on shared vars — Spark null-unequal key semantics; an
+        OPTIONAL-nullable shared var joining a nested subgroup is the one
+        SPARQL-compatibility corner this engine keeps, documented), then
+        OPTIONAL left joins, negation gates, BINDs, VALUES, FILTERs."""
+        if g.patterns:
+            plan, bound = _compile_bgp(edges, g.patterns, f"{tag}r")
+        else:
+            plan, bound = None, set()
+        nullable: set[str] = set()
+        for gi, sub in enumerate(g.subgroups):
+            sp, sb, sn = compile_body(sub, f"{tag}g{gi}")
+            if plan is None:
+                plan, bound, nullable = sp, set(sb), set(sn)
+                continue
+            keys = sorted(bound & sb)
+            plan = plan.join(sp, keys) if keys else plan.crossJoin(sp)
+            nullable |= sn
+            bound |= sb
+        if plan is None:
+            raise SparqlError("empty group pattern")
+        for gi, opt_body in enumerate(g.optionals):
+            # the optional body is a FULL group: its own filters/binds/
+            # nested groups compile inside it, BEFORE the left join
+            # (SPARQL 1.1 §8 leftjoin with expression) — a failing inner
+            # filter nulls the optional columns instead of dropping the
+            # outer row. Only inner-bound variables are visible inside.
+            opt_plan, opt_bound, opt_null = compile_body(opt_body, f"{tag}o{gi}")
             keys = sorted(bound & opt_bound)
             if not keys:
                 raise SparqlError("OPTIONAL group shares no variable with the required patterns")
             plan = plan.join(opt_plan, keys, "left")
-            nullable |= opt_bound - bound
+            nullable |= (opt_bound - bound) | opt_null
             bound |= opt_bound
-        for gi, (mode, ex_patterns) in enumerate(exists_groups):
+        for gi, (mode, ex_body) in enumerate(g.exists_groups):
             # FILTER [NOT] EXISTS { ... } = semi/anti join on the shared
             # variables (rdflib/SPARQL 1.1 semantics: keep a binding iff
             # the inner group does/doesn't match under it). Semi/anti joins
             # never multiply rows, and Spark broadcasts the inner side when
-            # it's small — the plan you'd want for a selective gate at scale.
-            # MINUS differs from NOT EXISTS exactly when the groups share no
-            # variable: MINUS then removes NOTHING (SPARQL 1.1 §8.3), while
-            # NOT EXISTS without shared variables is rejected loudly.
-            ex_plan, ex_bound = _compile_bgp(edges, ex_patterns, f"u{gidx}e{gi}")
+            # it's small — the plan you'd want for a selective gate at
+            # scale. MINUS differs from NOT EXISTS exactly when the groups
+            # share no variable: MINUS then removes NOTHING (SPARQL 1.1
+            # §8.3), while NOT EXISTS without shared variables is rejected
+            # loudly.
+            ex_plan, ex_bound, _ex_null = compile_body(ex_body, f"{tag}e{gi}")
             keys = sorted(bound & ex_bound)
             if not keys:
                 if mode == "minus":
@@ -1089,7 +1178,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             plan = plan.join(
                 inner, compat, "left_semi" if mode == "exists" else "left_anti"
             )
-        for expr_text, var in binds:
+        for expr_text, var in g.binds:
             # BIND(expr AS ?v) -> withColumn; expr reuses the FILTER
             # expression compiler's value subset (CONCAT/STR/UCASE/LCASE/
             # STRLEN/REPLACE + terms), stays a string column, and is
@@ -1099,31 +1188,19 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             col = _FilterParser(expr_text, prefixes, bound).parse_value()
             plan = plan.withColumn(var, col)
             bound.add(var)
-        for var, consts in values:
+        for var, consts in g.values:
             # inline bindings restrict an already-bound variable; isin is an
             # In predicate Catalyst pushes into the scans
             if var not in bound:
                 raise SparqlError(f"VALUES variable ?{var} is not bound by the patterns")
             plan = plan.filter(F.col(var).isin(consts))
-        for f_text in filters:
+        for f_text in g.filters:
             # compiled AFTER the joins (group scope); Catalyst pushes
             # sargable predicates back down into the scans on its own
             plan = plan.filter(_FilterParser(f_text, prefixes, bound).parse())
-        return plan, bound
+        return plan, bound, nullable
 
-    compiled = [compile_group(i, *g) for i, g in enumerate(groups)]
-    bound = set().union(*(b for _p, b in compiled))
-    # UNION branches align on the union of variables; a variable unbound in
-    # a branch comes back null there (SPARQL bag-union semantics — no
-    # implicit DISTINCT)
-    all_vars = sorted(bound)
-    aligned = [
-        p.select(*[F.col(v) if v in b else F.lit(None).cast("string").alias(v) for v in all_vars])
-        for p, b in compiled
-    ]
-    plan = aligned[0]
-    for nxt in aligned[1:]:
-        plan = plan.unionByName(nxt)
+    plan, bound, _nullable = compile_body(groups, "u")
 
     if aggregates or group_vars or having:
         # grouped/aggregated query: Spark's partial-aggregation (map-side
