@@ -939,6 +939,29 @@ def q_sparql_nested_groups(spark, sf_dir):
     )
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 §12 subquery: per-nation customer counts computed in a
+    { SELECT ... GROUP BY } block and joined back onto each membership row.
+    Compiles to the aggregate subplan + one equi-join on the projected
+    variable; oracle is the equivalent SQL derived-table join."""
+    from wbkg.sparql import sparql_select
+
+    c = _read(spark, sf_dir, "customer")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("urn:p:in_nation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?c ?n ?cnt WHERE { ?c <urn:p:in_nation> ?n .
+          { SELECT ?n (COUNT(?c2) AS ?cnt)
+            WHERE { ?c2 <urn:p:in_nation> ?n . } GROUP BY ?n } }
+        """,
+    )
+
+
 def q_sparql_having_groupconcat(spark, sf_dir):
     """GROUP_CONCAT (sorted for determinism; SPARQL leaves order
     implementation-defined), SAMPLE (pinned to MIN) and HAVING (hidden
@@ -1752,6 +1775,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "sparql_having_groupconcat": q_sparql_having_groupconcat,
         "sparql_nested_groups": q_sparql_nested_groups,
+        "sparql_subquery": q_sparql_subquery,
         "sketch_distinct_sources": q_sketch_distinct_sources,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
@@ -2366,6 +2390,12 @@ def _oracle_sqls() -> dict[str, str]:
         """,
         "sparql_offset": """
             SELECT n_name AS nm FROM nation ORDER BY nm LIMIT 10 OFFSET 5
+        """,
+        "sparql_subquery": """
+            SELECT 'c:' || c_custkey AS c, 'n:' || c_nationkey AS n, cnt
+            FROM customer
+            JOIN (SELECT c_nationkey, count(*)::BIGINT AS cnt
+                  FROM customer GROUP BY 1) x USING (c_nationkey)
         """,
         "sparql_nested_groups": """
             SELECT 'c:' || c_custkey AS c, n_name AS x

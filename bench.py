@@ -408,6 +408,12 @@ def headline(sf_dir: str) -> dict:
         "w5_running_budget",
         "sparql_bgp",
         "sample_mixture",
+        # round-5 surfaces
+        "graph_pagerank",
+        "graph_triangles",
+        "sessionize_events",
+        "url_normalize",
+        "sparql_subquery",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()

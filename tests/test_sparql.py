@@ -816,3 +816,36 @@ def test_deep_nesting_parses(graph):
         "SELECT ?e WHERE { { { { ?e <p:in> ?n . } } } } ORDER BY ?e",
     ).collect()
     assert [r.e for r in out] == ["e:a", "e:b", "e:c"]
+
+
+def test_subquery(graph):
+    """SPARQL 1.1 §12 subqueries: { SELECT ... } joins on its projection."""
+    out = sparql_select(
+        graph,
+        "SELECT ?e ?n ?c WHERE { ?e <p:in> ?n . "
+        "{ SELECT ?n (COUNT(?e2) AS ?c) WHERE { ?e2 <p:in> ?n . } GROUP BY ?n } } "
+        "ORDER BY ?e",
+    ).collect()
+    assert [(r.e, r.n, r.c) for r in out] == [
+        ("e:a", "n:1", 2), ("e:b", "n:1", 2), ("e:c", "n:2", 1)
+    ]
+    # only the projection is visible: ?e2 must not leak out
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            graph,
+            "SELECT ?e2 WHERE { ?e <p:in> ?n . "
+            "{ SELECT ?n WHERE { ?e2 <p:in> ?n . } } }",
+        )
+    # subquery alone in the WHERE block
+    out2 = sparql_select(
+        graph,
+        "SELECT ?n WHERE { { SELECT DISTINCT ?n WHERE { ?e <p:in> ?n . } } } ORDER BY ?n",
+    ).collect()
+    assert [r.n for r in out2] == ["n:1", "n:2"]
+    # prefixes declared on the OUTER query reach subquery patterns
+    out3 = sparql_select(
+        graph,
+        "PREFIX p: <p:> SELECT ?nm WHERE { "
+        "{ SELECT ?n WHERE { <e:c> p:in ?n . } } ?n p:name ?nm . }",
+    ).collect()
+    assert [r.nm for r in out3] == ["beta"]

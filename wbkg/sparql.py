@@ -23,6 +23,8 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
         bare { } subgroups join on shared vars; OPTIONAL / MINUS / EXISTS
         bodies are full recursive groups (their own OPTIONALs, FILTERs,
         BINDs, unions) — SPARQL's group scoping falls out of the recursion
+    WHERE { ... { SELECT ... } }            # §12 subqueries (join on the
+        projection; aggregates/nesting inside all work)
     WHERE { ... VALUES ?v { "a" <iri:b> } }  # inline bindings
     ASK [WHERE] { ... }                      # sparql_ask -> bool
     WHERE { ... FILTER [NOT] EXISTS { ... } }  # semi/anti join gate
@@ -596,6 +598,7 @@ class _Group:
     exists_groups: list  # [(mode, body)] — FILTER [NOT] EXISTS / MINUS
     binds: list          # [(expr_text, var)] in document order
     subgroups: list      # [body] — bare { ... } join groups
+    subselects: list     # [query_text] — { SELECT ... } subqueries (§12)
 
 
 def _lift_blocks(text: str, keyword_re: str):
@@ -675,9 +678,16 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> _Group:
         values.append((var, consts))
 
     # remaining bare { ... } blocks are join subgroups (each may be a
-    # nested UNION body)
+    # nested UNION body) — or SPARQL 1.1 §12 subqueries when the body
+    # starts with SELECT (compiled through sparql_select and joined on the
+    # projected variables)
     text, bare_blocks = _lift_blocks(text, r"(?<![\w?])")
-    subgroups = [_parse_body(body, prefixes) for _g, body in bare_blocks]
+    subgroups, subselects = [], []
+    for _g, body in bare_blocks:
+        if re.match(r"(?is)^\s*(?:PREFIX\b|SELECT\b)", body):
+            subselects.append(body)
+        else:
+            subgroups.append(_parse_body(body, prefixes))
 
     if re.search(r"[{}]", text):
         raise SparqlError(f"unbalanced braces in group: {text!r}")
@@ -689,9 +699,11 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> _Group:
     if residue.strip():
         raise SparqlError(f"cannot parse group text: {residue.strip()[:60]!r}")
     patterns = _parse_patterns(text, prefixes) if text.strip() else []
-    if not patterns and not subgroups:
+    if not patterns and not subgroups and not subselects:
         raise SparqlError("empty group pattern")
-    return _Group(patterns, optionals, filters, values, exists_groups, binds, subgroups)
+    return _Group(
+        patterns, optionals, filters, values, exists_groups, binds, subgroups, subselects
+    )
 
 
 def _split_union(where: str):
@@ -1107,6 +1119,24 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             plan = plan.join(sp, keys) if keys else plan.crossJoin(sp)
             nullable |= sn
             bound |= sb
+        for si, sub_text in enumerate(g.subselects):
+            # { SELECT ... } subquery: compile through the full SELECT
+            # machinery (aggregates/paths/nesting all work), then join on
+            # the projected variables — only the projection is visible
+            # outside, per SPARQL 1.1 §12. Outer PREFIX declarations are
+            # re-prepended (the subquery text lost them to the outer
+            # parse). Projected vars are conservatively nullable (the
+            # subquery may union/left-join internally).
+            decls = " ".join(f"PREFIX {k}: <{v}>" for k, v in prefixes.items())
+            sub_df = sparql_select(edges, f"{decls} {sub_text}")
+            sb = set(sub_df.columns)
+            if plan is None:
+                plan, bound = sub_df, set(sb)
+            else:
+                keys = sorted(bound & sb)
+                plan = plan.join(sub_df, keys) if keys else plan.crossJoin(sub_df)
+                bound |= sb
+            nullable |= sb
         if plan is None:
             raise SparqlError("empty group pattern")
         for gi, opt_body in enumerate(g.optionals):
