@@ -849,3 +849,43 @@ def test_subquery(graph):
         "{ SELECT ?n WHERE { <e:c> p:in ?n . } } ?n p:name ?nm . }",
     ).collect()
     assert [r.nm for r in out3] == ["beta"]
+
+
+def test_values_multi_var(graph):
+    out = sparql_select(
+        graph,
+        "SELECT ?e ?n WHERE { ?e <p:in> ?n . "
+        'VALUES (?e ?n) { (<e:a> <n:1>) (<e:c> <n:2>) } } ORDER BY ?e',
+    ).collect()
+    assert [(r.e, r.n) for r in out] == [("e:a", "n:1"), ("e:c", "n:2")]
+    # UNDEF cell matches anything in that position
+    out2 = sparql_select(
+        graph,
+        "SELECT ?e ?n WHERE { ?e <p:in> ?n . "
+        'VALUES (?e ?n) { (UNDEF <n:1>) } } ORDER BY ?e',
+    ).collect()
+    assert [(r.e, r.n) for r in out2] == [("e:a", "n:1"), ("e:b", "n:1")]
+    with pytest.raises(SparqlError, match="2 terms for 2|has"):
+        sparql_select(
+            graph,
+            "SELECT ?e WHERE { ?e <p:in> ?n . VALUES (?e ?n) { (<e:a>) } }",
+        )
+
+
+def test_filter_in(graph):
+    out = sparql_select(
+        graph,
+        'SELECT ?e WHERE { ?e <p:in> ?n . FILTER(?n IN (<n:2>, "nope")) }',
+    ).collect()
+    assert [r.e for r in out] == ["e:c"]
+    out2 = sparql_select(
+        graph,
+        "SELECT ?e WHERE { ?e <p:in> ?n . FILTER(?n NOT IN (<n:2>)) } ORDER BY ?e",
+    ).collect()
+    assert [r.e for r in out2] == ["e:a", "e:b"]
+    # IN over an expression left side
+    out3 = sparql_select(
+        graph,
+        'SELECT ?nm WHERE { ?n <p:name> ?nm . FILTER(UCASE(?nm) IN ("ALPHA")) }',
+    ).collect()
+    assert [r.nm for r in out3] == ["alpha"]

@@ -26,6 +26,7 @@ Supported grammar (the BGP core that covers rdflib-demo-style queries):
     WHERE { ... { SELECT ... } }            # §12 subqueries (join on the
         projection; aggregates/nesting inside all work)
     WHERE { ... VALUES ?v { "a" <iri:b> } }  # inline bindings
+    WHERE { ... VALUES (?a ?b) { (<i> "x") (UNDEF "y") } }  # multi-var rows
     ASK [WHERE] { ... }                      # sparql_ask -> bool
     WHERE { ... FILTER [NOT] EXISTS { ... } }  # semi/anti join gate
     WHERE { ... MINUS { ... } }             # anti join; disjoint = identity
@@ -51,8 +52,8 @@ joins on the shared variables; top-level UNION branches compile
 independently and unionByName on the variable union (unbound -> null,
 bag semantics). FILTER(...) supports comparisons
 (= != < <= > >=, lexical string order — this graph stores strings),
-REGEX(?v, "pat"), BOUND(?v), CONTAINS/STRSTARTS/STRENDS(?v, "s")
-and && || ! ( ), compiled to Column
+REGEX(?v, "pat"), BOUND(?v), CONTAINS/STRSTARTS/STRENDS(?v, "s"),
+expr [NOT] IN (v, ...) and && || ! ( ), compiled to Column
 predicates applied over the joined pattern block — Catalyst then pushes
 the sargable ones down into the scans on its own. Comparison operands and
 BIND expressions share a value-expression subset: CONCAT, STR, UCASE,
@@ -179,7 +180,7 @@ _FILTER_TOKEN = re.compile(
       | <[^>\s]*>
       | "(?:[^"\\]|\\.)*"
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*
-      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STR)\b
+      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STR|NOT|IN)\b
       | !=|<=|>=|&&|\|\||[=<>!(),]""",
     re.X,
 )
@@ -341,6 +342,24 @@ class _FilterParser:
             self._expect(")")
             return col.isNotNull()
         left = self._value(tok)
+        nxt = self._peek()
+        if nxt is not None and nxt.upper() in ("IN", "NOT"):
+            negated = nxt.upper() == "NOT"
+            self._next()
+            if negated:
+                tok2 = self._next()
+                if tok2.upper() != "IN":
+                    raise SparqlError(f"expected IN after NOT, got {tok2!r}")
+            self._expect("(")
+            items = [self._value(self._next())]
+            while self._accept(","):
+                items.append(self._value(self._next()))
+            self._expect(")")
+            col = None  # OR-chain (items may be expressions, not literals)
+            for it in items:
+                c = left == it
+                col = c if col is None else col | c
+            return ~col if negated else col
         op = self._next()
         right = self._value(self._next())
         ops = {
@@ -599,6 +618,7 @@ class _Group:
     binds: list          # [(expr_text, var)] in document order
     subgroups: list      # [body] — bare { ... } join groups
     subselects: list     # [query_text] — { SELECT ... } subqueries (§12)
+    values_multi: list   # [(vars, rows)] — VALUES (?a ?b) { (..) } blocks
 
 
 def _lift_blocks(text: str, keyword_re: str):
@@ -664,6 +684,28 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> _Group:
     text, minus_blocks = _lift_blocks(text, r"\bMINUS")
     exists_groups += [("minus", _parse_body(body, prefixes)) for _g, body in minus_blocks]
 
+    values_multi = []
+    text, mval_blocks = _lift_blocks(text, r"\bVALUES\s*\(((?:\s*\?[\w]+)+)\s*\)")
+    for (vars_raw,), body in mval_blocks:
+        vars_ = [v[1:] for v in re.findall(r"\?[\w]+", vars_raw)]
+        rows = []
+        for row_m in re.finditer(r"\(([^()]*)\)", body):
+            toks = re.findall(
+                r'<[^>\s]*>|"(?:[^"\\]|\\.)*"|\bUNDEF\b|[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*',
+                row_m.group(1),
+            )
+            if len(toks) != len(vars_):
+                raise SparqlError(
+                    f"VALUES row {row_m.group(0)} has {len(toks)} terms for "
+                    f"{len(vars_)} variables"
+                )
+            rows.append(tuple(
+                None if t == "UNDEF" else _parse_term(t, prefixes).value for t in toks
+            ))
+        if not rows:
+            raise SparqlError(f"empty VALUES block for ({vars_raw})")
+        values_multi.append((vars_, rows))
+
     values = []
     text, val_blocks = _lift_blocks(text, r"\bVALUES\s+\?([\w]+)")
     for (var,), body in val_blocks:
@@ -702,7 +744,8 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> _Group:
     if not patterns and not subgroups and not subselects:
         raise SparqlError("empty group pattern")
     return _Group(
-        patterns, optionals, filters, values, exists_groups, binds, subgroups, subselects
+        patterns, optionals, filters, values, exists_groups, binds, subgroups,
+        subselects, values_multi,
     )
 
 
@@ -1224,6 +1267,25 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             if var not in bound:
                 raise SparqlError(f"VALUES variable ?{var} is not bound by the patterns")
             plan = plan.filter(F.col(var).isin(consts))
+        for vars_, rows in g.values_multi:
+            # VALUES (?a ?b) { (..) (..) }: a broadcast literal table joined
+            # on per-variable compatibility (UNDEF cell = matches anything);
+            # multiple compatible rows multiply, per SPARQL's multiset join.
+            # Like the single-var form, every VALUES variable must already
+            # be bound by the group.
+            missing = [v for v in vars_ if v not in bound]
+            if missing:
+                raise SparqlError(f"VALUES variable(s) {missing} not bound by the patterns")
+            vdf = edges.sparkSession.createDataFrame(
+                rows, ", ".join(f"__val_{v} string" for v in vars_)
+            )
+            cond = None
+            for v in vars_:
+                c = F.col(f"__val_{v}").isNull() | (F.col(v) == F.col(f"__val_{v}"))
+                cond = c if cond is None else cond & c
+            plan = plan.join(F.broadcast(vdf), cond).drop(
+                *[f"__val_{v}" for v in vars_]
+            )
         for f_text in g.filters:
             # compiled AFTER the joins (group scope); Catalyst pushes
             # sargable predicates back down into the scans on its own
