@@ -93,9 +93,16 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     """Total triangle count of the UNDIRECTED simple graph induced by the
     edge list -> a 1-row (n_triangles) DataFrame.
 
-    Canonicalize each edge to (lo, hi) with lo < hi and deduplicate, then
-    the ordered three-way join counts each triangle exactly once:
-    (a<b), (b<c), (a,c) present."""
+    DEGREE-ORDERED counting (Schank–Wagner / compact-forward — the
+    formulation that survives dense graphs): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, build wedges by
+    self-joining the oriented list on the source, and close each wedge
+    against the oriented edges. Every vertex's out-degree is then
+    O(sqrt(m))-bounded, so the wedge count is Σ outdeg² — orders of
+    magnitude below the naive ordered three-way join's Σ deg² on
+    skewed/dense graphs (a co-purchase graph with hub parts melts the
+    naive plan; this one finishes). Each triangle is counted exactly once:
+    its three vertices appear in (degree, id) order."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -104,13 +111,32 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    ab = und
-    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-    tri = (
-        ab.join(bc, "b")
-        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
     )
+    ann = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ann.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"], "left_semi")
     return tri.agg(F.count("*").alias("n_triangles"))
 
 
