@@ -62,12 +62,12 @@ def pagerank(
         with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left").select(
             "node", "rank", "out_deg"
         )
-        # dangling nodes (no out-edges) leak their mass; collect it once per
-        # round (a scalar agg, not a collect of rows) and spread it uniformly
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling nodes (no out-edges) leak their mass; fold the scalar
+        # back in as a one-row broadcast cross join so the whole iteration
+        # stays LAZY — no per-round driver action (the only jobs are the
+        # localCheckpoints every `checkpoint_every` rounds)
+        dang = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
         contribs = (
             with_deg.filter(F.col("out_deg").isNotNull())
@@ -76,13 +76,20 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n_nodes))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("dang") / n_nodes
+                    )
+                ).alias("rank"),
+            )
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint()
