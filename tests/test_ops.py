@@ -822,3 +822,26 @@ def test_sketch_distinct(spark):
     )
     got = {r.grp: (r.exact, r.within_bounds) for r in sketch_distinct(df, "grp", "val").collect()}
     assert got == {0: (1, True), 1: (2, True), 2: (3, True)}
+
+
+def test_normalize_urls_idempotent(spark):
+    """Canonicalization is a projection: normalize(normalize(x)) ==
+    normalize(x) — re-normalizing the canonical form changes nothing."""
+    from pyspark.sql import functions as F
+
+    from wbkg.ops.prep import normalize_urls
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/a/b/?x=2&utm_source=tw&a=1#frag"),
+        (2, "https://example.com:443/a//b///?b=1&a=2"),
+        (3, "http://example.com"),
+        (4, "https://sub.example.org:8443/p/?gclid=zz&id=9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    once = normalize_urls(df)
+    twice = normalize_urls(
+        once.select("doc_id", F.col("norm_url").alias("url"))
+    )
+    a = {r.doc_id: r.norm_url for r in once.collect()}
+    b = {r.doc_id: r.norm_url for r in twice.collect()}
+    assert a == b
