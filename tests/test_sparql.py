@@ -889,3 +889,24 @@ def test_filter_in(graph):
         'SELECT ?nm WHERE { ?n <p:name> ?nm . FILTER(UCASE(?nm) IN ("ALPHA")) }',
     ).collect()
     assert [r.nm for r in out3] == ["alpha"]
+
+
+def test_keywords_inside_literals_are_data(graph):
+    """A string literal containing FILTER( / OPTIONAL { / BIND( / MINUS {
+    must stay DATA — the keyword lifts are string-literal aware (round-5
+    hardening: FILTER/BIND used to be silently lifted out of literals)."""
+    from wbkg.sparql import parse_sparql
+
+    for body in [
+        'has FILTER(?x = 1) inside', 'OPTIONAL { trap }', 'BIND(1 AS ?x)',
+        'MINUS { x }', 'VALUES ?v { trap }', 'HAVING(COUNT(?x) > 1)',
+    ]:
+        g = parse_sparql(f'SELECT ?n WHERE {{ ?n <p:name> "{body}" . }}')[2][0]
+        ((_s, _p, obj),) = g.patterns
+        assert obj.value == body
+        assert not (g.filters or g.binds or g.exists_groups or g.optionals)
+    # and such a literal round-trips through execution
+    rows = sparql_select(
+        graph, 'SELECT ?n WHERE { ?n <p:name> "alpha" . FILTER(?n != "FILTER(x)") }'
+    ).collect()
+    assert [r.n for r in rows] == ["n:1"]

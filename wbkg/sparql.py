@@ -533,13 +533,48 @@ def _invert(node):
     raise SparqlError(f"cannot invert path node {node!r}")
 
 
+def _string_spans(text: str):
+    """[start, end) spans of double-quoted string literals (escape-aware)."""
+    spans, in_str, esc, start = [], False, False, 0
+    for i, c in enumerate(text):
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+                spans.append((start, i + 1))
+        elif c == '"':
+            in_str = True
+            start = i
+    if in_str:
+        spans.append((start, len(text)))
+    return spans
+
+
+def _search_outside_strings(pat, text: str):
+    """re.search that refuses matches STARTING inside a string literal —
+    a literal like "use FILTER(x) here" must never trigger a keyword lift."""
+    spans = _string_spans(text)
+    pos = 0
+    while True:
+        m = pat.search(text, pos)
+        if not m:
+            return None
+        if any(a <= m.start() < b for a, b in spans):
+            pos = m.start() + 1
+            continue
+        return m
+
+
 def _extract_filters(where: str):
     """Lift FILTER(...) blocks (balanced parens, string-literal aware) out
     of a pattern block. -> (residual_text, [filter_expr_text, ...])."""
     filters = []
     pat = re.compile(r"(?i)\bFILTER\s*\(")
     while True:
-        m = pat.search(where)
+        m = _search_outside_strings(pat, where)
         if not m:
             return where, filters
         depth, j, in_str, esc = 1, m.end(), False, False
@@ -573,7 +608,7 @@ def _extract_binds(where: str):
     binds = []
     pat = re.compile(r"(?i)\bBIND\s*\(")
     while True:
-        m = pat.search(where)
+        m = _search_outside_strings(pat, where)
         if not m:
             return where, binds
         depth, j, in_str, esc = 1, m.end(), False, False
@@ -627,7 +662,7 @@ def _lift_blocks(text: str, keyword_re: str):
     pat = re.compile(keyword_re + r"\s*\{", re.I | re.S)
     found = []
     while True:
-        m = pat.search(text)
+        m = _search_outside_strings(pat, text)
         if not m:
             return text, found
         depth, j, in_str, esc = 1, m.end(), False, False
@@ -731,7 +766,11 @@ def _parse_group(text: str, prefixes: dict[str, str]) -> _Group:
         else:
             subgroups.append(_parse_body(body, prefixes))
 
-    if re.search(r"[{}]", text):
+    lit_spans = _string_spans(text)
+    if any(
+        c in "{}" and not any(a <= i < b for a, b in lit_spans)
+        for i, c in enumerate(text)
+    ):
         raise SparqlError(f"unbalanced braces in group: {text!r}")
     text, binds = _extract_binds(text)
     text, filters = _extract_filters(text)
@@ -819,7 +858,7 @@ def parse_sparql(query: str):
     def _lift_having(text: str) -> str:
         pat = re.compile(r"(?i)\bHAVING\s*\(")
         while True:
-            hm = pat.search(text)
+            hm = _search_outside_strings(pat, text)
             if not hm:
                 return text
             depth, j = 1, hm.end()
