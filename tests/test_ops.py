@@ -845,3 +845,40 @@ def test_normalize_urls_idempotent(spark):
     a = {r.doc_id: r.norm_url for r in once.collect()}
     b = {r.doc_id: r.norm_url for r in twice.collect()}
     assert a == b
+
+
+def test_sessionize_property(spark):
+    """Hypothesis: for ANY event times, each user's session count equals
+    1 + number of inter-event gaps strictly over the threshold, and events
+    within one session are consecutive in time order."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from wbkg.ops.prep import sessionize
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        gaps=st.lists(st.integers(0, 90), min_size=1, max_size=12),
+        gap_minutes=st.sampled_from([10, 30]),
+    )
+    def run(gaps, gap_minutes):
+        t0 = datetime(2024, 1, 1)
+        ts, cur = [], t0
+        for g in gaps:
+            cur = cur + timedelta(minutes=g)
+            ts.append(cur)
+        rows = [(1, i, t) for i, t in enumerate(ts)]
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+        out = sorted(
+            (r.event_id, r.session_seq) for r in sessionize(df, gap_minutes=gap_minutes).collect()
+        )
+        want_sessions = 1 + sum(1 for g in gaps[1:] if g > gap_minutes)
+        seqs = [s for _e, s in out]
+        assert max(seqs) == want_sessions
+        assert seqs == sorted(seqs)  # session ids non-decreasing in time
+
+    run()
