@@ -82,3 +82,15 @@ def test_compiled_columns_match_select(spark):
     )
     out = sparql_select(g, "SELECT ?o ?s WHERE { ?s <p:x> ?o . }")
     assert out.columns == ["o", "s"]  # SELECT order preserved
+
+
+@settings(max_examples=200, deadline=None)
+@given(junk=st.text(max_size=60))
+def test_arbitrary_where_text_never_crashes(junk):
+    """Fuzz: ANY WHERE-body text either parses or raises SparqlError — the
+    parser's error boundary is its own exception type, never IndexError/
+    TypeError leaking from tokenizer internals."""
+    try:
+        parse_sparql("SELECT ?x WHERE { " + junk + " }")
+    except SparqlError:
+        pass

@@ -144,3 +144,16 @@ def test_grammar_fixpoint_bnodes_collections(subj, pos):
     # generated bnode labels are deterministic: re-parsing the same document
     # assigns the same labels
     assert parse_turtle_text(doc) == first
+
+
+@settings(max_examples=200, deadline=None)
+@given(junk=st.text(max_size=80))
+def test_arbitrary_turtle_text_never_crashes(junk):
+    """Fuzz: any input either parses or raises TurtleSyntaxError/ValueError
+    — no foreign exceptions escape the grammar."""
+    from wbkg.ttl import TurtleSyntaxError
+
+    try:
+        parse_turtle_text(junk)
+    except (TurtleSyntaxError, ValueError):
+        pass
