@@ -1515,6 +1515,15 @@ def q_media_resize_real(spark, sf_dir):
     return resize_png_stats(gen_media_df(spark, docs=30), max_side=32)
 
 
+def q_media_resample_audio(spark, sf_dir):
+    """REAL audio downsample (decode_wav -> decimate by 2): with the
+    closed-form samples s[i]=((i*(3+d)+17d+1)%4096)-2048 the oracle
+    replays mean|s| over exactly the kept indices 0,2,4,..."""
+    from wbkg.ops.multimodal import gen_media_df, wav_resample_stats
+
+    return wav_resample_stats(gen_media_df(spark, docs=30), factor=2)
+
+
 def q_media_video_decode(spark, sf_dir):
     """REAL MP4 frame decode (pure-stdlib ISO BMFF sample-table walk,
     wbkg/ops/multimodal.py decode_mp4_frames): dims from the stsd 'raw '
@@ -1764,6 +1773,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_meta": q_media_mp4_meta,
         "media_video_decode": q_media_video_decode,
         "media_resize_real": q_media_resize_real,
+        "media_resample_audio": q_media_resample_audio,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
         "sparql_not_exists": q_sparql_not_exists,
@@ -2658,6 +2668,18 @@ def _oracle_sqls() -> dict[str, str]:
                    round(avg((2*x + base) % 256), 4) AS mean_g,
                    round(avg((3*y + base) % 256), 4) AS mean_b
             FROM px GROUP BY d
+        """,
+        "media_resample_audio": """
+            WITH s AS (
+                SELECT d.g AS d, i.g AS i,
+                       ((2*i.g * (3 + d.g) + 17*d.g + 1) % 4096) - 2048 AS v
+                FROM generate_series(0, 29) d(g), generate_series(0, 1999) i(g)
+            )
+            SELECT printf('M%05d_1', d) AS media_id,
+                   2000::INTEGER AS out_samples,
+                   4000::INTEGER AS out_rate,
+                   round(avg(abs(v)), 4) AS mean_abs
+            FROM s GROUP BY d
         """,
         "media_resize_real": """
             WITH px AS (

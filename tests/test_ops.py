@@ -918,3 +918,26 @@ def test_resize_png_stats_real_pixels(spark):
         assert abs(r.mean_r - round(exp[0], 4)) < 1e-9
         assert abs(r.mean_g - round(exp[1], 4)) < 1e-9
         assert abs(r.mean_b - round(exp[2], 4)) < 1e-9
+
+
+def test_resample_audio(spark):
+    import numpy as np
+
+    from wbkg.ops.multimodal import (
+        gen_media_df,
+        gen_wav_samples,
+        resample_audio,
+        wav_resample_stats,
+    )
+
+    s = gen_wav_samples(2, 1)
+    s2, rate2 = resample_audio(s, 8000, 2)
+    assert np.array_equal(s2, s[::2]) and rate2 == 4000
+    with pytest.raises(ValueError):
+        resample_audio(s, 8000, 0)
+    rows = {r.media_id: r for r in wav_resample_stats(gen_media_df(spark, docs=2), factor=2).collect()}
+    for d in range(2):
+        r = rows[f"M{d:05d}_1"]
+        want = np.abs(gen_wav_samples(d, 1)[::2].astype(np.float64)).mean()
+        assert (r.out_samples, r.out_rate) == (2000, 4000)
+        assert abs(r.mean_abs - round(float(want), 4)) < 1e-9

@@ -808,6 +808,43 @@ def resize_png_stats(media: DataFrame, max_side: int = 32) -> DataFrame:
     )
 
 
+def resample_audio(samples: np.ndarray, rate: int, factor: int) -> tuple:
+    """REAL audio downsample by integer decimation: keep every `factor`-th
+    sample -> (samples', rate/factor). Plain decimation (no anti-alias
+    low-pass first — documented: a production resampler band-limits before
+    decimating; the deterministic index rule is what the oracle replays)."""
+    if factor < 1:
+        raise ValueError(f"decimation factor must be >= 1, got {factor}")
+    return samples[::factor], rate // factor
+
+
+def wav_resample_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """audio/wav -> decode_wav, decimate by `factor`, stats of the
+    RESAMPLED signal: (media_id, out_samples, out_rate, mean_abs).
+    Arrow-batched mapInPandas, payloads never collected."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "out_samples": [], "out_rate": [], "mean_abs": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav(bytes(payload))
+                s2, rate2 = resample_audio(s, rate, factor)
+                out["media_id"].append(mid)
+                out["out_samples"].append(len(s2))
+                out["out_rate"].append(rate2)
+                out["mean_abs"].append(round(float(np.abs(s2.astype(np.float64)).mean()), 4))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("mime") == "audio/wav")
+        .select("media_id", "payload")
+        .mapInPandas(
+            stats,
+            schema="media_id string, out_samples int, out_rate int, mean_abs double",
+        )
+    )
+
+
 def resize_meta(media: DataFrame, max_side: int = 32) -> DataFrame:
     """resize planning as pure column math (aspect-preserving target dims);
     the pixel resample itself would live in extract_features' decode step."""
