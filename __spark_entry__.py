@@ -1504,6 +1504,16 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_decode_stats(gen_media_df(spark, docs=30))
 
 
+def q_token_freq_score(spark, sf_dir):
+    """Corpus-frequency fluency scoring (CCNet-style LM-filter surrogate,
+    wbkg/ops/textops.py token_frequency_score): mean corpus frequency of a
+    document's tokens, integer-exact (sum of BIGINT counts / BIGINT token
+    count) so the oracle replays it bit-for-bit."""
+    from wbkg.ops.textops import token_frequency_score
+
+    return token_frequency_score(_read(spark, sf_dir, "documents"))
+
+
 def q_media_resize_real(spark, sf_dir):
     """REAL image resize (decode_png -> nearest-neighbor downsample to
     max_side=32, wbkg/ops/multimodal.py resize_image): the 64x48 synthetic
@@ -1774,6 +1784,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_decode": q_media_video_decode,
         "media_resize_real": q_media_resize_real,
         "media_resample_audio": q_media_resample_audio,
+        "token_freq_score": q_token_freq_score,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
         "sparql_not_exists": q_sparql_not_exists,
@@ -2668,6 +2679,18 @@ def _oracle_sqls() -> dict[str, str]:
                    round(avg((2*x + base) % 256), 4) AS mean_g,
                    round(avg((3*y + base) % 256), 4) AS mean_b
             FROM px GROUP BY d
+        """,
+        "token_freq_score": """
+            WITH toks AS (
+              SELECT doc_id, t.tok AS w
+              FROM documents,
+                   unnest(regexp_split_to_array(lower(text), '\\W+')) t(tok)
+              WHERE t.tok <> ''
+            ),
+            cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(sum(c) / count(*), 6) AS mean_token_freq
+            FROM toks JOIN cnt USING (w) GROUP BY doc_id
         """,
         "media_resample_audio": """
             WITH s AS (

@@ -941,3 +941,19 @@ def test_resample_audio(spark):
         want = np.abs(gen_wav_samples(d, 1)[::2].astype(np.float64)).mean()
         assert (r.out_samples, r.out_rate) == (2000, 4000)
         assert abs(r.mean_abs - round(float(want), 4)) < 1e-9
+
+
+def test_token_frequency_score(spark):
+    from wbkg.ops.textops import token_frequency_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the the"), (3, "zyxq")],
+        "doc_id long, text string",
+    )
+    # corpus counts: the=4, cat=1, dog=1, zyxq=1
+    got = {r.doc_id: (r.n_tokens, r.mean_token_freq)
+           for r in token_frequency_score(docs).collect()}
+    assert got[1] == (4, round((4 + 1 + 4 + 1) / 4, 6))
+    assert got[2] == (2, 4.0)      # all common tokens -> high score
+    assert got[3] == (1, 1.0)      # rare-vocabulary doc -> lowest score
+    assert got[3][1] < got[1][1] < got[2][1]

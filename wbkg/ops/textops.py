@@ -297,3 +297,36 @@ def percentile_filter(
         .drop("_g", "_thresh")
         .withColumn("score_rank", F.lit(None).cast("double"))
     )
+
+
+def token_frequency_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-frequency fluency scoring — the exact-arithmetic surrogate of
+    a CCNet-style LM quality filter: tokenize (lowercase, ASCII \\W+ split —
+    Java regex and RE2 agree on this class), count each token over the
+    WHOLE corpus, then score every document by the mean corpus frequency of
+    its tokens. Low mean frequency = rare/garbled vocabulary (the docs an
+    LM filter would flag); high = common fluent text. -> (id, n_tokens,
+    mean_token_freq).
+
+    Deliberately integer-exact: the score is sum(count(w)) / n_tokens — a
+    single division of exact integers, so the DuckDB oracle replays it
+    bit-for-bit (a log-probability variant sums floats whose order Spark
+    does not fix). Plan shape: one explode, one partial-aggregated count
+    shuffle, one token-key join (AQE broadcasts the count table when the
+    vocabulary is small), one per-doc aggregation — no driver-side state,
+    vocabulary never collected."""
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    return (
+        toks.join(counts, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("c") / F.count("*"), 6).alias("mean_token_freq"),
+        )
+    )
