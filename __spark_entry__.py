@@ -1504,6 +1504,32 @@ def q_media_wav_decode(spark, sf_dir):
     return wav_decode_stats(gen_media_df(spark, docs=30))
 
 
+def q_fuzzy_match_edit1(spark, sf_dir):
+    """Edit-distance-1 fuzzy matching (FastSS deletion-neighborhood
+    blocking + levenshtein verify, wbkg/ops/dedup.py fuzzy_pairs_edit1):
+    nation names vs deterministic 1-char-deleted corruptions plus part
+    types as distractors. The oracle is the brute-force levenshtein cross
+    join (tiny sides at oracle scale) — hash equality proves the blocking
+    loses no pair."""
+    from wbkg.ops.dedup import fuzzy_pairs_edit1
+
+    n = _read(spark, sf_dir, "nation")
+    p = _read(spark, sf_dir, "part")
+    names = n.select(F.col("n_name").alias("surface"))
+    corrupted = n.select(
+        F.concat(
+            F.expr("substr(n_name, 1, (n_nationkey % length(n_name)))"),
+            F.expr("substr(n_name, (n_nationkey % length(n_name)) + 2)"),
+        ).alias("surface")
+    )
+    noisy = corrupted.unionByName(
+        p.filter(F.col("p_partkey") <= 50).select(F.col("p_type").alias("surface"))
+    )
+    return fuzzy_pairs_edit1(names, noisy).select(
+        F.col("a").alias("dict_surface"), F.col("b").alias("noisy_surface")
+    )
+
+
 def q_token_freq_score(spark, sf_dir):
     """Corpus-frequency fluency scoring (CCNet-style LM-filter surrogate,
     wbkg/ops/textops.py token_frequency_score): mean corpus frequency of a
@@ -1785,6 +1811,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_real": q_media_resize_real,
         "media_resample_audio": q_media_resample_audio,
         "token_freq_score": q_token_freq_score,
+        "fuzzy_match_edit1": q_fuzzy_match_edit1,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
         "sparql_not_exists": q_sparql_not_exists,
@@ -2679,6 +2706,18 @@ def _oracle_sqls() -> dict[str, str]:
                    round(avg((2*x + base) % 256), 4) AS mean_g,
                    round(avg((3*y + base) % 256), 4) AS mean_b
             FROM px GROUP BY d
+        """,
+        "fuzzy_match_edit1": """
+            WITH names AS (SELECT DISTINCT n_name AS a FROM nation),
+            noisy AS (
+              SELECT substr(n_name, 1, (n_nationkey % length(n_name)))
+                     || substr(n_name, (n_nationkey % length(n_name)) + 2) AS b
+              FROM nation
+              UNION ALL
+              SELECT p_type AS b FROM part WHERE p_partkey <= 50
+            )
+            SELECT DISTINCT a AS dict_surface, b AS noisy_surface
+            FROM names, noisy WHERE levenshtein(a, b) <= 1
         """,
         "token_freq_score": """
             WITH toks AS (

@@ -957,3 +957,44 @@ def test_token_frequency_score(spark):
     assert got[2] == (2, 4.0)      # all common tokens -> high score
     assert got[3] == (1, 1.0)      # rare-vocabulary doc -> lowest score
     assert got[3][1] < got[1][1] < got[2][1]
+
+
+def test_fuzzy_pairs_edit1(spark):
+    """FastSS blocking + verify finds EXACTLY the levenshtein<=1 pairs:
+    equal, one substitution, one insertion, one deletion — and nothing at
+    distance 2, even when the block admits the candidate."""
+    from itertools import product
+
+    from wbkg.ops.dedup import fuzzy_pairs_edit1
+
+    left = spark.createDataFrame(
+        [("CANADA",), ("PERU",), ("x",)], "surface string"
+    )
+    right = spark.createDataFrame(
+        [("CANADA",),   # equal
+         ("CANADO",),   # substitution
+         ("CANADAS",),  # insertion
+         ("CANAD",),    # deletion
+         ("CXNXDA",),   # distance 2 - must NOT match
+         ("PER",), ("",)],  # deletion of PERU->PER? no: that's distance 1? PER vs PERU = 1 deletion
+        "surface string",
+    )
+    got = {(r.a, r.b) for r in fuzzy_pairs_edit1(left, right).collect()}
+    # brute-force reference
+    def lev(a, b):
+        import numpy as np
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[-1])
+    want = {
+        (a, b)
+        for a, b in product(["CANADA", "PERU", "x"],
+                            ["CANADA", "CANADO", "CANADAS", "CANAD", "CXNXDA", "PER", ""])
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    assert ("CANADA", "CXNXDA") not in got
+    assert ("x", "") in got  # single deletion to empty string

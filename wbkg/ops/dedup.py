@@ -592,3 +592,48 @@ def repeated_passages(
         F.count_distinct("doc_id").alias("n_docs")
     ).filter(F.col("n_docs") >= min_docs)
     return occ.join(counts, "phash").select("doc_id", "start_word", "phash", "n_docs")
+
+
+def _deletion_neighborhood(col: str):
+    """string -> array of itself + every single-character deletion (the
+    FastSS radius-1 neighborhood). Pure Catalyst: Column.substr with Column
+    positions inside a transform over sequence(1, length)."""
+    s = F.col(col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, F.greatest(F.length(s) - i, F.lit(0))),
+        ),
+    )
+    return F.array_union(F.array(s), dels)
+
+
+def fuzzy_pairs_edit1(
+    left: DataFrame, right: DataFrame, col: str = "surface"
+) -> DataFrame:
+    """All (left, right) string pairs within Levenshtein distance 1 —
+    the fuzzy second-pass linking primitive (dictionary surface vs noisy
+    mention) WITHOUT a cross join.
+
+    FastSS deletion-neighborhood blocking: ed(a,b) <= 1 implies the
+    radius-1 deletion neighborhoods of a and b intersect (equal strings
+    share themselves; one substitution shares the both-deleted form; one
+    insert/delete shares the shorter string). So: explode both
+    neighborhoods, equi-join on the variant (shuffle carries (variant,
+    string) pairs — explode factor = len+1, bounded by surface length),
+    dedup candidates, then VERIFY with the built-in JVM levenshtein
+    (the block admits some ed=2 pairs). No pair of strings ever meets
+    outside a shared variant bucket — the 100 TB shape."""
+    lv = (
+        left.select(F.col(col).alias("a"))
+        .distinct()
+        .select("a", F.explode(_deletion_neighborhood("a")).alias("v"))
+    )
+    rv = (
+        right.select(F.col(col).alias("b"))
+        .distinct()
+        .select("b", F.explode(_deletion_neighborhood("b")).alias("v"))
+    )
+    cand = lv.join(rv, "v").select("a", "b").distinct()
+    return cand.filter(F.levenshtein("a", "b") <= 1)
