@@ -998,3 +998,40 @@ def test_fuzzy_pairs_edit1(spark):
     assert got == want
     assert ("CANADA", "CXNXDA") not in got
     assert ("x", "") in got  # single deletion to empty string
+
+
+def test_exact_dedup_property(spark):
+    """Hypothesis: for ANY corpus with planted verbatim copies, exact_dedup
+    keeps exactly one survivor per text group (the min id) and reports the
+    group size."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from wbkg.ops.dedup import exact_dedup
+
+    TEXT = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), min_size=1, max_size=40
+    )
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(TEXT, min_size=1, max_size=6, unique=True),
+        copies=st.lists(st.integers(1, 4), min_size=6, max_size=6),
+    )
+    def run(texts, copies):
+        rows, nid = [], 0
+        want = {}
+        for t, k in zip(texts, copies):
+            ids = []
+            for _ in range(k):
+                rows.append((nid, t))
+                ids.append(nid)
+                nid += 1
+            want[min(ids)] = k
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.keep_id: r.dup_count for r in exact_dedup(df).collect()}
+        assert got == want
+
+    run()
