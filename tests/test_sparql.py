@@ -910,3 +910,196 @@ def test_keywords_inside_literals_are_data(graph):
         graph, 'SELECT ?n WHERE { ?n <p:name> "alpha" . FILTER(?n != "FILTER(x)") }'
     ).collect()
     assert [r.n for r in rows] == ["n:1"]
+
+
+# ---------------------------------------------------------------- round 6
+
+
+@pytest.fixture(scope="module")
+def lang_graph(spark):
+    """Edges WITH a lang column (the schema the Turtle ingest emits —
+    the reference tags literals lang='en', ref src/graph.py:231,242,267)."""
+    rows = [
+        ("n:1", "p:count", "5", True, None),
+        ("n:2", "p:count", "10", True, None),
+        ("n:3", "p:count", "40", True, None),
+        ("n:1", "p:name", "one", True, "en"),
+        ("n:1", "p:name", "eins", True, "de"),
+        ("n:2", "p:name", "two", True, "en"),
+        ("n:3", "p:name", "three", True, None),
+        ("m:1", "p:label", "one", True, "fr"),
+        ("m:2", "p:label", "one", True, "en"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_literal boolean, lang string"
+    )
+
+
+def test_filter_numeric_literal_casts_both_sides(lang_graph):
+    """A bare numeric literal makes the comparison numeric (rdflib compares
+    typed literals numerically): 10 > 5 even though "10" < "5" lexically."""
+    out = sparql_select(
+        lang_graph, "SELECT ?n WHERE { ?n <p:count> ?c . FILTER(?c > 5) } ORDER BY ?n"
+    ).collect()
+    assert [r.n for r in out] == ["n:2", "n:3"]
+    # >= and = also go numeric; 5.0 = "5" numerically
+    eq = sparql_select(
+        lang_graph, "SELECT ?n WHERE { ?n <p:count> ?c . FILTER(?c = 5.0) }"
+    ).collect()
+    assert [r.n for r in eq] == ["n:1"]
+
+
+def test_filter_string_comparison_stays_lexical(lang_graph):
+    """String-vs-string keeps lexical order: "10" < "5" as strings."""
+    out = sparql_select(
+        lang_graph,
+        'SELECT ?n WHERE { ?n <p:count> ?c . FILTER(?c < "5") } ORDER BY ?n',
+    ).collect()
+    assert [r.n for r in out] == ["n:2", "n:3"]  # "10" and "40" sort below "5"
+
+
+def test_lang_function_and_tagged_literals(lang_graph):
+    en = sparql_select(
+        lang_graph,
+        'SELECT ?n ?nm WHERE { ?n <p:name> ?nm . FILTER(LANG(?nm) = "en") } ORDER BY ?n',
+    ).collect()
+    assert [(r.n, r.nm) for r in en] == [("n:1", "one"), ("n:2", "two")]
+    plain = sparql_select(
+        lang_graph,
+        'SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(LANG(?nm) = "") }',
+    ).collect()
+    assert [r.n for r in plain] == ["n:3"]
+    # lang-tagged constant object filters on value AND tag
+    tagged = sparql_select(lang_graph, 'SELECT ?n WHERE { ?n <p:name> "one"@en . }').collect()
+    assert [r.n for r in tagged] == ["n:1"]
+    assert sparql_select(lang_graph, 'SELECT ?n WHERE { ?n <p:name> "one"@hu . }').count() == 0
+    # LANG of a subject-position (URI) variable is ""
+    uri = sparql_select(
+        lang_graph, 'SELECT ?n WHERE { ?n <p:count> ?c . FILTER(LANG(?n) = "") }'
+    )
+    assert uri.count() == 3
+
+
+def test_lang_join_is_rdf_term_exact(lang_graph):
+    """A variable bound at object position in two patterns joins on
+    (value, lang): "one"@en meets "one"@en but not "one"@fr."""
+    out = sparql_select(
+        lang_graph,
+        "SELECT ?a ?b WHERE { ?a <p:name> ?v . ?b <p:label> ?v . } ORDER BY ?a ?b",
+    ).collect()
+    assert [(r.a, r.b) for r in out] == [("n:1", "m:2")]  # en==en only
+
+
+def test_select_star_hides_lang_companions(lang_graph):
+    out = sparql_select(lang_graph, "SELECT * WHERE { ?n <p:name> ?nm . }")
+    assert out.columns == ["n", "nm"]
+
+
+def test_plain_edges_have_no_lang_surface(graph):
+    """Over a (subj, pred, obj)-only table LANG() answers "" and plans are
+    companion-free — the pre-round-6 compile path, unchanged."""
+    out = sparql_select(
+        graph, 'SELECT ?n WHERE { ?n <p:name> ?nm . FILTER(LANG(?nm) = "") } ORDER BY ?n'
+    ).collect()
+    assert [r.n for r in out] == ["n:1", "n:2"]
+
+
+def test_if_and_coalesce(lang_graph):
+    out = sparql_select(
+        lang_graph,
+        """SELECT ?n ?tag WHERE {
+             ?n <p:name> ?nm .
+             BIND(IF(LANG(?nm) = "", "plain", LANG(?nm)) AS ?tag)
+           } ORDER BY ?n ?tag""",
+    ).collect()
+    assert [(r.n, r.tag) for r in out] == [
+        ("n:1", "de"), ("n:1", "en"), ("n:2", "en"), ("n:3", "plain"),
+    ]
+    co = sparql_select(
+        lang_graph,
+        """SELECT ?n ?v WHERE {
+             ?n <p:count> ?c . OPTIONAL { ?n <p:name> ?nm . FILTER(LANG(?nm) = "de") }
+             BIND(COALESCE(?nm, "none") AS ?v)
+           } ORDER BY ?n""",
+    ).collect()
+    assert [(r.n, r.v) for r in co] == [("n:1", "eins"), ("n:2", "none"), ("n:3", "none")]
+
+
+def test_optional_inside_subselect_stays_nested(graph):
+    """ADVICE r05 (high): an OPTIONAL nested inside a { SELECT } subquery
+    must not be hoisted to the outer group. ?e is subquery-internal, so
+    selecting it outside must raise; the subquery itself keeps its
+    OPTIONAL multiplicity."""
+    q_groups = parse_sparql(
+        "SELECT ?x WHERE { ?x <p:in> ?n . "
+        "{ SELECT ?x WHERE { ?x <p:in> ?m . OPTIONAL { ?x <p:knows> ?e } } } }"
+    )[2]
+    assert len(q_groups[0].optionals) == 0
+    assert "OPTIONAL" in q_groups[0].subselects[0]
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            graph,
+            "SELECT ?e WHERE { ?x <p:in> ?n . "
+            "{ SELECT ?x WHERE { ?x <p:in> ?m . OPTIONAL { ?x <p:knows> ?e } } } }",
+        )
+    # e:a knows 2 entities -> subquery returns e:a twice (bag semantics)
+    out = sparql_select(
+        graph,
+        "SELECT ?x WHERE { ?x <p:in> ?n . "
+        "{ SELECT ?x WHERE { ?x <p:in> ?m . OPTIONAL { ?x <p:knows> ?e } } } } ORDER BY ?x",
+    ).collect()
+    assert [r.x for r in out] == ["e:a", "e:a", "e:b", "e:c"]
+
+
+def test_optional_inside_bare_subgroup_stays_nested(graph):
+    g = parse_sparql(
+        "SELECT ?x WHERE { ?x <p:in> ?n . { ?x <p:in> ?m . OPTIONAL { ?x <p:knows> ?e } } }"
+    )[2][0]
+    assert len(g.optionals) == 0
+    assert len(g.subgroups[0][0].optionals) == 1
+    out = sparql_select(
+        graph,
+        "SELECT ?x ?e WHERE { ?x <p:in> ?n . "
+        "{ ?x <p:in> ?m . OPTIONAL { ?x <p:knows> ?e } } } ORDER BY ?x ?e",
+    ).collect()
+    assert [(r.x, r.e) for r in out] == [
+        ("e:a", "e:a"), ("e:a", "e:b"), ("e:b", None), ("e:c", None),
+    ]
+
+
+def test_having_inside_subquery_stays_nested(graph):
+    """ADVICE r05 (medium): HAVING inside a { SELECT } subquery filters the
+    SUBQUERY's groups, and the outer query gains no HAVING."""
+    parsed = parse_sparql(
+        "SELECT ?n WHERE { ?n <p:name> ?nm . "
+        "{ SELECT ?n (COUNT(?e) AS ?c) WHERE { ?e <p:in> ?n } GROUP BY ?n "
+        "HAVING(COUNT(?e) > 1) } }"
+    )
+    assert parsed[9] == []  # outer HAVING list empty
+    assert "HAVING" in parsed[2][0].subselects[0]
+    out = sparql_select(
+        graph,
+        "SELECT ?n ?c WHERE { ?n <p:name> ?nm . "
+        "{ SELECT ?n (COUNT(?e) AS ?c) WHERE { ?e <p:in> ?n } GROUP BY ?n "
+        "HAVING(COUNT(?e) > 1) } }",
+    ).collect()
+    assert [(r.n, int(r.c)) for r in out] == [("n:1", 2)]  # n:2 filtered IN the subquery
+
+
+def test_exists_body_with_optional_inner_null(graph):
+    """ADVICE r05 (low): an inner variable left unbound by an OPTIONAL
+    inside the EXISTS/MINUS body is compatible with ANYTHING (SPARQL
+    solution compatibility), so MINUS removes and EXISTS keeps."""
+    # inner ?v: unbound (p:nothere never matches) -> compatible with all
+    out = sparql_select(
+        graph,
+        "SELECT ?n ?v WHERE { ?n <p:name> ?v . "
+        "MINUS { ?n <p:name> ?x . OPTIONAL { ?n <p:nothere> ?v } } }",
+    )
+    assert out.count() == 0  # compatible + dom overlap on shared ?v? no — on value
+    ex = sparql_select(
+        graph,
+        "SELECT ?n ?v WHERE { ?n <p:name> ?v . "
+        "FILTER EXISTS { ?n <p:name> ?x . OPTIONAL { ?n <p:nothere> ?v } } } ORDER BY ?n",
+    ).collect()
+    assert [r.n for r in ex] == ["n:1", "n:2"]

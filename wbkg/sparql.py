@@ -47,18 +47,27 @@ closure; `*`/`?` union the graph-node identity relation per §9.1
 ZeroOrMorePath. The closure runs EAGERLY at compile time — see
 sparql_select's docstring.
 
-Terms: ?var, <iri>, pfx:local, "literal". OPTIONAL groups compile to left
-joins on the shared variables; top-level UNION branches compile
-independently and unionByName on the variable union (unbound -> null,
-bag semantics). FILTER(...) supports comparisons
-(= != < <= > >=, lexical string order — this graph stores strings),
-REGEX(?v, "pat"), BOUND(?v), CONTAINS/STRSTARTS/STRENDS(?v, "s"),
-expr [NOT] IN (v, ...) and && || ! ( ), compiled to Column
-predicates applied over the joined pattern block — Catalyst then pushes
-the sargable ones down into the scans on its own. Comparison operands and
-BIND expressions share a value-expression subset: CONCAT, STR, UCASE,
-LCASE, STRLEN, REPLACE (regex, fn:replace). sparql_construct gives
-the CONSTRUCT verb (template-projected triple set).
+Terms: ?var, <iri>, pfx:local, "literal", "literal"@lang. OPTIONAL groups
+compile to left joins on the shared variables; top-level UNION branches
+compile independently and unionByName on the variable union (unbound ->
+null, bag semantics). FILTER(...) supports comparisons (= != < <= > >=;
+string-vs-string compares in lexical order, while a bare NUMERIC literal
+on either side casts both to double — rdflib compares typed numerics
+numerically, and HAVING always did the same here), REGEX(?v, "pat"),
+BOUND(?v), CONTAINS/STRSTARTS/STRENDS(?v, "s"), expr [NOT] IN (v, ...)
+and && || ! ( ), compiled to Column predicates applied over the joined
+pattern block — Catalyst then pushes the sargable ones down into the
+scans on its own. Comparison operands and BIND expressions share a
+value-expression subset: CONCAT, STR, UCASE, LCASE, STRLEN, REPLACE
+(regex, fn:replace), IF(cond, then, else), COALESCE(v, ...), LANG(?v).
+sparql_construct gives the CONSTRUCT verb (template-projected triple set).
+
+Language tags: when the edges table carries a `lang` column (the Turtle
+ingest and KG materializer schemas), object-position variable bindings
+carry a hidden lang companion — LANG(?v) reads it, `"x"@en` constants
+filter on value AND tag, and a variable bound at object position in two
+patterns joins RDF-term-exactly (value, lang). Plain (subj, pred, obj)
+tables compile exactly as before and answer LANG() with "".
 
 Plan shape at 100 TB: each triple pattern becomes one scan of the edges
 table with its constant terms pushed down as filters — a constant predicate
@@ -83,7 +92,7 @@ RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 _TOKEN = re.compile(
     r"""\?[A-Za-z_][\w]*   # variable
       | <[^>\s]*>          # iri
-      | "(?:[^"\\]|\\.)*"  # literal
+      | "(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*)?  # literal ["x"@lang]
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*   # prefixed name
       | \ba\b              # rdf:type shorthand
       | [.{}/+^|*?()!]""",
@@ -95,6 +104,7 @@ _TOKEN = re.compile(
 class _Term:
     kind: str  # "var" | "const"
     value: str
+    lang: str | None = None  # language tag of a `"x"@en` literal term
 
 
 @dataclass
@@ -163,8 +173,13 @@ def _parse_term(tok: str, prefixes: dict[str, str]) -> _Term:
     if tok.startswith("<") and tok.endswith(">"):
         return _Term("const", tok[1:-1])
     if tok.startswith('"'):
+        lang = None
+        lm = re.search(r'"@([A-Za-z][A-Za-z0-9-]*)$', tok)
+        if lm:
+            lang = lm.group(1)
+            tok = tok[: lm.start() + 1]
         body = tok[1:-1]
-        return _Term("const", re.sub(r'\\(["\\])', r"\1", body))
+        return _Term("const", re.sub(r'\\(["\\])', r"\1", body), lang=lang)
     if tok == "a":
         return _Term("const", RDF_TYPE_IRI)
     if ":" in tok:
@@ -178,15 +193,20 @@ def _parse_term(tok: str, prefixes: dict[str, str]) -> _Term:
 _FILTER_TOKEN = re.compile(
     r"""\?[A-Za-z_][\w]*
       | <[^>\s]*>
-      | "(?:[^"\\]|\\.)*"
+      | "(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*)?
+      | -?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*
-      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STR|NOT|IN)\b
+      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STR|NOT|IN|IF|COALESCE|LANG)\b
       | !=|<=|>=|&&|\|\||[=<>!(),]""",
     re.X,
 )
 
+_NUMERIC_LIT = re.compile(r"^-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?$")
+
 # value-producing builtins usable in BIND expressions and on either side of
-# a FILTER comparison; (min_args, max_args)
+# a FILTER comparison; (min_args, max_args). IF / COALESCE / LANG are
+# special-cased in _value (IF's first argument is a boolean expression,
+# LANG reads the hidden lang companion column).
 _VALUE_FNS = {
     "CONCAT": (1, 99),
     "STR": (1, 1),
@@ -195,6 +215,11 @@ _VALUE_FNS = {
     "STRLEN": (1, 1),
     "REPLACE": (3, 3),
 }
+
+# hidden companion column prefix carrying the language tag of an
+# object-position variable binding (only created when the edges table has a
+# `lang` column — plain (subj, pred, obj) tables compile exactly as before)
+_LANG_PFX = "__wbkg_lang_"
 
 
 class _FilterParser:
@@ -208,6 +233,11 @@ class _FilterParser:
         self.i = 0
         self.prefixes = prefixes
         self.bound = bound
+        # set by _value when the expression it just parsed was a bare
+        # numeric literal (e.g. 5, -2.5): comparisons with a numeric
+        # operand cast BOTH sides to double (rdflib compares typed
+        # numerics numerically); string-vs-string stays lexical.
+        self._last_numeric = False
 
     def _peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -262,6 +292,11 @@ class _FilterParser:
             if t.value not in self.bound:
                 raise SparqlError(f"unbound variable ?{t.value} in FILTER")
             return F.col(t.value)
+        if t.lang is not None:
+            raise SparqlError(
+                f'language-tagged literal "{t.value}"@{t.lang} in a FILTER '
+                "expression — compare the value and LANG(?v) separately"
+            )
         return F.lit(t.value)
 
     def parse_value(self):
@@ -272,11 +307,50 @@ class _FilterParser:
         return col
 
     def _value(self, tok: str):
-        """Value expression: term | CONCAT(v,...) | STR(v) | UCASE(v) |
-        LCASE(v) | STRLEN(v) | REPLACE(v, "pat", "rep"). Everything stays a
-        string column (the graph stores strings; STRLEN stringifies), so
-        BIND output unions/compares like any other graph value."""
+        """Value expression: term | numeric literal | CONCAT(v,...) |
+        STR(v) | UCASE(v) | LCASE(v) | STRLEN(v) | REPLACE(v, "pat",
+        "rep") | IF(cond, then, else) | COALESCE(v,...) | LANG(?v).
+        Everything stays a string column (the graph stores strings; STRLEN
+        stringifies), so BIND output unions/compares like any other graph
+        value; a bare numeric literal flags the surrounding comparison to
+        compare numerically (see _prim)."""
+        self._last_numeric = False
         fn = tok.upper()
+        if fn == "IF":
+            self._expect("(")
+            cond = self._or()
+            self._expect(",")
+            then = self._value(self._next())
+            self._expect(",")
+            els = self._value(self._next())
+            self._expect(")")
+            self._last_numeric = False
+            return F.when(cond, then).otherwise(els)
+        if fn == "COALESCE":
+            self._expect("(")
+            args = [self._value(self._next())]
+            while self._accept(","):
+                args.append(self._value(self._next()))
+            self._expect(")")
+            self._last_numeric = False
+            if len(args) == 1:
+                return args[0]
+            return F.coalesce(*args)
+        if fn == "LANG":
+            self._expect("(")
+            var = self._next()
+            if not var.startswith("?"):
+                raise SparqlError("LANG takes a variable")
+            name = var[1:]
+            if name not in self.bound:
+                raise SparqlError(f"unbound variable ?{name} in LANG")
+            self._expect(")")
+            # the companion column exists only for object-position
+            # bindings over a lang-carrying edges table; everything else
+            # (URIs, plain literals, BIND output) has LANG "" per SPARQL
+            if _LANG_PFX + name in self.bound:
+                return F.coalesce(F.col(_LANG_PFX + name), F.lit(""))
+            return F.lit("")
         if fn in _VALUE_FNS:
             lo, hi = _VALUE_FNS[fn]
             self._expect("(")
@@ -285,6 +359,7 @@ class _FilterParser:
                 self._next()
                 args.append(self._value(self._next()))
             self._expect(")")
+            self._last_numeric = False  # cleared: args may have set it
             if not lo <= len(args) <= hi:
                 raise SparqlError(f"{fn} takes {lo}..{hi} arguments, got {len(args)}")
             if fn == "CONCAT":
@@ -300,6 +375,9 @@ class _FilterParser:
             # REPLACE is regex-based in SPARQL 1.1 (fn:replace)
             pat, rep = args[1], args[2]
             return F.regexp_replace(args[0], pat, rep)
+        if _NUMERIC_LIT.match(tok):
+            self._last_numeric = True
+            return F.lit(tok)
         return self._term_col(tok)
 
     def _prim(self):
@@ -342,6 +420,7 @@ class _FilterParser:
             self._expect(")")
             return col.isNotNull()
         left = self._value(tok)
+        left_num = self._last_numeric
         nxt = self._peek()
         if nxt is not None and nxt.upper() in ("IN", "NOT"):
             negated = nxt.upper() == "NOT"
@@ -351,17 +430,21 @@ class _FilterParser:
                 if tok2.upper() != "IN":
                     raise SparqlError(f"expected IN after NOT, got {tok2!r}")
             self._expect("(")
-            items = [self._value(self._next())]
+            items = [(self._value(self._next()), self._last_numeric)]
             while self._accept(","):
-                items.append(self._value(self._next()))
+                items.append((self._value(self._next()), self._last_numeric))
             self._expect(")")
             col = None  # OR-chain (items may be expressions, not literals)
-            for it in items:
-                c = left == it
+            for it, it_num in items:
+                if left_num or it_num:  # typed-numeric member: compare as numbers
+                    c = left.cast("double") == it.cast("double")
+                else:
+                    c = left == it
                 col = c if col is None else col | c
             return ~col if negated else col
         op = self._next()
         right = self._value(self._next())
+        right_num = self._last_numeric
         ops = {
             "=": lambda a, b: a == b,
             "!=": lambda a, b: a != b,
@@ -372,6 +455,11 @@ class _FilterParser:
         }
         if op not in ops:
             raise SparqlError(f"unsupported FILTER operator {op!r}")
+        if left_num or right_num:
+            # a bare numeric literal on either side makes this a typed
+            # numeric comparison (rdflib: Literal(5) compares numerically),
+            # exactly as HAVING already casts; quoted strings stay lexical
+            left, right = left.cast("double"), right.cast("double")
         return ops[op](left, right)
 
 
@@ -568,6 +656,38 @@ def _search_outside_strings(pat, text: str):
         return m
 
 
+def _search_top_level(pat, text: str):
+    """re.search that refuses matches starting inside a string literal OR
+    inside a nested { } block. Keyword lifts (OPTIONAL / EXISTS / MINUS /
+    VALUES / HAVING) must fire only at the current group's own brace depth:
+    one nested inside a bare subgroup, a { SELECT } subquery, or an
+    EXISTS/MINUS body belongs to THAT group and is handled when the
+    recursion parses it — hoisting it to the outer group silently changes
+    query semantics."""
+    spans = _string_spans(text)
+    depths, depth, si, ns = [0] * len(text), 0, 0, len(spans)
+    for i, c in enumerate(text):
+        while si < ns and i >= spans[si][1]:
+            si += 1
+        in_str = si < ns and spans[si][0] <= i < spans[si][1]
+        depths[i] = depth
+        if not in_str:
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+    pos = 0
+    while True:
+        m = pat.search(text, pos)
+        if not m:
+            return None
+        i = m.start()
+        if any(a <= i < b for a, b in spans) or depths[i] != 0:
+            pos = i + 1
+            continue
+        return m
+
+
 def _extract_filters(where: str):
     """Lift FILTER(...) blocks (balanced parens, string-literal aware) out
     of a pattern block. -> (residual_text, [filter_expr_text, ...])."""
@@ -657,12 +777,15 @@ class _Group:
 
 
 def _lift_blocks(text: str, keyword_re: str):
-    """Lift every `<keyword> { ... }` block (BALANCED braces, string-literal
-    aware) out of `text`. -> (residual, [(match_groups, body), ...])."""
+    """Lift every TOP-LEVEL `<keyword> { ... }` block (balanced braces,
+    string-literal aware) out of `text`. Keyword blocks nested inside other
+    braces are left in place — the recursion that parses the enclosing
+    block lifts them at its own depth. -> (residual,
+    [(match_groups, body), ...])."""
     pat = re.compile(keyword_re + r"\s*\{", re.I | re.S)
     found = []
     while True:
-        m = _search_outside_strings(pat, text)
+        m = _search_top_level(pat, text)
         if not m:
             return text, found
         depth, j, in_str, esc = 1, m.end(), False, False
@@ -856,9 +979,12 @@ def parse_sparql(query: str):
     having = []
 
     def _lift_having(text: str) -> str:
+        # top-level only: a HAVING inside a { SELECT ... } subquery (which
+        # sits inside the WHERE braces) belongs to the subquery — its own
+        # recursive parse_sparql lifts it at its own depth 0
         pat = re.compile(r"(?i)\bHAVING\s*\(")
         while True:
-            hm = _search_outside_strings(pat, text)
+            hm = _search_top_level(pat, text)
             if not hm:
                 return text
             depth, j = 1, hm.end()
@@ -1093,7 +1219,21 @@ def _compile_path_node(edges: DataFrame, node) -> DataFrame:
 
 
 def _compile_bgp(edges: DataFrame, patterns, tag: str):
-    """Compile one conjunctive pattern group to (plan, bound_vars)."""
+    """Compile one conjunctive pattern group to (plan, bound_vars).
+
+    When the edges table carries a `lang` column (the schema the Turtle
+    ingest and the KG materializer emit — the reference tags its literals
+    `lang='en'` throughout, ref src/graph.py:231,242,267), every
+    object-position variable also binds a hidden `__wbkg_lang_<var>`
+    companion (null lang folded to "" — SPARQL's LANG() value for plain
+    literals). The companion participates in joins, so a variable bound at
+    object position in two patterns joins RDF-term-exactly ("x"@en does
+    not meet "x"@fr), and LANG(?v) in FILTER/BIND reads it. Plain
+    (subj, pred, obj) tables compile exactly as before — no companions. A
+    lang-tagged constant object `"x"@en` filters on value AND tag; an
+    untagged constant keeps matching on value alone (documented lenient —
+    this engine's edges store one literal per (value, lang))."""
+    has_lang = "lang" in edges.columns
     bound: set[str] = set()
     plan: DataFrame | None = None
     gate_cols: list[str] = []
@@ -1101,19 +1241,33 @@ def _compile_bgp(edges: DataFrame, patterns, tag: str):
         if isinstance(p, _Path):
             scan = _compile_path(edges, p)
             pos_terms = (("a", s), ("b", o))
+            scan_lang = False
         else:
-            scan = edges.select("subj", "pred", "obj")
+            base_cols = ["subj", "pred", "obj"] + (["lang"] if has_lang else [])
+            scan = edges.select(*base_cols)
             pos_terms = (("subj", s), ("pred", p), ("obj", o))
+            scan_lang = has_lang
         cols, rename = [], {}
         for col, term in pos_terms:
             if term.kind == "const":
                 scan = scan.filter(F.col(col) == term.value)
+                if col == "obj" and scan_lang and term.lang is not None:
+                    scan = scan.filter(
+                        F.coalesce(F.col("lang"), F.lit("")) == term.lang
+                    )
             else:
                 if term.value in rename:  # repeated var inside one pattern
                     scan = scan.filter(F.col(col) == F.col(rename[term.value]))
                 else:
                     rename[term.value] = col
                     cols.append(F.col(col).alias(term.value))
+                    if col == "obj" and scan_lang:
+                        rename[_LANG_PFX + term.value] = "lang"
+                        cols.append(
+                            F.coalesce(F.col("lang"), F.lit("")).alias(
+                                _LANG_PFX + term.value
+                            )
+                        )
         # a fully-constant pattern is an existence gate, not a multiplier
         if not cols:
             gate = f"__wbkg_gate_{tag}{i}"
@@ -1244,7 +1398,7 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             # share no variable: MINUS then removes NOTHING (SPARQL 1.1
             # §8.3), while NOT EXISTS without shared variables is rejected
             # loudly.
-            ex_plan, ex_bound, _ex_null = compile_body(ex_body, f"{tag}e{gi}")
+            ex_plan, ex_bound, ex_null = compile_body(ex_body, f"{tag}e{gi}")
             keys = sorted(bound & ex_bound)
             if not keys:
                 if mode == "minus":
@@ -1252,7 +1406,9 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                 raise SparqlError(
                     "FILTER EXISTS group shares no variable with the outer patterns"
                 )
-            null_keys = [k for k in keys if k in nullable]
+            # a key is null-capable when EITHER side can leave it unbound
+            # (outer OPTIONAL, or an OPTIONAL inside the EXISTS/MINUS body)
+            null_keys = [k for k in keys if k in nullable or k in ex_null]
             if not null_keys:
                 # no shared key can be null: plain equi semi/anti join —
                 # shuffle- or broadcast-hash, the plan you want at scale
@@ -1262,29 +1418,33 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
                     "left_semi" if mode == "exists" else "left_anti",
                 )
                 continue
-            # An OPTIONAL-bound shared key can be null = unbound, and
-            # SPARQL's per-solution compatibility says unbound matches
-            # anything (for EXISTS, the unbound var stays free; for MINUS,
-            # compatibility plus a dom-overlap requirement — at least one
-            # shared var actually bound on the outer side, else nothing is
-            # removed, SPARQL 1.1 §8.3). Spark's null-unequal equi-join
-            # keys get that wrong in both directions, so compile an
-            # explicit condition: null outer key OR equal. This is a
-            # non-equi join (broadcast nested loop on the DEDUPED inner
-            # key set — bounded by the inner group's distinct key combos,
-            # small for selective gates); the fast path above covers every
-            # query without OPTIONAL-shared keys.
+            # An OPTIONAL-bound shared key can be null = unbound (on either
+            # side), and SPARQL's per-solution compatibility says unbound
+            # matches anything (for EXISTS, the unbound var stays free; for
+            # MINUS, compatibility plus a dom-overlap requirement — at
+            # least one shared var actually bound on BOTH sides, else
+            # nothing is removed, SPARQL 1.1 §8.3). Spark's null-unequal
+            # equi-join keys get that wrong in both directions, so compile
+            # an explicit condition: null key on EITHER side OR equal. This
+            # is a non-equi join (broadcast nested loop on the DEDUPED
+            # inner key set — bounded by the inner group's distinct key
+            # combos, small for selective gates); the fast path above
+            # covers every query without OPTIONAL-shared keys.
             inner = ex_plan.select(
                 *[F.col(k).alias(f"__ex_{k}") for k in keys]
             ).dropDuplicates()
             compat = None
             for k in keys:
-                c = F.col(k).isNull() | (F.col(k) == F.col(f"__ex_{k}"))
+                c = (
+                    F.col(k).isNull()
+                    | F.col(f"__ex_{k}").isNull()
+                    | (F.col(k) == F.col(f"__ex_{k}"))
+                )
                 compat = c if compat is None else compat & c
             if mode == "minus":
                 overlap = None
                 for k in keys:
-                    c = F.col(k).isNotNull()
+                    c = F.col(k).isNotNull() & F.col(f"__ex_{k}").isNotNull()
                     overlap = c if overlap is None else overlap | c
                 compat = compat & overlap
             plan = plan.join(
@@ -1374,7 +1534,9 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         return out
 
     if select_vars is None:
-        select_vars = sorted(bound)
+        # SELECT *: user-visible variables only — the hidden lang
+        # companions are internal plumbing for LANG()/term-exact joins
+        select_vars = sorted(v for v in bound if not v.startswith(_LANG_PFX))
     missing = [v for v in select_vars + [ov for ov, _a in order_vars] if v not in bound]
     if missing:
         raise SparqlError(f"unbound variable(s) in SELECT/ORDER BY: {missing}")
