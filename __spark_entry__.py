@@ -829,6 +829,99 @@ def q_sparql_bind(spark, sf_dir):
     )
 
 
+def q_sparql_filter_numeric(spark, sf_dir):
+    """Typed-numeric FILTER comparison (VERDICT r05 #1): a bare numeric
+    literal casts both sides to double (rdflib compares typed literals
+    numerically), while quoted strings stay lexical. The fixture values
+    (multiples of 5 up to "120") order differently lexically vs
+    numerically, so a lexical `>` would hash-mismatch the oracle."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:pop").alias("pred"),
+        (F.col("n_nationkey") * 5).cast("string").alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?pop WHERE {
+            ?n <urn:p:pop> ?pop .
+            FILTER(?pop > 59 && ?pop != "60")
+        } ORDER BY ?n
+        """,
+    )
+
+
+def q_sparql_lang(spark, sf_dir):
+    """Language-tag surface (VERDICT r05 #3): the edges table carries the
+    `lang` column the Turtle ingest emits (the reference tags literals
+    lang='en', ref src/graph.py:231,242,267); LANG(?v) reads the hidden
+    companion binding and the FILTER drops the @de rows. The oracle
+    reconstructs the surviving (en + plain) rows with their tags."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+
+    def _lbl(obj, lang):
+        return n.select(
+            subj.alias("subj"),
+            F.lit("urn:p:label").alias("pred"),
+            obj.alias("obj"),
+            (F.lit(lang) if lang else F.lit(None)).cast("string").alias("lang"),
+        )
+
+    edges = (
+        _lbl(F.col("n_name"), "en")
+        .unionByName(_lbl(F.lower("n_name"), "de"))
+        .unionByName(_lbl(F.concat(F.col("n_name"), F.lit("!")), None))
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?lbl ?lg WHERE {
+            ?n <urn:p:label> ?lbl .
+            BIND(LANG(?lbl) AS ?lg)
+            FILTER(LANG(?lbl) != "de")
+        } ORDER BY ?n ?lbl
+        """,
+    )
+
+
+def q_sparql_subquery_having(spark, sf_dir):
+    """HAVING inside a { SELECT } subquery (ADVICE r05 medium): the lift is
+    brace-depth-aware, so the HAVING filters the SUBQUERY's groups — the
+    pre-fix parser hoisted it to the outer query (unfiltered groups +
+    an outer HAVING over a subquery-internal variable)."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    s = _read(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 50)
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:name").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("subj"),
+            F.lit("urn:p:sup_nation").alias("pred"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?c WHERE {
+            ?n <urn:p:name> ?nm .
+            { SELECT ?n (COUNT(?s) AS ?c) WHERE { ?s <urn:p:sup_nation> ?n }
+              GROUP BY ?n HAVING(COUNT(?s) > 2) }
+        } ORDER BY ?n
+        """,
+    )
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (wbkg/ops/prep.py sessionize): lag-gap-
     cumsum window dataflow, 30-minute gap — the batch twin of Structured
@@ -1825,6 +1918,9 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_alt": q_sparql_path_alt,
         "sparql_path_star": q_sparql_path_star,
         "sparql_bind": q_sparql_bind,
+        "sparql_filter_numeric": q_sparql_filter_numeric,
+        "sparql_lang": q_sparql_lang,
+        "sparql_subquery_having": q_sparql_subquery_having,
         "sparql_offset": q_sparql_offset,
         "sparql_path_neg": q_sparql_path_neg,
         "sparql_describe": q_sparql_describe,
@@ -2447,6 +2543,26 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT 'n:' || n_nationkey AS n,
                    upper(n_name) || '/' || length(n_name) AS lbl
             FROM nation
+        """,
+        "sparql_filter_numeric": """
+            SELECT 'n:' || n_nationkey AS n, (n_nationkey * 5)::VARCHAR AS pop
+            FROM nation
+            WHERE n_nationkey * 5 > 59 AND (n_nationkey * 5)::VARCHAR <> '60'
+        """,
+        "sparql_lang": """
+            SELECT 'n:' || n_nationkey AS n, n_name AS lbl, 'en' AS lg
+            FROM nation
+            UNION ALL
+            SELECT 'n:' || n_nationkey AS n, n_name || '!' AS lbl, '' AS lg
+            FROM nation
+        """,
+        "sparql_subquery_having": """
+            SELECT 'n:' || n_nationkey AS n, cnt AS c
+            FROM nation
+            JOIN (SELECT s_nationkey, count(*)::BIGINT AS cnt
+                  FROM supplier WHERE s_suppkey < 50 GROUP BY 1) x
+              ON n_nationkey = s_nationkey
+            WHERE cnt > 2
         """,
         "sparql_offset": """
             SELECT n_name AS nm FROM nation ORDER BY nm LIMIT 10 OFFSET 5
