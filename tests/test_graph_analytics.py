@@ -57,3 +57,38 @@ def test_degree_stats(spark):
     e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")])
     got = {r.node: (r.out_deg, r.in_deg, r.degree) for r in degree_stats(e).collect()}
     assert got == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
+
+
+def test_pagerank_weights_parallel_edges(spark):
+    """Multigraph semantics (ADVICE r05): a doubled edge carries twice the
+    rank of a single one — a splits 2/3 to b, 1/3 to c."""
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")])
+    got = {r.node: r.rank for r in pagerank(e, iterations=20).collect()}
+    assert got["b"] > got["c"]
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # explicit weight column gives the identical distribution
+    ew = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got_w = {r.node: r.rank for r in pagerank(ew, iterations=20, weight="w").collect()}
+    for k in got:
+        assert abs(got[k] - got_w[k]) < 1e-12
+
+
+def test_pagerank_simple_graph_unchanged_by_weighting(spark):
+    """On a simple graph (no parallel edges) the weighted formulation is
+    float-identical to rank/outdeg — weights are all exactly 1.0."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    got = {r.node: r.rank for r in pagerank(e, iterations=10).collect()}
+    # replay the recurrence in python floats
+    ranks = {n: 1 / 3 for n in "abc"}
+    out = {"a": ["b", "c"], "b": ["c"], "c": ["a"]}
+    for _ in range(10):
+        nxt = {n: (1 - 0.85) / 3 for n in "abc"}
+        for m, tgts in out.items():
+            for t in tgts:
+                nxt[t] += 0.85 * (ranks[m] * 1.0 / len(tgts))
+        ranks = nxt
+    for n in "abc":
+        assert abs(got[n] - ranks[n]) < 1e-12

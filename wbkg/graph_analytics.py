@@ -7,17 +7,21 @@ graph, graspologic partitions it); once a KG exists users immediately ask
 is it" (triangles/degrees). These are the standard iterative/join-shaped
 graph algorithms expressed as DataFrame plans:
 
-- pagerank: power iteration. Per round: one equi-join of ranks against the
-  out-edge list, one partial-aggregated groupBy sum — two shuffles, both on
-  the node key, so a cluster co-partitions them; localCheckpoint every
-  round truncates lineage exactly like the CC/LP loops
+- pagerank: power iteration, WEIGHTED multigraph semantics (parallel edges
+  aggregate into integer weights, like GraphX; an explicit weight column is
+  honored). Per round: one equi-join of ranks against the weighted edge
+  list, one partial-aggregated groupBy sum — two shuffles, both on the
+  node key, so a cluster co-partitions them; localCheckpoint every
+  `checkpoint_every` rounds truncates lineage exactly like the CC/LP loops
   (wbkg/canonicalize.py). Dangling mass is redistributed uniformly (the
   standard correction) so ranks stay a probability distribution.
-- triangle_count: the classic ordered three-way self-join — edges are
-  de-duplicated, undirected-canonicalized (a<b), then joined twice with
-  the ordering constraint so each triangle is counted exactly once. Two
-  shuffle joins on node keys; degree-ordering (count small-degree side
-  first) is left to AQE's runtime reordering.
+- triangle_count: degree-ordered Schank–Wagner (compact-forward): orient
+  each undirected edge from its lower-(degree, id) endpoint, self-join the
+  oriented list on the source to build wedges, left-semi close against the
+  oriented edges. Out-degrees are O(sqrt(m))-bounded, so the wedge volume
+  is Σ outdeg² — the naive ordered three-way self-join (Σ deg²) never
+  finished on the bench's co-purchase graph and was replaced before
+  shipping (BENCH/PLANS.md round-5 section).
 - degree_stats: one partial-aggregated groupBy per direction.
 
 At 100 TB: ranks/degrees shuffle (node_id, double) pairs only — never
@@ -38,15 +42,30 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 2,
+    weight: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list -> (node, rank).
 
-    rank_{t+1}(n) = (1-d)/N + d * (dangling_t/N + sum_{m->n} rank_t(m)/outdeg(m))
+    rank_{t+1}(n) = (1-d)/N + d * (dangling_t/N
+                                   + sum_{m->n} rank_t(m) * w(m,n)/out_w(m))
+
+    MULTIGRAPH semantics (ADVICE r05): parallel (src, dst) edges aggregate
+    into an integer weight and each neighbor receives rank scaled by
+    weight/total_out_weight — the convention GraphX and the standard
+    weighted PageRank use, so repeated KG edges (a mention extracted twice)
+    count twice. Pass `weight` to use an explicit weight column instead
+    (rows with the same (src, dst) sum). On a simple graph every weight is
+    1 and the result is float-identical to unweighted rank/outdeg.
 
     Fixed iteration count (the driver-friendly contract — no per-round
     convergence job); every `checkpoint_every` rounds the rank table is
     localCheckpoint-ed so lineage stays flat. Returns ranks summing to 1."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -54,25 +73,28 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
     for i in range(iterations):
         with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left").select(
-            "node", "rank", "out_deg"
+            "node", "rank", "out_w"
         )
         # dangling nodes (no out-edges) leak their mass; fold the scalar
         # back in as a one-row broadcast cross join so the whole iteration
         # stays LAZY — no per-round driver action (the only jobs are the
         # localCheckpoints every `checkpoint_every` rounds)
-        dang = with_deg.filter(F.col("out_deg").isNull()).agg(
+        dang = with_deg.filter(F.col("out_w").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
         contribs = (
-            with_deg.filter(F.col("out_deg").isNotNull())
+            with_deg.filter(F.col("out_w").isNotNull())
             .join(e, with_deg["node"] == e["src"])
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
