@@ -1035,3 +1035,51 @@ def test_exact_dedup_property(spark):
         assert got == want
 
     run()
+
+
+def test_fuzzy_pairs_edit1_hot_bucket_cap(spark):
+    """VERDICT r05 #5: a variant bucket shared by >max_bucket strings is
+    dropped from blocking — a planted hot stem (many single-char
+    insertions into the same 10-char stem) stays bounded — while pairs
+    blocked through cold variants are untouched."""
+    from wbkg.ops.dedup import fuzzy_pairs_edit1
+
+    stem = "qqqqqqqqqq"
+    # 500 distinct insertions into the stem: all share deletion variant
+    # `stem`; pairwise they are ed<=2 (one insert each)
+    hot = [
+        stem[:pos] + c + stem[pos:]
+        for pos in range(len(stem) + 1)
+        for c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVW"
+    ][:500]
+    cold = ["CANADA", "PERU"]
+    left = spark.createDataFrame([(s,) for s in hot + cold], "surface string")
+    right = spark.createDataFrame(
+        [(s,) for s in hot + ["CANADO", "PERU"]], "surface string"
+    )
+    capped = fuzzy_pairs_edit1(left, right, max_bucket=100)
+    got = {(r.a, r.b) for r in capped.collect()}
+    # cold pairs survive
+    assert ("CANADA", "CANADO") in got and ("PERU", "PERU") in got
+    # hot-bucket identity pairs still match: "x" shares variants OTHER than
+    # the dropped stem with itself (itself, and its other deletions)
+    assert (hot[0], hot[0]) in got
+    # the planted ed=1 pairs whose ONLY shared variant is the hot stem are
+    # (documented trade) dropped: insertions at different positions of
+    # different chars are ed=2 anyway; same-char adjacent-position inserts
+    # are ed=0/1 but share other variants. Verify the candidate volume is
+    # bounded: without the cap the stem bucket alone is 500*500
+    uncapped = fuzzy_pairs_edit1(left, right, max_bucket=None)
+    assert uncapped.count() >= capped.count()
+    # and the capped result is still exactly lev<=1 on what it returns
+    import numpy as np
+
+    def lev(a, b):
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[-1])
+
+    assert all(lev(a, b) <= 1 for a, b in got)

@@ -610,7 +610,10 @@ def _deletion_neighborhood(col: str):
 
 
 def fuzzy_pairs_edit1(
-    left: DataFrame, right: DataFrame, col: str = "surface"
+    left: DataFrame,
+    right: DataFrame,
+    col: str = "surface",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """All (left, right) string pairs within Levenshtein distance 1 —
     the fuzzy second-pass linking primitive (dictionary surface vs noisy
@@ -624,7 +627,18 @@ def fuzzy_pairs_edit1(
     string) pairs — explode factor = len+1, bounded by surface length),
     dedup candidates, then VERIFY with the built-in JVM levenshtein
     (the block admits some ed=2 pairs). No pair of strings ever meets
-    outside a shared variant bucket — the 100 TB shape."""
+    outside a shared variant bucket — the 100 TB shape.
+
+    `max_bucket` (VERDICT r05 #5, the max_df analogue every other blocking
+    op carries): a variant shared by more than `max_bucket` DISTINCT
+    strings on either side is dropped from blocking before the join, so a
+    pathological dictionary (thousands of 1-edit-apart short strings
+    inserting into one stem) cannot create an O(n²) hot bucket. Dropping a
+    variant loses exactly the pairs whose ONLY shared variant it was —
+    strings in such a bucket are pairwise ed<=2 insertions into the same
+    stem, so this is the deliberate skew/recall trade every banded blocker
+    makes; the dropped-variant set is the `hot` subplan here (count it
+    with the same groupBy if you need an audit number). None disables."""
     lv = (
         left.select(F.col(col).alias("a"))
         .distinct()
@@ -635,5 +649,20 @@ def fuzzy_pairs_edit1(
         .distinct()
         .select("b", F.explode(_deletion_neighborhood("b")).alias("v"))
     )
+    if max_bucket is not None:
+        # per-variant distinct-string counts are tiny (variant, long) rows;
+        # the anti-joins broadcast the hot set when it is small — at scale
+        # it is, because hot variants are by definition rare
+        hot = (
+            lv.groupBy("v").agg(F.count("*").alias("nl"))
+            .join(rv.groupBy("v").agg(F.count("*").alias("nr")), "v", "full")
+            .filter(
+                (F.coalesce(F.col("nl"), F.lit(0)) > max_bucket)
+                | (F.coalesce(F.col("nr"), F.lit(0)) > max_bucket)
+            )
+            .select("v")
+        )
+        lv = lv.join(hot, "v", "left_anti")
+        rv = rv.join(hot, "v", "left_anti")
     cand = lv.join(rv, "v").select("a", "b").distinct()
     return cand.filter(F.levenshtein("a", "b") <= 1)
