@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -372,6 +373,17 @@ def headline(sf_dir: str) -> dict:
         measured.append(kg_run(tag))
     kg = min(measured, key=lambda r: r["seconds"])
     queries["kg_pipeline"] = round(kg["seconds"], 3)
+    # /proc/stat record of the chosen best-warm run (VERDICT r05: emit a
+    # steal-insensitive figure so a noisy-neighbor round is machine-
+    # distinguishable from a code regression — wall slows under steal,
+    # CPU-jiffies-based throughput does not)
+    kg_stat = next(
+        (
+            r for r in kg_runs
+            if r["tag"].startswith("warm") and r["seconds"] == round(kg["seconds"], 3)
+        ),
+        kg_runs[-1],
+    )
 
     log("[bench] kg_pipeline_salted (100x-scale shuffle-join path, same corpus)")
     # best of 2: by runs 7-8 of the JVM the compiler has settled
@@ -465,8 +477,43 @@ def headline(sf_dir: str) -> dict:
         "kg_salted_triples_per_sec": round(kg_salted["triples_per_sec"], 1),
         "cpus": CPUS,
         "sf1_queries": sf1_queries,
-        "sf1_rows": {"documents": 10, "embeddings": 10},  # x multiplier vs sf
+        # x multiplier applied to sf0.1 rows (renamed from the misleading
+        # "sf1_rows" — VERDICT r05: the value is the multiplier, not a count)
+        "sf1_multiplier": {"documents": 10, "embeddings": 10},
+        # steal-insensitive twin of kg_triples_per_sec: triples per CPU-second
+        # (user+sys jiffies at USER_HZ=100) of the chosen best-warm run, plus
+        # the raw steal jiffies so a noisy round is self-evident in the JSON
+        "kg_triples_per_cpu_sec": round(
+            kg["triples"] / max(1e-9, (kg_stat["user_j"] + kg_stat["sys_j"]) / 100.0), 1
+        ),
+        "kg_best_warm_steal_j": kg_stat["steal_j"],
+        "prev_best": _prev_best(),
     }
+
+
+def _prev_best() -> dict | None:
+    """Best-warm kg numbers from the most recent driver round (BENCH_r*.json
+    at the repo root), embedded so round-over-round movement is auditable
+    from one file (VERDICT r05 'what's wrong' #3)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        f for f in os.listdir(root)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    for fname in reversed(rounds):
+        try:
+            with open(os.path.join(root, fname)) as f:
+                parsed = json.load(f).get("parsed")
+            if not parsed:
+                continue
+            return {
+                "file": fname,
+                "kg_pipeline": parsed["queries"].get("kg_pipeline"),
+                "kg_triples_per_sec": parsed.get("kg_triples_per_sec"),
+            }
+        except (OSError, json.JSONDecodeError, KeyError):
+            continue
+    return None
 
 
 def _g4_distributed(spark, sf_dir: str):
