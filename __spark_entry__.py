@@ -1524,6 +1524,66 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Real BPE token count (closes the tiktoken deviation — the merge table
+    is trained deterministically at import, ref src/utils.py:45-47): GPT-2
+    pre-tokenizer pieces JVM-side, ranked-merge loop in an Arrow-batched
+    pandas UDF with a per-batch piece memo. The oracle replays the SAME 80
+    merges with a recursive CTE (fixpoint replace per rank over
+    chr(31)-separated symbol sequences) — full value verification of an
+    iterative subword algorithm."""
+    from wbkg.ops.textops import bpe_token_count
+
+    d = _read(spark, sf_dir, "documents")
+    return bpe_token_count(d).select("doc_id", "n_bpe_tokens")
+
+
+def _bpe_oracle_sql() -> str:
+    from wbkg.ops.textops import BPE_MERGES
+
+    values = ",".join(
+        "('{}','{}',{})".format(l.replace("'", "''"), r.replace("'", "''"), i)
+        for i, (l, r) in enumerate(BPE_MERGES, 1)
+    )
+    n = len(BPE_MERGES)
+    return rf"""
+        WITH RECURSIVE
+        merges(lft, rgt, rnk) AS (VALUES {values}),
+        doc_pieces AS (
+          SELECT doc_id, unnest(regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+'
+          )) AS piece
+          FROM documents
+        ),
+        dp AS (SELECT DISTINCT piece FROM doc_pieces),
+        bpe(piece, rnk, seq) AS (
+          SELECT piece, 1,
+                 chr(31) || array_to_string(string_split(piece, ''), chr(31)) || chr(31)
+          FROM dp
+          UNION ALL
+          SELECT piece,
+                 CASE WHEN nseq <> seq THEN rnk ELSE rnk + 1 END,
+                 CASE WHEN nseq <> seq THEN nseq ELSE seq END
+          FROM (
+            SELECT b.piece, b.rnk, b.seq,
+                   replace(b.seq, chr(31)||m.lft||chr(31)||m.rgt||chr(31),
+                                  chr(31)||m.lft||m.rgt||chr(31)) AS nseq
+            FROM bpe b JOIN merges m ON m.rnk = b.rnk
+          ) WHERE rnk < {n} OR nseq <> seq
+        ),
+        counts AS (
+          SELECT piece, min(len(seq)) - len(piece) - 1 AS n_toks
+          FROM bpe GROUP BY piece
+        ),
+        per_doc AS (
+          SELECT dp2.doc_id, sum(c.n_toks) AS s
+          FROM doc_pieces dp2 JOIN counts c USING (piece) GROUP BY dp2.doc_id
+        )
+        SELECT d.doc_id, coalesce(p.s, 0)::BIGINT AS n_bpe_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling polynomial fingerprint, self-validating: planted verbatim
     copies must fingerprint identically, and the fingerprint must be
@@ -1981,6 +2041,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "gopher_quality": q_gopher_quality,
         "pack_sequences": q_pack_sequences,
@@ -2370,6 +2431,7 @@ def _oracle_sqls() -> dict[str, str]:
                    )) AS n_gpt2_pieces
             FROM documents
         """,
+        "bpe_token_count": _bpe_oracle_sql(),
         "gopher_quality": rf"""
             WITH t AS (
               SELECT doc_id, text,
