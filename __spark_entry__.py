@@ -829,6 +829,34 @@ def q_sparql_bind(spark, sf_dir):
     )
 
 
+def q_sparql_str_extract(spark, sf_dir):
+    """SUBSTR / STRBEFORE / STRAFTER value functions (SPARQL 1.1
+    §17.4.3): 1-based fn:substring plus separator extraction with the
+    spec's absent-separator -> "" rule (?missing pins it — "#" never
+    occurs in a nation name). All compile to Catalyst substring/instr
+    expressions; no UDFs."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:name").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?num ?stem ?abbr ?missing WHERE {
+            ?n <urn:p:name> ?nm .
+            BIND(STRAFTER(?nm, "_") AS ?num)
+            BIND(STRBEFORE(?nm, "_") AS ?stem)
+            BIND(SUBSTR(?nm, 2, 3) AS ?abbr)
+            BIND(STRBEFORE(?nm, "#") AS ?missing)
+        } ORDER BY ?n
+        """,
+    )
+
+
 def q_sparql_filter_numeric(spark, sf_dir):
     """Typed-numeric FILTER comparison (VERDICT r05 #1): a bare numeric
     literal casts both sides to double (rdflib compares typed literals
@@ -1978,6 +2006,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_alt": q_sparql_path_alt,
         "sparql_path_star": q_sparql_path_star,
         "sparql_bind": q_sparql_bind,
+        "sparql_str_extract": q_sparql_str_extract,
         "sparql_filter_numeric": q_sparql_filter_numeric,
         "sparql_lang": q_sparql_lang,
         "sparql_subquery_having": q_sparql_subquery_having,
@@ -2604,6 +2633,14 @@ def _oracle_sqls() -> dict[str, str]:
         "sparql_bind": """
             SELECT 'n:' || n_nationkey AS n,
                    upper(n_name) || '/' || length(n_name) AS lbl
+            FROM nation
+        """,
+        "sparql_str_extract": """
+            SELECT 'n:' || n_nationkey AS n,
+                   substr(n_name, instr(n_name, '_') + 1) AS num,
+                   substr(n_name, 1, instr(n_name, '_') - 1) AS stem,
+                   substr(n_name, 2, 3) AS abbr,
+                   '' AS missing
             FROM nation
         """,
         "sparql_filter_numeric": """

@@ -602,6 +602,39 @@ def test_bind_usable_in_filter_and_errors(graph):
         sparql_select(graph, "SELECT ?n WHERE { ?n <p:name> ?nm . BIND(?nm) }")
 
 
+def test_substr_strbefore_strafter(graph):
+    # SUBSTR is 1-based (fn:substring); 2-arg form runs to end of string
+    out = sparql_select(
+        graph,
+        "SELECT ?nm ?a ?b WHERE { ?n <p:name> ?nm . "
+        "BIND(SUBSTR(?nm, 2, 3) AS ?a) BIND(SUBSTR(?nm, 3) AS ?b) } ORDER BY ?nm",
+    ).collect()
+    assert [(r.nm, r.a, r.b) for r in out] == [
+        ("alpha", "lph", "pha"), ("beta", "eta", "ta")
+    ]
+    # STRBEFORE/STRAFTER §17.4.3: absent separator -> "" for both; empty
+    # separator -> "" for STRBEFORE but the whole string for STRAFTER
+    out2 = sparql_select(
+        graph,
+        "SELECT ?nm ?pre ?post ?none ?eb ?ea WHERE { ?n <p:name> ?nm . "
+        'BIND(STRBEFORE(?nm, "t") AS ?pre) BIND(STRAFTER(?nm, "t") AS ?post) '
+        'BIND(STRAFTER(?nm, "zz") AS ?none) '
+        'BIND(STRBEFORE(?nm, "") AS ?eb) BIND(STRAFTER(?nm, "") AS ?ea) } '
+        "ORDER BY ?nm",
+    ).collect()
+    assert [(r.nm, r.pre, r.post, r.none, r.eb, r.ea) for r in out2] == [
+        ("alpha", "", "", "", "", "alpha"),  # no "t" in alpha
+        ("beta", "be", "a", "", "", "beta"),
+    ]
+    # multi-char separator: STRAFTER skips the full separator
+    out3 = sparql_select(
+        graph,
+        'SELECT ?x WHERE { ?n <p:name> ?nm . FILTER(?nm = "alpha") '
+        'BIND(STRAFTER(?nm, "al") AS ?x) }',
+    ).collect()
+    assert [r.x for r in out3] == ["pha"]
+
+
 @pytest.fixture(scope="module")
 def null_key_graph(spark):
     """Outer (?e p ?n) rows where OPTIONAL leaves ?k null for e=b; the

@@ -59,7 +59,9 @@ and && || ! ( ), compiled to Column predicates applied over the joined
 pattern block — Catalyst then pushes the sargable ones down into the
 scans on its own. Comparison operands and BIND expressions share a
 value-expression subset: CONCAT, STR, UCASE, LCASE, STRLEN, REPLACE
-(regex, fn:replace), IF(cond, then, else), COALESCE(v, ...), LANG(?v).
+(regex, fn:replace), SUBSTR (1-based, fn:substring), STRBEFORE, STRAFTER
+(§17.4.3 empty/absent-separator semantics), IF(cond, then, else),
+COALESCE(v, ...), LANG(?v).
 sparql_construct gives the CONSTRUCT verb (template-projected triple set).
 
 Language tags: when the edges table carries a `lang` column (the Turtle
@@ -196,7 +198,7 @@ _FILTER_TOKEN = re.compile(
       | "(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*)?
       | -?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*
-      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STR|NOT|IN|IF|COALESCE|LANG)\b
+      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STRBEFORE|STRAFTER|SUBSTR|STR|NOT|IN|IF|COALESCE|LANG)\b
       | !=|<=|>=|&&|\|\||[=<>!(),]""",
     re.X,
 )
@@ -214,6 +216,9 @@ _VALUE_FNS = {
     "LCASE": (1, 1),
     "STRLEN": (1, 1),
     "REPLACE": (3, 3),
+    "SUBSTR": (2, 3),
+    "STRBEFORE": (2, 2),
+    "STRAFTER": (2, 2),
 }
 
 # hidden companion column prefix carrying the language tag of an
@@ -372,6 +377,32 @@ class _FilterParser:
                 return F.lower(args[0])
             if fn == "STRLEN":
                 return F.length(args[0]).cast("string")
+            if fn == "SUBSTR":
+                # SPARQL SUBSTR is 1-based (xpath fn:substring); omitted
+                # length = to end of string
+                start = args[1].cast("int")
+                length = args[2].cast("int") if len(args) == 3 else F.length(args[0])
+                return F.substring(args[0], start, length)
+            if fn == "STRBEFORE":
+                # empty/absent separator -> "" per SPARQL 1.1 §17.4.3.10
+                pos = F.instr(args[0], args[1])
+                return F.when(
+                    (F.length(args[1]) == 0) | (pos == 0), F.lit("")
+                ).otherwise(F.substring(args[0], F.lit(1), pos - 1))
+            if fn == "STRAFTER":
+                # empty separator -> the whole string; absent -> ""
+                pos = F.instr(args[0], args[1])
+                return (
+                    F.when(F.length(args[1]) == 0, args[0])
+                    .when(pos == 0, F.lit(""))
+                    .otherwise(
+                        F.substring(
+                            args[0],
+                            pos + F.length(args[1]),
+                            F.length(args[0]),
+                        )
+                    )
+                )
             # REPLACE is regex-based in SPARQL 1.1 (fn:replace)
             pat, rep = args[1], args[2]
             return F.regexp_replace(args[0], pat, rep)
@@ -1453,7 +1484,8 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
         for expr_text, var in g.binds:
             # BIND(expr AS ?v) -> withColumn; expr reuses the FILTER
             # expression compiler's value subset (CONCAT/STR/UCASE/LCASE/
-            # STRLEN/REPLACE + terms), stays a string column, and is
+            # STRLEN/REPLACE/SUBSTR/STRBEFORE/STRAFTER + terms), stays a
+            # string column, and is
             # visible to later binds, VALUES and group FILTERs
             if var in bound:
                 raise SparqlError(f"BIND would rebind already-bound variable ?{var}")
