@@ -447,6 +447,64 @@ def headline(sf_dir: str) -> dict:
         sf1_queries[name] = round(time.time() - t0, 3)
         log(f"[bench] sf1 {name}: {n} rows in {sf1_queries[name]}s")
 
+    # Graph analytics at 10x edges (VERDICT r05 #6): the co-purchase graph
+    # tiled as 10 disconnected re-keyed replicas. Both the 1x and 10x edge
+    # sets are materialized to parquet so the timed region is the graph
+    # operator itself (wedge join / rank iterations), not the pair
+    # generator, and the sublinearity evidence is self-contained:
+    # compare sf1_queries["graph_*"] vs 10 * sf1_queries["graph_*_x1"].
+    # Schank-Wagner's bound is per-component, so 10 disconnected copies is
+    # exactly the "same local structure, 10x global size" shape a 100x
+    # cluster scale-up produces.
+    log("[bench] sf1 graph pass: triangles + pagerank at 1x and 10x edges")
+    from pyspark.sql import functions as F
+
+    from wbkg.graph_analytics import pagerank, triangle_count
+
+    g1 = os.path.join(BENCH_TMP, "sf1_graph_x1")
+    g10 = os.path.join(BENCH_TMP, "sf1_graph_x10")
+    if not os.path.exists(os.path.join(g10, "_SUCCESS")):
+        li = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a, b = li.alias("a"), li.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        pairs.repartition(CPUS).write.mode("overwrite").parquet(g1)
+        reps = spark.range(10).withColumnRenamed("id", "rep")
+        (
+            spark.read.parquet(g1)
+            .crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("src") + F.col("rep") * F.lit(10_000_000)).alias("src"),
+                (F.col("dst") + F.col("rep") * F.lit(10_000_000)).alias("dst"),
+            )
+            .repartition(CPUS)
+            .write.mode("overwrite")
+            .parquet(g10)
+        )
+    for name, path_ in [
+        ("graph_triangles_x1", g1),
+        ("graph_triangles", g10),
+        ("graph_pagerank_x1", g1),
+        ("graph_pagerank", g10),
+    ]:
+        edges = spark.read.parquet(path_)
+        t0 = time.time()
+        if name.startswith("graph_triangles"):
+            n = triangle_count(edges).collect()[0][0]
+        else:
+            n = pagerank(edges, iterations=10, damping=0.85).count()
+        sf1_queries[name] = round(time.time() - t0, 3)
+        log(f"[bench] sf1 {name}: {n} in {sf1_queries[name]}s")
+
     total = round(time.time() - t_total0, 3)
     env1 = env_snapshot(True)
     spark.stop()

@@ -92,3 +92,35 @@ def test_pagerank_simple_graph_unchanged_by_weighting(spark):
         ranks = nxt
     for n in "abc":
         assert abs(got[n] - ranks[n]) < 1e-12
+
+
+def test_bfs_distances_directed(spark):
+    from wbkg.graph_analytics import bfs_distances
+
+    # a -> b -> c -> d, plus a shortcut a -> c; z unreachable from a
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("z", "a")])
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in bfs_distances(e, src).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # shortcut wins; z absent
+
+
+def test_bfs_distances_undirected_multi_source(spark):
+    from wbkg.graph_analytics import bfs_distances
+
+    # chain a-b-c-d-e, sources at both ends: dist = min from either end
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    src = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(e, src, directed=False).collect()
+    }
+    assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_bfs_distances_max_hops_cutoff(spark):
+    from wbkg.graph_analytics import bfs_distances
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in bfs_distances(e, src, max_hops=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops away -> cut off

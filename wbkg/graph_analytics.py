@@ -23,6 +23,9 @@ graph algorithms expressed as DataFrame plans:
   finished on the bench's co-purchase graph and was replaced before
   shipping (BENCH/PLANS.md round-5 section).
 - degree_stats: one partial-aggregated groupBy per direction.
+- bfs_distances: multi-source shortest hop distance by frontier expansion
+  (the Pregel pattern); per-round work is proportional to the frontier's
+  out-edges, not the graph.
 
 At 100 TB: ranks/degrees shuffle (node_id, double) pairs only — never
 payloads; the triangle join's quadratic term is bounded by the max degree,
@@ -167,6 +170,65 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     tri = wedges.join(closing, ["v1", "v2"], "left_semi")
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distance -> (node, dist): for every node
+    reachable from the source set within `max_hops`, the hop count to the
+    NEAREST source (sources themselves at dist 0). Unreachable nodes are
+    absent — callers outer-join if they want nulls.
+
+    Frontier expansion (the Pregel pattern as DataFrame ops): each round
+    joins only the FRONTIER — nodes first settled last round — against the
+    edge list and anti-joins the settled set, so per-round shuffle volume
+    is O(frontier out-edges), never O(V): on a 100-TB graph the early
+    rounds touch a sliver of the edge table and Catalyst broadcasts the
+    frontier while it is small. The frontier is localCheckpoint-ed every
+    round (its emptiness is the termination test, so it is materialized
+    anyway); the growing settled table is checkpointed every
+    `checkpoint_every` rounds to keep lineage flat. `sources` is a
+    1-column (node) DataFrame; `directed=False` expands along reversed
+    edges too."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if not directed:
+        e = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+    settled = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled, "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt)
+        if hop % checkpoint_every == 0:
+            settled = settled.localCheckpoint()
+        frontier = nxt
+    return settled
 
 
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
