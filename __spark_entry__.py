@@ -962,6 +962,18 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_sketch_quantiles(spark, sf_dir):
+    """Quantile sketch vs exact ranks per language (wbkg/ops/prep.py
+    sketch_quantiles): percentile_approx's rank guarantee checked exactly
+    (tie-safe rank interval), same bound-check pattern as the HLL sketch —
+    the exact row counts and the verdict are oracle-replayable."""
+    from wbkg.ops.prep import sketch_quantiles
+
+    return sketch_quantiles(
+        _read(spark, sf_dir, "documents"), group_col="lang", value_col="n_chars"
+    )
+
+
 def q_sketch_distinct_sources(spark, sf_dir):
     """HLL++ cardinality sketch vs exact distinct per language
     (wbkg/ops/prep.py sketch_distinct): the exact count and the 5-sigma
@@ -1008,6 +1020,26 @@ def q_graph_triangles(spark, sf_dir):
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     return triangle_count(pairs)
+
+
+def q_graph_bfs(spark, sf_dir):
+    """Multi-source BFS hop distance (wbkg/graph_analytics.py
+    bfs_distances): undirected frontier expansion over the per-region
+    nation chain from BOTH chain ends, so each node's distance is the
+    min over the two sources. The chain is ordered within region, so the
+    oracle states the closed form min(pos, cnt-1-pos) per region."""
+    from wbkg.graph_analytics import bfs_distances
+
+    chain = _nation_chain_edges(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    srcs = chain.select(F.col("src").alias("node")).distinct()
+    dsts = chain.select(F.col("dst").alias("node")).distinct()
+    heads = srcs.join(dsts, "node", "left_anti")
+    tails = dsts.join(srcs, "node", "left_anti")
+    return bfs_distances(
+        chain, heads.unionByName(tails), directed=False
+    ).select("node", "dist")
 
 
 def q_graph_degree_stats(spark, sf_dir):
@@ -2017,11 +2049,13 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
         "graph_degree_stats": q_graph_degree_stats,
+        "graph_bfs": q_graph_bfs,
         "sessionize_events": q_sessionize_events,
         "sparql_having_groupconcat": q_sparql_having_groupconcat,
         "sparql_nested_groups": q_sparql_nested_groups,
         "sparql_subquery": q_sparql_subquery,
         "sketch_distinct_sources": q_sketch_distinct_sources,
+        "sketch_quantiles": q_sketch_quantiles,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_pipeline_salted_edges": q_kg_pipeline_salted_edges,
         "kg_pipeline_heur_edges": q_kg_pipeline_heur_edges,
@@ -2714,6 +2748,13 @@ def _oracle_sqls() -> dict[str, str]:
                    TRUE AS within_bounds
             FROM documents GROUP BY lang
         """,
+        "sketch_quantiles": """
+            SELECT lang, p::DOUBLE AS p, count(*)::BIGINT AS n_rows,
+                   TRUE AS within_bounds
+            FROM documents
+            CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(p)
+            GROUP BY lang, p
+        """,
         "graph_pagerank": """
             WITH RECURSIVE it AS (
               SELECT 0 AS t,
@@ -2752,6 +2793,16 @@ def _oracle_sqls() -> dict[str, str]:
             FROM und ab
             JOIN und bc ON ab.b = bc.a
             JOIN und ac ON ab.a = ac.a AND bc.b = ac.b
+        """,
+        "graph_bfs": """
+            WITH p AS (
+              SELECT 'n:' || n_nationkey AS node,
+                     row_number() OVER (PARTITION BY n_regionkey
+                                        ORDER BY n_nationkey) - 1 AS pos,
+                     count(*) OVER (PARTITION BY n_regionkey) AS cnt
+              FROM nation
+            )
+            SELECT node, least(pos, cnt - 1 - pos)::INTEGER AS dist FROM p
         """,
         "graph_degree_stats": """
             WITH e AS (

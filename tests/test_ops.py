@@ -824,6 +824,28 @@ def test_sketch_distinct(spark):
     assert got == {0: (1, True), 1: (2, True), 2: (3, True)}
 
 
+def test_sketch_quantiles(spark):
+    from wbkg.ops.prep import sketch_quantiles
+
+    # group 0: uniform 0..99; group 1: ALL-TIED values (the rank-interval
+    # edge case — count(v<=q)/n = 1.0 for every p, so a naive fraction
+    # check would fail); group 2: two values 90/10
+    rows = (
+        [(0, float(v)) for v in range(100)]
+        + [(1, 7.0)] * 40
+        + [(2, 1.0)] * 90
+        + [(2, 2.0)] * 10
+    )
+    df = spark.createDataFrame(rows, "grp int, val double")
+    out = sketch_quantiles(df, "grp", "val").collect()
+    assert len(out) == 12  # 3 groups x 4 probabilities
+    assert all(r.within_bounds for r in out), [
+        (r.grp, r.p) for r in out if not r.within_bounds
+    ]
+    n = {r.grp: r.n_rows for r in out}
+    assert n == {0: 100, 1: 40, 2: 100}
+
+
 def test_normalize_urls_idempotent(spark):
     """Canonicalization is a projection: normalize(normalize(x)) ==
     normalize(x) — re-normalizing the canonical form changes nothing."""

@@ -271,6 +271,69 @@ def sessionize(
     )
 
 
+def sketch_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probabilities: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Single-pass mergeable quantile sketch per group, bound-checked
+    against the exact ranks — the percentile primitive a 100 TB pipeline
+    uses where an exact per-group sort is a full shuffle it can't afford
+    (length/quality-score cutoffs over a corpus).
+
+    approx_percentile (Greenwald–Khanna style, partial-aggregated
+    map-side, merged on the reduce side — one shuffle of sketch state, not
+    values) guarantees each reported value's true rank is within
+    eps = 1/accuracy of the requested probability. Emits one row per
+    (group, p) with the EXACT per-group row count and `within_bounds` =
+    whether rank(approx_value) lands in [p - eps, p + eps] (rank measured
+    exactly with a count-below join). Like sketch_distinct, the exact
+    count and the bound verdict are oracle-replayable even though the
+    sketch's estimate is implementation-specific."""
+    probs = list(probabilities)
+    eps = 1.0 / accuracy
+    v, g = F.col(value_col), F.col(group_col)
+    sk = df.groupBy(group_col).agg(
+        F.percentile_approx(v, probs, F.lit(accuracy)).alias("_qs"),
+        F.count("*").alias("n_rows"),
+    )
+    est = sk.select(
+        g,
+        "n_rows",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in probs]).alias("p"),
+                F.col("_qs").alias("q"),
+            )
+        ).alias("_pq"),
+    ).select(g, "n_rows", F.col("_pq.p").alias("p"), F.col("_pq.q").alias("q"))
+    # exact rank interval of the sketched value — [count(v<q)+1, count(v<=q)]
+    # covers ties — computed with partial-aggregated conditional counts per
+    # (group, p); the verification join is group-keyed and broadcastable
+    # (groups x probs rows). In bounds iff the interval intersects
+    # [(p-eps)n, (p+eps)n]: count(v<=q) >= (p-eps)n and count(v<q) <= (p+eps)n.
+    ranked = (
+        df.select(g.alias("_g"), v.alias("_v"))
+        .join(F.broadcast(est), F.col("_g") == g)
+        .groupBy(group_col, "n_rows", "p")
+        .agg(
+            F.sum(F.when(F.col("_v") <= F.col("q"), 1).otherwise(0)).alias("_le"),
+            F.sum(F.when(F.col("_v") < F.col("q"), 1).otherwise(0)).alias("_lt"),
+        )
+    )
+    return ranked.select(
+        group_col,
+        "p",
+        "n_rows",
+        (
+            (F.col("_le") >= (F.col("p") - F.lit(eps)) * F.col("n_rows") - 1e-6)
+            & (F.col("_lt") <= (F.col("p") + F.lit(eps)) * F.col("n_rows") + 1e-6)
+        ).alias("within_bounds"),
+    )
+
+
 def sketch_distinct(
     df: DataFrame, group_col: str, value_col: str, rsd: float = 0.02
 ) -> DataFrame:
