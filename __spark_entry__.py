@@ -1447,6 +1447,24 @@ def q_decontam_report(spark, sf_dir):
     return contamination_report(docs, bench, n=8, threshold=0.5)
 
 
+def q_decontam_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination (wbkg/ops/decontam.py
+    contamination_report_bloom): same report, but corpus shingles first
+    pass a 4M-bit / 4-hash bitmap built from the benchmark shingles —
+    what replaces the multi-GB broadcast dictionary at 100 TB. False
+    positives die in the exact join, false negatives are impossible, so
+    the oracle is the SAME SQL as decontam_report."""
+    from wbkg.ops.decontam import contamination_report_bloom
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    bench = (
+        docs.filter((F.col("doc_id") % 25 == 0) & (F.size(words) >= 15))
+        .select(F.col("doc_id").alias("bench_id"), F.concat_ws(" ", F.slice(words, 4, 12)).alias("text"))
+    )
+    return contamination_report_bloom(docs, bench, n=8, threshold=0.5)
+
+
 def q_repeated_passages(spark, sf_dir):
     """Passage-level dedup primitive: 24-word windows (stride 12) recurring
     in >= 2 distinct documents of the planted corpus (verbatim copies
@@ -2096,6 +2114,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_prefiltered": q_dedup_ngram_prefiltered,
         "decontam_report": q_decontam_report,
+        "decontam_bloom": q_decontam_bloom,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "repeated_passages": q_repeated_passages,
         "dedup_simhash": q_dedup_simhash,
@@ -2123,7 +2142,7 @@ FR_PAT = r"\b(le|les|des|une|est|dans)\b"
 
 
 def _oracle_sqls() -> dict[str, str]:
-    return {
+    sqls = {
         "a1_dedup_latest": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
               SELECT *, row_number() OVER (
@@ -3107,6 +3126,10 @@ def _oracle_sqls() -> dict[str, str]:
         "kg_pipeline_salted_edges": _kg_expected_sql(),
         "kg_pipeline_heur_edges": _kg_expected_sql(heuristic_ner=True),
     }
+    # the Bloom prefilter provably cannot change the report (false
+    # positives die in the exact join) — the oracle IS decontam_report's
+    sqls["decontam_bloom"] = sqls["decontam_report"]
+    return sqls
 
 
 def _kg_expected_sql(heuristic_ner: bool = False) -> str:

@@ -400,6 +400,43 @@ def test_contamination_report(spark):
     assert not out[3].contaminated
 
 
+def test_contamination_report_bloom_identical(spark):
+    """The Bloom-prefiltered path returns byte-identical reports: false
+    positives die in the exact join, false negatives cannot happen.
+    Checked at a roomy m_bits AND a tiny m_bits=64 (high-fp regime, every
+    word hot) to pin the fp-removal property rather than luck."""
+    from wbkg.ops.decontam import contamination_report, contamination_report_bloom
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+            (2, "one two three four five six seven eight nine ten eleven twelve"),
+            (3, "totally unrelated words nothing shared with any benchmark item at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "beta gamma delta epsilon zeta eta theta iota kappa"),
+            (200, "xxx yyy zzz www vvv uuu ttt sss rrr qqq"),
+        ],
+        "bench_id long, text string",
+    )
+    exact = sorted(
+        map(tuple, contamination_report(docs, bench, n=8, threshold=0.5).collect())
+    )
+    for m_bits in (1 << 22, 64):
+        bloom = sorted(
+            map(
+                tuple,
+                contamination_report_bloom(
+                    docs, bench, n=8, threshold=0.5, m_bits=m_bits
+                ).collect(),
+            )
+        )
+        assert bloom == exact, m_bits
+
+
 def test_contamination_broadcast_plan(spark):
     """The benchmark side must reach the probe as a broadcast — the corpus
     shingle stream may not shuffle for the match join at 100 TB."""

@@ -51,6 +51,10 @@ def contamination_report(
         shingles_df(benchmark, bench_text, bench_id, n)
         .withColumnRenamed("doc_id", "bench_id")
     )
+    return _report(docs, doc_sh, bench_sh, doc_id, threshold)
+
+
+def _report(docs, doc_sh, bench_sh, doc_id, threshold):
     sizes = bench_sh.groupBy("bench_id").agg(F.count("*").alias("bench_n"))
 
     matched = (
@@ -73,3 +77,87 @@ def contamination_report(
         F.coalesce("max_overlap", F.lit(0.0)).alias("max_overlap"),
         (F.coalesce("max_overlap", F.lit(0.0)) >= threshold).alias("contaminated"),
     )
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
+    """Build a Bloom filter over a key column -> ONE-ROW DataFrame with a
+    dense `_bf array<bigint>` bitmap (m_bits/64 words).
+
+    Spark's BloomFilterAggregate is not in the public function registry
+    (4.1: `bloom_filter_agg` resolves only inside the join-runtime-filter
+    rule), so the bitmap is built from first principles and stays
+    declarative where it counts: the k probe positions per key are
+    pmod(xxhash64(key, seed), m_bits) — computed JVM-side — and the set
+    bits aggregate with a partial-aggregated bit_or per 64-bit word. The
+    sparse (word, mask) rows are collected to the driver to be densified —
+    a GATED collect, bounded by m_bits/64 rows (64k for the 4M-bit
+    default, ~512 KB) regardless of key count; at 100 TB the filter side
+    is the small eval-set, never the corpus."""
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = positions.select(
+        F.shiftright(F.col("pos"), 6).cast("int").alias("word"),
+        F.expr("shiftleft(1L, CAST(pos & 63 AS INT))").alias("mask"),
+    ).groupBy("word").agg(F.bit_or("mask").alias("mask"))
+    arr = [0] * ((m_bits + 63) // 64)
+    for r in words.collect():
+        arr[r.word] = r.mask
+    spark = keys.sparkSession
+    return spark.createDataFrame([(arr,)], "_bf array<bigint>")
+
+
+def _bloom_test_expr(col: str, m_bits: int, k: int) -> str:
+    """Boolean SQL expression: all k bits for `col` set in `_bf`."""
+    tests = []
+    for i in range(k):
+        pos = f"pmod(xxhash64({col}, {i}), {m_bits}L)"
+        word = f"CAST(shiftright({pos}, 6) AS INT) + 1"
+        bit = f"shiftleft(1L, CAST({pos} & 63 AS INT))"
+        tests.append(f"((element_at(_bf, {word}) & {bit}) != 0)")
+    return " AND ".join(tests)
+
+
+def contamination_report_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+    bench_text: str = "text",
+    bench_id: str = "bench_id",
+    n: int = 8,
+    threshold: float = 0.5,
+    m_bits: int = 1 << 22,
+    k: int = 4,
+) -> DataFrame:
+    """contamination_report with a Bloom prefilter on the corpus-shingle
+    stream — IDENTICAL output (false positives are removed by the exact
+    join; false negatives are impossible), cheaper probe memory.
+
+    Why it matters at 100 TB: the exact path broadcasts the full benchmark
+    shingle dictionary (10^6 items x ~10^2 shingles x ~50 bytes ≈ 5 GB —
+    at or past the executor broadcast budget). The bitmap is m_bits/8
+    bytes (512 KB at the 4M-bit default, fp ~1% at 4x10^5 keys / k=4) —
+    4 orders of magnitude smaller — and the surviving sliver of corpus
+    shingles (true matches + ~1% fp) is what meets the exact dictionary.
+    The probe itself is a broadcast-hash of ONE row + whole-stage-codegen
+    bit arithmetic; the corpus still never shuffles."""
+    doc_sh = shingles_df(docs, doc_text, doc_id, n)
+    bench_sh = (
+        shingles_df(benchmark, bench_text, bench_id, n)
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    bf = bloom_bitmap(bench_sh.select("shingle").distinct(), "shingle", m_bits, k)
+    survivors = (
+        doc_sh.crossJoin(F.broadcast(bf))
+        .filter(F.expr(_bloom_test_expr("shingle", m_bits, k)))
+        .drop("_bf")
+    )
+    return _report(docs, survivors, bench_sh, doc_id, threshold)
