@@ -1761,6 +1761,18 @@ def q_fuzzy_match_edit1(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (wbkg/ops/textops.py tfidf_topk).
+    Scores round to 8 decimals on both sides (Java Math.log and DuckDB ln
+    differ by 1 ulp on ~8% of this domain — measured — which round-8
+    absorbs); rank order is stable because mathematically distinct scores
+    are far beyond 1 ulp apart and true ties (equal tf and df_t) break on
+    term asc in both engines."""
+    from wbkg.ops.textops import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=5)
+
+
 def q_token_freq_score(spark, sf_dir):
     """Corpus-frequency fluency scoring (CCNet-style LM-filter surrogate,
     wbkg/ops/textops.py token_frequency_score): mean corpus frequency of a
@@ -2042,6 +2054,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_real": q_media_resize_real,
         "media_resample_audio": q_media_resample_audio,
         "token_freq_score": q_token_freq_score,
+        "tfidf_topk": q_tfidf_topk,
         "fuzzy_match_edit1": q_fuzzy_match_edit1,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
@@ -3003,6 +3016,29 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT DISTINCT a AS dict_surface, b AS noisy_surface
             FROM names, noisy WHERE levenshtein(a, b) <= 1
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id, t.tok AS term
+              FROM documents,
+                   unnest(regexp_split_to_array(lower(text), '\\W+')) t(tok)
+              WHERE t.tok <> ''
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            dft AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            s AS (
+              SELECT doc_id, term, tf, df_t,
+                     tf * ln((n_docs + 1)::DOUBLE / (df_t + 1)) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+              FROM s)
+            SELECT doc_id, term, tf, df_t, round(score, 8)::DOUBLE AS score
+            FROM r WHERE rn <= 5
         """,
         "token_freq_score": """
             WITH toks AS (

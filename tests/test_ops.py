@@ -1002,6 +1002,41 @@ def test_resample_audio(spark):
         assert abs(r.mean_abs - round(float(want), 4)) < 1e-9
 
 
+def test_tfidf_topk(spark):
+    """Hand-computed TF-IDF on a 3-doc corpus: rare terms outscore common
+    ones; ties (equal tf, df_t) break on term asc; k bounds the output."""
+    import math
+
+    from wbkg.ops.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common common dates"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc 1: apple tf=2 df=1 -> 2*ln(4/2); banana tf=1 df=2 -> ln(4/3);
+    # common tf=1 df=3 -> ln(4/4)=0. Top-2 = apple, banana.
+    d1 = by_doc[1]
+    assert [r.term for r in d1] == ["apple", "banana"]
+    assert abs(d1[0].score - round(2 * math.log(2.0), 8)) < 1e-9
+    assert (d1[0].tf, d1[0].df_t) == (2, 1)
+    # doc 2: banana and cherry... banana tf=1 df=2 = ln(4/3); cherry tf=1
+    # df=1 = ln(4/2) bigger -> cherry first, banana second
+    assert [r.term for r in by_doc[2]] == ["cherry", "banana"]
+    # doc 3: dates (rare) first; common tf=2 but idf=0 -> score 0 last
+    d3 = by_doc[3]
+    assert [r.term for r in d3] == ["dates", "common"]
+    assert d3[1].score == 0.0
+
+
 def test_token_frequency_score(spark):
     from wbkg.ops.textops import token_frequency_score
 

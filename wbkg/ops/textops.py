@@ -299,6 +299,48 @@ def percentile_filter(
     )
 
 
+def tfidf_topk(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document -> (id, term, tf, df_t, score) —
+    the keyword-extraction primitive (per-doc salient vocabulary for
+    tagging / clustering / near-dup triage).
+
+    score = tf * ln((N+1)/(df_t+1)) with add-one smoothing (never
+    negative, never /0). Tokenization is the corpus-wide convention
+    (lowercase ASCII \\W+ split, same as token_frequency_score, so Java
+    regex and RE2 agree). Plan: one explode, one (doc, term) partial-agg,
+    one term-keyed document-frequency agg joined back (AQE broadcasts
+    small vocabularies), N folded in as a one-row broadcast so the plan
+    stays fully lazy, then a per-doc top-k window. Ranking ties (equal
+    score, bit-identical because equal (tf, df_t)) break on term asc, so
+    the result is deterministic."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = df.agg(F.count("*").alias("_n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("_n_docs") + 1) / (F.col("df_t") + 1)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "term", "tf", "df_t", F.round("score", 8).alias("score"))
+    )
+
+
 def token_frequency_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
