@@ -1816,6 +1816,22 @@ def q_media_video_decode(spark, sf_dir):
     return video_decode_stats(gen_media_df(spark, docs=30, per_doc=3))
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment (wbkg/ops/similarity.py kmeans_assign)
+    with deterministic centroids = the 4 lowest-vec_id embeddings — a pure
+    map-side argmin projection, zero shuffle. Distances are sequential
+    IEEE-double folds, so DuckDB's list_distance replays them bit-for-bit;
+    ties break to the lowest cluster index on both sides."""
+    from wbkg.ops.similarity import kmeans_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    return kmeans_assign(emb, cents)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Per-vector symmetric int8 quantization (the 4x ANN-storage cut):
     scale, per-element codes, and max reconstruction error, computed as
@@ -2064,6 +2080,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_minus": q_sparql_minus,
         "cap_per_source": q_cap_per_source,
         "quantize_embeddings": q_quantize_embeddings,
+        "kmeans_assign": q_kmeans_assign,
         "sparql_path_seq": q_sparql_path_seq,
         "sparql_path_plus": q_sparql_path_plus,
         "sparql_path_alt": q_sparql_path_alt,
@@ -3112,6 +3129,24 @@ def _oracle_sqls() -> dict[str, str]:
                    (count(*) FILTER (pv IS NOT NULL AND (v < 0) != (pv < 0)))::INTEGER
                        AS zero_crossings
             FROM x GROUP BY d
+        """,
+        "kmeans_assign": """
+            WITH c AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ),
+            d AS (
+              SELECT e.vec_id, c.cid,
+                     list_distance(e.embedding::DOUBLE[], c.cv) AS dist
+              FROM embeddings e CROSS JOIN c
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d)
+            SELECT vec_id, cid::INTEGER AS cluster,
+                   round(dist, 6)::DOUBLE AS dist
+            FROM r WHERE rn = 1
         """,
         "quantize_embeddings": """
             WITH s AS (

@@ -233,3 +233,78 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
             F.round(recon_err, 6).alias("recon_err"),
         )
     )
+
+def _dist_expr(vec_col: str, centroid: Sequence[float]):
+    """Euclidean distance to a literal centroid — a sequential left-fold of
+    (x-y)^2 then sqrt, all correctly-rounded IEEE double ops in index
+    order, so DuckDB's list_distance replays it bit-for-bit."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment -> (id, cluster, dist). The k distance
+    expressions are inlined as literals (centroids are driver-held, k x dim
+    doubles — the MLlib pattern), so assignment is a pure map-side
+    projection inside whole-stage codegen: ZERO shuffle, the corpus is
+    scanned once no matter how many points. Ties take the lowest cluster
+    index (array_position finds the first minimum)."""
+    dists = F.array(*[_dist_expr(vec_col, c) for c in centroids])
+    return emb.select(
+        F.col(id_col),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+        F.round(F.array_min(dists), 6).alias("dist"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Lloyd's k-means -> (centroids ndarray [k x dim], assignment DF).
+
+    Init is deterministic: the k lowest-id vectors. Each iteration is one
+    map-side assignment (kmeans_assign — no shuffle) plus ONE
+    partial-aggregated shuffle for the update: posexplode the vector and
+    average per (cluster, dim) — sums combine map-side, the exchange
+    carries k x dim running sums per partition, never vectors. The k x dim
+    centroid matrix is collected per round (gated: k*dim doubles, ~4 KB at
+    k=8 dim=64) because the next round inlines it as literals — the same
+    driver-held-centers contract as MLlib's KMeans. Empty clusters keep
+    their previous centroid."""
+    import numpy as np
+
+    init = emb.orderBy(id_col).select(vec_col).limit(k).collect()
+    cents = np.array([[float(x) for x in r[0]] for r in init])
+    for _ in range(iterations):
+        assigned = kmeans_assign(emb, cents.tolist(), id_col, vec_col)
+        upd = (
+            emb.join(assigned.select(id_col, "cluster"), id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in upd:
+            nxt[r.cluster][r.dim] = r.m
+        cents = nxt
+    return cents, kmeans_assign(emb, cents.tolist(), id_col, vec_col)
