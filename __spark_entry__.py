@@ -1761,6 +1761,26 @@ def q_fuzzy_match_edit1(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index (wbkg/ops/textops.py inverted_index) at
+    the flat (term, doc) grain with a max_df stop-word cap; positions are
+    renumbered over non-empty tokens and comma-joined, so the oracle
+    replays rows byte-exactly."""
+    from wbkg.ops.textops import inverted_index
+
+    return inverted_index(_read(spark, sf_dir, "documents"), max_df=400)
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search via posting-list slot votes (wbkg/ops/textops.py
+    phrase_search): occurrences of the phrase's terms vote for start
+    q = pos - slot; q is a hit iff all slots voted. Oracle replays the
+    adjacency with a positional self-join over the tokenized corpus."""
+    from wbkg.ops.textops import phrase_search
+
+    return phrase_search(_read(spark, sf_dir, "documents"), "fast table")
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-5 TF-IDF terms per document (wbkg/ops/textops.py tfidf_topk).
     Scores round to 8 decimals on both sides (Java Math.log and DuckDB ln
@@ -2071,6 +2091,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resample_audio": q_media_resample_audio,
         "token_freq_score": q_token_freq_score,
         "tfidf_topk": q_tfidf_topk,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
         "fuzzy_match_edit1": q_fuzzy_match_edit1,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
@@ -3033,6 +3055,47 @@ def _oracle_sqls() -> dict[str, str]:
             )
             SELECT DISTINCT a AS dict_surface, b AS noisy_surface
             FROM names, noisy WHERE levenshtein(a, b) <= 1
+        """,
+        "inverted_index": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\W+') AS l
+              FROM documents),
+            raw AS (
+              SELECT doc_id, l[i] AS term, i
+              FROM w, unnest(generate_series(1, len(l))) t(i)
+              WHERE l[i] <> ''),
+            toks AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+              FROM raw),
+            p AS (
+              SELECT term, doc_id,
+                     array_to_string(list(pos ORDER BY pos), ',') AS positions
+              FROM toks GROUP BY 1, 2),
+            d AS (SELECT term, count(*)::BIGINT AS df_docs FROM p GROUP BY 1)
+            SELECT term, df_docs, doc_id, positions
+            FROM p JOIN d USING (term) WHERE df_docs <= 400
+        """,
+        "phrase_search": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\W+') AS l
+              FROM documents),
+            raw AS (
+              SELECT doc_id, l[i] AS term, i
+              FROM w, unnest(generate_series(1, len(l))) t(i)
+              WHERE l[i] <> ''),
+            toks AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+              FROM raw),
+            m AS (
+              SELECT a.doc_id, a.pos
+              FROM toks a JOIN toks b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              WHERE a.term = 'fast' AND b.term = 'table')
+            SELECT doc_id, count(*)::INTEGER AS n_hits,
+                   min(pos)::INTEGER AS first_pos
+            FROM m GROUP BY doc_id
         """,
         "tfidf_topk": """
             WITH toks AS (

@@ -1213,3 +1213,34 @@ def test_kmeans_fit_matches_numpy_lloyd(spark):
     assert got == {i: int(want[i]) for i in range(len(pts))}
     # the three planted blobs land in three distinct clusters
     assert len({got[0], got[1], got[2]}) == 3
+
+
+def test_inverted_index_and_phrase_search(spark):
+    from wbkg.ops.textops import inverted_index, phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data, Big Plans"),          # punctuation + case folding
+            (2, "data big data systems"),
+            (3, "unrelated words only"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {(r.term, r.doc_id): (r.df_docs, r.positions) for r in inverted_index(docs).collect()}
+    assert idx[("big", 1)] == (2, "0,2")       # positions renumbered over non-empty tokens
+    assert idx[("data", 2)] == (2, "0,2")
+    assert idx[("plans", 1)][0] == 1
+    # max_df cap drops hot terms entirely
+    capped = inverted_index(docs, max_df=1)
+    assert not [r for r in capped.collect() if r.term in ("big", "data")]
+
+    hits = {r.doc_id: (r.n_hits, r.first_pos) for r in phrase_search(docs, "big data").collect()}
+    assert hits == {1: (1, 0), 2: (1, 1)}
+    # overlapping repeats: "a a a" contains "a a" twice
+    rep = spark.createDataFrame([(9, "a a a")], "doc_id long, text string")
+    got = phrase_search(rep, "a a").collect()
+    assert [(r.doc_id, r.n_hits, r.first_pos) for r in got] == [(9, 2, 0)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(docs, "   ")

@@ -299,6 +299,113 @@ def percentile_filter(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Positional inverted index -> one row per (term, doc):
+    (term, df_docs, doc_id, positions) with positions a comma-joined
+    ascending list of 0-based token offsets — the search-engine build
+    primitive over a corpus.
+
+    Tokenization is the corpus convention (lowercase \\W+). Plan: one
+    posexplode, one (term, doc) partial-agg collecting sorted positions,
+    one term-keyed df count joined back (AQE broadcast for small
+    vocabularies). Rows stay FLAT (no nested posting arrays): at 100 TB a
+    per-term array row for a stop word would be a multi-GB single record —
+    the (term, doc) grain shards hot terms across partitions and lets the
+    sink bucket by term. `max_df` drops terms in more than that many docs
+    (stop-word cap — the same bounded-hot-key discipline as the dedup
+    band caps); dropped terms are gone from the index entirely."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\W+")).alias(
+                "pos", "term"
+            ),
+        )
+        # posexplode numbers RAW split slots; renumber non-empty tokens so
+        # positions are true token offsets (leading punctuation yields an
+        # empty slot 0)
+        .filter(F.col("term") != "")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+            - 1,
+        )
+    )
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.collect_list("pos")), lambda x: x.cast("string"))
+        ).alias("positions")
+    )
+    dfs = postings.groupBy("term").agg(F.count("*").alias("df_docs"))
+    if max_df is not None:
+        dfs = dfs.filter(F.col("df_docs") <= max_df)
+    return postings.join(dfs, "term").select("term", "df_docs", "doc_id", "positions")
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase match via positional-posting intersection ->
+    (doc_id, n_hits, first_pos): docs containing the phrase's tokens at
+    CONSECUTIVE positions, the classic adjacency join.
+
+    The relational phrase match: the index rows for the phrase's terms (a
+    term-keyed filter — partition pruning on a term-bucketed index table)
+    explode to (doc, position) occurrences, join the tiny broadcast
+    (slot, term) table of the phrase itself, and each occurrence votes for
+    candidate start q = position - slot; a start is a hit iff all
+    len(terms) slots voted. Work is proportional to the phrase terms'
+    posting lists only — the corpus is never touched.
+
+    (A first cut shifted per-term position ARRAYS with nested
+    transform() lambdas and intersected them; Spark's project-collapse
+    mis-bound the nested lambda variables — one array came back with an
+    element-VARYING shift — so this uses plain relational ops, no lambda
+    expressions at all.)"""
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    idx = inverted_index(df, id_col, text_col)
+    spark = df.sparkSession
+    slots = spark.createDataFrame(
+        list(enumerate(terms)), "slot int, term string"
+    )
+    occ = (
+        idx.filter(F.col("term").isin(*set(terms)))
+        .select(
+            "term",
+            "doc_id",
+            F.explode(F.split(F.col("positions"), ",")).alias("_p"),
+        )
+        .select("term", "doc_id", F.col("_p").cast("int").alias("p"))
+    )
+    votes = (
+        occ.join(F.broadcast(slots), "term")
+        .select("doc_id", (F.col("p") - F.col("slot")).alias("q"), "slot")
+        .filter(F.col("q") >= 0)
+        .distinct()  # duplicate phrase terms: one vote per (doc, q, slot)
+    )
+    hits = (
+        votes.groupBy("doc_id", "q")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == len(terms))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_hits"),
+        F.min("q").alias("first_pos"),
+    )
+
+
 def tfidf_topk(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:
