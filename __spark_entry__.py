@@ -1781,6 +1781,66 @@ def q_phrase_search(spark, sf_dir):
     return phrase_search(_read(spark, sf_dir, "documents"), "fast table")
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Point-in-time lookup (wbkg/ops/joins.py asof_join): each click
+    event picks up the user's most recent purchase at-or-before it
+    (backward inclusive, kdb aj semantics). Union-sort-window plan — ONE
+    shuffle, no join operator; the oracle is DuckDB's native ASOF LEFT
+    JOIN, the one-line spec statement. event_id tiebreak makes equal-ts
+    right rows deterministic on both sides (none exist in this data, so
+    the tiebreak never changes the answer — it pins it)."""
+    from wbkg.ops.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        left, right, on="user_id", right_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_r").alias("prior_purchase_id"),
+        F.col("value_r").alias("prior_value"),
+    )
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval overlap join (wbkg/ops/joins.py interval_overlap_join):
+    click and error events widen to 30-minute windows per user; pairs
+    whose windows intersect. Spark side bins intervals to 1800s buckets
+    and equi-joins on (user, bin) — candidates are bin co-occupancy, not
+    a per-user cross product; the oracle is the plain inequality join
+    (the spec), fine at sf0.01."""
+    from wbkg.ops.joins import interval_overlap_join
+
+    ev = _read(spark, sf_dir, "events")
+    mk = lambda t, idc: ev.filter(F.col("event_type") == t).select(
+        "user_id",
+        F.col("event_id").alias(idc),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    return interval_overlap_join(
+        mk("click", "click_id"),
+        mk("error", "error_id"),
+        on="user_id",
+        l_id="click_id",
+        r_id="error_id",
+        l_start="s",
+        l_end="e",
+        r_start="s",
+        r_end="e",
+        bin_seconds=1800,
+    )
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-5 TF-IDF terms per document (wbkg/ops/textops.py tfidf_topk).
     Scores round to 8 decimals on both sides (Java Math.log and DuckDB ln
@@ -2093,6 +2153,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "asof_join_events": q_asof_join_events,
+        "interval_overlap": q_interval_overlap,
         "fuzzy_match_edit1": q_fuzzy_match_edit1,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
@@ -3096,6 +3158,28 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT doc_id, count(*)::INTEGER AS n_hits,
                    min(pos)::INTEGER AS first_pos
             FROM m GROUP BY doc_id
+        """,
+        "asof_join_events": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS prior_purchase_id,
+                   r.value AS prior_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_overlap": """
+            WITH l AS (SELECT user_id, event_id AS click_id, ts AS s,
+                              ts + INTERVAL 30 MINUTE AS e
+                       FROM events WHERE event_type = 'click'),
+                 r AS (SELECT user_id, event_id AS error_id, ts AS s,
+                              ts + INTERVAL 30 MINUTE AS e
+                       FROM events WHERE event_type = 'error')
+            SELECT l.user_id, click_id, error_id
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND l.s <= r.e AND r.s <= l.e
         """,
         "tfidf_topk": """
             WITH toks AS (

@@ -1244,3 +1244,77 @@ def test_inverted_index_and_phrase_search(spark):
 
     with _pytest.raises(ValueError):
         phrase_search(docs, "   ")
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from wbkg.ops.joins import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [
+            (1, 7, T(2024, 1, 1, 10, 0)),   # exact-ts right row -> inclusive
+            (2, 7, T(2024, 1, 1, 9, 59)),   # before any right row -> null
+            (3, 7, T(2024, 1, 1, 12, 0)),   # picks the later right row
+            (4, 8, T(2024, 1, 1, 12, 0)),   # key with no right rows -> null
+        ],
+        "id long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 7, T(2024, 1, 1, 10, 0), 1.0),
+            (101, 7, T(2024, 1, 1, 11, 0), 2.0),
+            (102, 7, T(2024, 1, 1, 11, 0), 3.0),  # tie: greatest rid wins
+        ],
+        "rid long, k long, ts timestamp_ntz, v double",
+    )
+    out = asof_join(
+        left, right, on="k", right_cols=["rid", "v"], tiebreak="rid"
+    )
+    got = {r.id: (r.rid_r, r.v_r) for r in out.collect()}
+    assert got == {1: (100, 1.0), 2: (None, None), 3: (102, 3.0), 4: (None, None)}
+
+
+def test_interval_overlap_join_semantics(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from wbkg.ops.joins import interval_overlap_join
+
+    T = datetime
+    mk = lambda idc, rows: spark.createDataFrame(
+        rows, f"k long, {idc} long, s timestamp_ntz, e timestamp_ntz"
+    )
+    left = mk(
+        "lid",
+        [
+            (1, 10, T(2024, 1, 1, 0, 0), T(2024, 1, 1, 1, 0)),
+            (1, 11, T(2024, 1, 1, 5, 0), T(2024, 1, 1, 6, 0)),
+            (2, 12, T(2024, 1, 1, 0, 0), T(2024, 1, 1, 1, 0)),  # other key
+        ],
+    )
+    right = mk(
+        "rid",
+        [
+            (1, 20, T(2024, 1, 1, 1, 0), T(2024, 1, 1, 2, 0)),  # touches 10 at 1:00
+            (1, 21, T(2024, 1, 1, 2, 30), T(2024, 1, 1, 3, 0)),  # no overlap
+            (1, 22, T(2024, 1, 1, 5, 30), T(2024, 1, 1, 7, 0)),  # overlaps 11
+        ],
+    )
+    out = interval_overlap_join(
+        left, right, on="k", l_id="lid", r_id="rid",
+        l_start="s", l_end="e", r_start="s", r_end="e", bin_seconds=900,
+    )
+    got = {(r.k, r.lid, r.rid) for r in out.collect()}
+    assert got == {(1, 10, 20), (1, 11, 22)}
+
+    # an interval spanning >= max_bins bins fails loudly, not silently
+    with _pytest.raises(SparkRuntimeException, match="spans >= 2 bins"):
+        interval_overlap_join(
+            left, right, on="k", l_id="lid", r_id="rid",
+            l_start="s", l_end="e", r_start="s", r_end="e",
+            bin_seconds=60, max_bins=2,
+        ).collect()
