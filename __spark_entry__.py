@@ -1841,6 +1841,29 @@ def q_interval_overlap(spark, sf_dir):
     )
 
 
+def q_bm25_rank(spark, sf_dir):
+    """Okapi BM25 retrieval (wbkg/ops/textops.py bm25_rank) for the query
+    'hash join stream'. The tf shuffle carries only the queried terms'
+    postings; N/avgdl fold in as one-row broadcasts. Scores round to 8
+    decimals (the tfidf ulp convention); float literals in the oracle
+    reproduce the engine's exact IEEE steps ((1.2::DOUBLE + 1), never a
+    pre-folded 2.2, which is a different double)."""
+    from wbkg.ops.textops import bm25_rank
+
+    return bm25_rank(_read(spark, sf_dir, "documents"), "hash join stream")
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Add-one-smoothed corpus bigram LM fluency score (wbkg/ops/textops.py
+    bigram_lm_score) — the KenLM-style perplexity filter. Bigrams are
+    map-side arrays_zip (no adjacency self-join); counts are integer-exact
+    on both engines, so only ln and the per-doc mean are floating
+    (round 8)."""
+    from wbkg.ops.textops import bigram_lm_score
+
+    return bigram_lm_score(_read(spark, sf_dir, "documents"))
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-5 TF-IDF terms per document (wbkg/ops/textops.py tfidf_topk).
     Scores round to 8 decimals on both sides (Java Math.log and DuckDB ln
@@ -2155,6 +2178,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "asof_join_events": q_asof_join_events,
         "interval_overlap": q_interval_overlap,
+        "bm25_rank": q_bm25_rank,
+        "bigram_lm": q_bigram_lm,
         "fuzzy_match_edit1": q_fuzzy_match_edit1,
         "media_frame_sample": q_media_frame_sample,
         "sparql_order_desc": q_sparql_order_desc,
@@ -3180,6 +3205,53 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT l.user_id, click_id, error_id
             FROM l JOIN r ON l.user_id = r.user_id
                          AND l.s <= r.e AND r.s <= l.e
+        """,
+        "bm25_rank": r"""
+            WITH toks AS (
+              SELECT doc_id, t.tok AS term
+              FROM documents,
+                   unnest(regexp_split_to_array(lower(text), '\W+')) t(tok)
+              WHERE t.tok <> ''),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+                   WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+            dft AS (SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+            c AS (
+              SELECT tf.doc_id,
+                     (ln(1.0::DOUBLE + ((n_docs - df_t) + 0.5::DOUBLE)
+                                       / (df_t + 0.5::DOUBLE))
+                      * (tf * (1.2::DOUBLE + 1)))
+                     / (tf + 1.2::DOUBLE
+                             * ((1 - 0.75::DOUBLE)
+                                + (0.75::DOUBLE * dl) / avgdl)) AS contrib
+              FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats)
+            SELECT doc_id, count(*)::INTEGER AS n_matched,
+                   round(sum(contrib), 8)::DOUBLE AS score
+            FROM c GROUP BY doc_id
+        """,
+        "bigram_lm": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            bg AS (
+              SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+              FROM w, unnest(generate_series(1, len(l) - 1)) t(i)
+              WHERE len(l) >= 2),
+            c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+            v AS (SELECT count(DISTINCT term)::BIGINT AS v
+                  FROM (SELECT unnest(l) AS term FROM w)),
+            s AS (
+              SELECT doc_id,
+                     ln((c12 + 1)::DOUBLE / (c1 + v)) AS lp
+              FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+            SELECT doc_id, count(*)::INTEGER AS n_bigrams,
+                   round(avg(lp), 8)::DOUBLE AS avg_logp
+            FROM s GROUP BY doc_id
         """,
         "tfidf_topk": """
             WITH toks AS (

@@ -1318,3 +1318,53 @@ def test_interval_overlap_join_semantics(spark):
             l_start="s", l_end="e", r_start="s", r_end="e",
             bin_seconds=60, max_bins=2,
         ).collect()
+
+
+def test_bm25_rank_semantics(spark):
+    import math
+
+    import pytest as _pytest
+
+    from wbkg.ops.textops import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark shuffle"),
+            (2, "spark join"),
+            (3, "window only words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_matched, r.score) for r in bm25_rank(docs, "spark").collect()}
+    assert set(got) == {1, 2}                       # doc 3 matches nothing
+    # hand-computed: N=3, df=2, idf=ln(1+1.5/2.5); avgdl=8/3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    sc = lambda tf, dl: idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (8 / 3)))
+    assert got[1] == (1, round(sc(2, 3), 8))
+    assert got[2] == (1, round(sc(1, 2), 8))
+    # higher-tf doc with equal-ish length ranks higher
+    assert got[1][1] > got[2][1]
+    with _pytest.raises(ValueError):
+        bm25_rank(docs, "  ")
+
+
+def test_bigram_lm_score_semantics(spark):
+    import math
+
+    from wbkg.ops.textops import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),       # fluent: repeated corpus bigrams
+            (2, "b a"),
+            (3, "x"),             # single token: no bigrams, drops out
+            (4, ""),              # empty: slice guard, drops out
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in bigram_lm_score(docs).collect()}
+    assert set(got) == {1, 2}
+    # corpus bigrams: (a,b)x2, (b,a)x2 -> c12: ab=2, ba=2; c1: a=2, b=2; V=3
+    lp = lambda c12, c1: math.log((c12 + 1) / (c1 + 3))
+    assert got[1] == (3, round((2 * lp(2, 2) + lp(2, 2)) / 3, 8))
+    assert got[2] == (1, round(lp(2, 2), 8))

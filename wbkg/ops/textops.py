@@ -448,6 +448,140 @@ def tfidf_topk(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking of a term query over the corpus ->
+    (id, n_matched, score) for every document containing at least one
+    query term — the standard lexical-retrieval scorer (the other half,
+    with ANN over embeddings in wbkg/ops/similarity.py, of a hybrid
+    search stack).
+
+    score = sum over matched terms of
+        idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))  (Robertson-Sparck
+    Jones with the +1 floor, Lucene's formulation — never negative).
+
+    Plan: the corpus tokenizes once (the shared lowercase \\W+
+    convention); per-doc lengths are a map-side size(); tf rows filter to
+    the query's terms BEFORE the (doc, term) aggregate, so the shuffle
+    carries only postings of the queried terms — at 100 TB the right
+    shape is term-bucketed postings (inverted_index) where this filter is
+    partition pruning. N/avgdl fold in as one-row broadcasts; per-term df
+    joins AQE-broadcast. Scores round to 8 decimals (the tfidf_topk
+    ulp-absorption convention: Java Math.log and DuckDB ln differ by
+    1 ulp on a few percent of the domain; per-doc sum order adds at most
+    a few more)."""
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    per_term = (
+        tf.join(dft, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_c",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return per_term.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_matched"),
+        F.round(F.sum("_c"), 8).alias("score"),
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus bigram language-model fluency score -> (id, n_bigrams,
+    avg_logp): the CCNet/KenLM-style perplexity filter, one order up from
+    token_frequency_score's unigram statistic. Word salad scores low even
+    when every individual word is common.
+
+    Model: add-one-smoothed bigram MLE trained on the corpus itself —
+    P(w2|w1) = (C(w1,w2)+1) / (Cprefix(w1)+V), with Cprefix the count of
+    w1 as a bigram prefix and V the distinct-unigram vocabulary size.
+    avg_logp = mean ln P over the doc's bigrams (docs with <2 tokens drop
+    out, matching the oracle).
+
+    Plan: bigrams come from arrays_zip over the filtered token array —
+    map-side, NO window/self-join for adjacency; corpus counts are two
+    partial-agg shuffles (bigram, prefix); V is a one-row broadcast; the
+    scoring join is bigram-keyed (AQE broadcasts small vocabularies,
+    skew-splits Zipf-heavy heads). Integer counts keep the probability
+    ratio exact; only the ln and the per-doc mean are floating (round 8,
+    the shared ulp-absorption convention)."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    n = F.size(arr)
+    # CASE WHEN guards the n<2 rows (slice with a negative length throws);
+    # explode drops the null branch, so short docs simply emit no bigrams
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice(arr, 1, n - 1).alias("w1"),
+                    F.slice(arr, 2, n - 1).alias("w2"),
+                ),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    toks = df.select(
+        F.explode(arr).alias("term")
+    )
+    v = toks.agg(F.countDistinct("term").alias("_v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "_lp",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("_v")).cast("double")),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 8).alias("avg_logp"),
+    )
+
+
 def token_frequency_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
