@@ -1022,6 +1022,22 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_count(pairs)
 
 
+def q_graph_node_jaccard(spark, sf_dir):
+    """Item-item similarity (wbkg/graph_analytics.py neighbor_jaccard)
+    over the part->order incidence: Jaccard of two parts' order sets,
+    the collaborative-filtering 'bought together' primitive. Wedge
+    enumeration through the shared order (center), Schank-Wagner shape;
+    the center cap (1000) is a no-op on this data — baskets are small —
+    so the oracle states the plain spec; the cap's recall behavior is
+    unit-tested separately. Integer counts, one IEEE division, round 8."""
+    from wbkg.graph_analytics import neighbor_jaccard
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("src"), F.col("l_orderkey").alias("dst")
+    )
+    return neighbor_jaccard(li, min_common=3, max_center_degree=1000)
+
+
 def q_graph_bfs(spark, sf_dir):
     """Multi-source BFS hop distance (wbkg/graph_analytics.py
     bfs_distances): undirected frontier expansion over the per-region
@@ -2207,6 +2223,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_degree_stats": q_graph_degree_stats,
         "graph_bfs": q_graph_bfs,
+        "graph_node_jaccard": q_graph_node_jaccard,
         "sessionize_events": q_sessionize_events,
         "sparql_having_groupconcat": q_sparql_having_groupconcat,
         "sparql_nested_groups": q_sparql_nested_groups,
@@ -2951,6 +2968,19 @@ def _oracle_sqls() -> dict[str, str]:
             FROM und ab
             JOIN und bc ON ab.b = bc.a
             JOIN und ac ON ab.a = ac.a AND bc.b = ac.b
+        """,
+        "graph_node_jaccard": """
+            WITH e AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o
+                       FROM lineitem),
+            d AS (SELECT p, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+            c AS (SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS common
+                  FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+                  GROUP BY 1, 2)
+            SELECT u, v, common,
+                   round(common / (da.deg + db.deg - common)::DOUBLE, 8)::DOUBLE
+                     AS jaccard
+            FROM c JOIN d da ON c.u = da.p JOIN d db ON c.v = db.p
+            WHERE common >= 3
         """,
         "graph_bfs": """
             WITH p AS (

@@ -1368,3 +1368,25 @@ def test_bigram_lm_score_semantics(spark):
     lp = lambda c12, c1: math.log((c12 + 1) / (c1 + 3))
     assert got[1] == (3, round((2 * lp(2, 2) + lp(2, 2)) / 3, 8))
     assert got[2] == (1, round(lp(2, 2), 8))
+
+
+def test_neighbor_jaccard_semantics(spark):
+    from wbkg.graph_analytics import neighbor_jaccard
+
+    # parts -> orders: 1:{a,b,c}, 2:{b,c,d}, 3:{c}, 4:{x}
+    edges = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "b"), (2, "c"), (2, "d"),
+         (3, "c"), (4, "x")],
+        "src long, dst string",
+    )
+    got = {(r.u, r.v): (r.common, r.jaccard) for r in neighbor_jaccard(edges).collect()}
+    assert got[(1, 2)] == (2, round(2 / 4, 8))   # {b,c} / {a,b,c,d}
+    assert got[(1, 3)] == (1, round(1 / 3, 8))
+    assert got[(2, 3)] == (1, round(1 / 3, 8))
+    assert (1, 4) not in got and len(got) == 3
+
+    # hot-center cap: 'c' (degree 3) dropped from candidate generation,
+    # but degrees stay TRUE degrees for surviving pairs
+    capped = {(r.u, r.v): (r.common, r.jaccard)
+              for r in neighbor_jaccard(edges, max_center_degree=2).collect()}
+    assert capped == {(1, 2): (1, round(1 / 5, 8))}  # only 'b' wedges left

@@ -247,3 +247,65 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         )
         .withColumn("degree", F.col("out_deg") + F.col("in_deg"))
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Out-neighborhood Jaccard similarity between source nodes ->
+    (u, v, common, jaccard) for u < v pairs sharing >= min_common
+    out-neighbors — item-item similarity when edges are a bipartite
+    incidence (part -> order: "bought together" strength), structural
+    role similarity on a plain digraph.
+
+    Plan: wedge enumeration through the shared neighbor (the center),
+    exactly the Schank-Wagner shape triangle_count uses: the distinct
+    adjacency self-joins on dst with u < v, one partial-agg groupBy
+    counts common neighbors, then two degree joins close the Jaccard
+    |A intersect B| / (|A| + |B| - |A intersect B|). Wedge volume is
+    Sigma deg(center)^2 — `max_center_degree` drops hot CENTERS from
+    candidate generation only (degrees stay true corpus degrees), the
+    same bounded-hot-key cap as the dedup bands: a center seen by
+    everything (a stop-word of the graph) contributes |deg|^2 pairs and
+    near-zero Jaccard signal. Counts are integers; the single division
+    is one IEEE op, bit-identical in any engine."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy(F.col("src").alias("u")).agg(F.count("*").alias("deg"))
+    adj = e
+    if max_center_degree is not None:
+        hot = (
+            e.groupBy("dst")
+            .agg(F.count("*").alias("_cdeg"))
+            .filter(F.col("_cdeg") > max_center_degree)
+            .select("dst")
+        )
+        adj = e.join(hot, "dst", "left_anti")
+    a, b = adj.alias("a"), adj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        common.join(deg, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg") + F.col("deg_v") - F.col("common")).cast("double"),
+                8,
+            ).alias("jaccard"),
+        )
+    )
