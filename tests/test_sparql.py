@@ -1136,3 +1136,61 @@ def test_exists_body_with_optional_inner_null(graph):
         "FILTER EXISTS { ?n <p:name> ?x . OPTIONAL { ?n <p:nothere> ?v } } } ORDER BY ?n",
     ).collect()
     assert [r.n for r in ex] == ["n:1", "n:2"]
+
+
+_XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+_RDF_LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+@pytest.fixture(scope="module")
+def typed_graph(spark):
+    """Edges with BOTH lang and obj_is_literal — the full edge schema."""
+    rows = [
+        ("n:1", "p:name", "one", True, "en"),
+        ("n:1", "p:alias", "uno", True, None),
+        ("n:1", "p:ref", "urn:x:one", False, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, lang string",
+    )
+
+
+def test_datatype_function(typed_graph):
+    out = sparql_select(
+        typed_graph,
+        "SELECT ?p ?dt WHERE { ?n ?p ?v . BIND(DATATYPE(?v) AS ?dt) } ORDER BY ?p",
+    ).collect()
+    assert [(r.p, r.dt) for r in out] == [
+        ("p:alias", _XSD_STR),
+        ("p:name", _RDF_LANGSTR),
+        ("p:ref", None),  # IRI binding: type error -> unbound
+    ]
+    # in FILTER the type error (null) fails the row — only the plain
+    # literal passes an = xsd:string test
+    f = sparql_select(
+        typed_graph,
+        f'SELECT ?p WHERE {{ ?n ?p ?v . FILTER(DATATYPE(?v) = "{_XSD_STR}") }}',
+    ).collect()
+    assert [r.p for r in f] == ["p:alias"]
+    # SELECT * hides the term-type companions
+    star = sparql_select(typed_graph, "SELECT * WHERE { ?n ?p ?v . }")
+    assert star.columns == ["n", "p", "v"]
+
+
+def test_term_type_join_is_exact(spark):
+    """An IRI object and a literal with the same text never join once the
+    table carries obj_is_literal (RDF-term equality, not string equality)."""
+    g = spark.createDataFrame(
+        [
+            ("a:1", "p:x", "one", True, None),
+            ("b:1", "p:y", "one", False, None),
+            ("a:2", "p:x", "two", True, None),
+            ("b:2", "p:y", "two", True, None),
+        ],
+        "subj string, pred string, obj string, obj_is_literal boolean, lang string",
+    )
+    out = sparql_select(
+        g, "SELECT ?a ?b WHERE { ?a <p:x> ?v . ?b <p:y> ?v . }"
+    ).collect()
+    assert [(r.a, r.b) for r in out] == [("a:2", "b:2")]

@@ -198,7 +198,7 @@ _FILTER_TOKEN = re.compile(
       | "(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*)?
       | -?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*
-      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STRBEFORE|STRAFTER|SUBSTR|STR|NOT|IN|IF|COALESCE|LANG)\b
+      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STRBEFORE|STRAFTER|SUBSTR|STR|NOT|IN|IF|COALESCE|LANG|DATATYPE)\b
       | !=|<=|>=|&&|\|\||[=<>!(),]""",
     re.X,
 )
@@ -225,6 +225,16 @@ _VALUE_FNS = {
 # object-position variable binding (only created when the edges table has a
 # `lang` column — plain (subj, pred, obj) tables compile exactly as before)
 _LANG_PFX = "__wbkg_lang_"
+
+# second hidden companion ("true"/"false" string, union-alignable) carrying
+# obj_is_literal for object-position bindings — created only when the edges
+# table has that column (wbkg/schemas.py edge schema). DATATYPE(?v) reads
+# it: IRI binding -> null (SPARQL type error: the row fails in FILTER,
+# stays unbound in BIND), lang-tagged literal -> rdf:langString, plain
+# literal -> xsd:string (this graph stores strings — no numeric datatypes).
+_LIT_PFX = "__wbkg_lit_"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
 
 class _FilterParser:
@@ -356,6 +366,29 @@ class _FilterParser:
             if _LANG_PFX + name in self.bound:
                 return F.coalesce(F.col(_LANG_PFX + name), F.lit(""))
             return F.lit("")
+        if fn == "DATATYPE":
+            self._expect("(")
+            var = self._next()
+            if not var.startswith("?"):
+                raise SparqlError("DATATYPE takes a variable")
+            name = var[1:]
+            if name not in self.bound:
+                raise SparqlError(f"unbound variable ?{name} in DATATYPE")
+            self._expect(")")
+            lang_c = (
+                F.coalesce(F.col(_LANG_PFX + name), F.lit(""))
+                if _LANG_PFX + name in self.bound
+                else F.lit("")
+            )
+            base = F.when(lang_c != "", F.lit(_RDF_LANGSTRING)).otherwise(
+                F.lit(_XSD_STRING)
+            )
+            if _LIT_PFX + name in self.bound:
+                # IRI binding -> null (type error per SPARQL §17.4.2.7)
+                return F.when(F.col(_LIT_PFX + name) == "true", base)
+            # no term-type companion (plain spo table / subject position):
+            # documented lenient — everything reads as a literal
+            return base
         if fn in _VALUE_FNS:
             lo, hi = _VALUE_FNS[fn]
             self._expect("(")
@@ -1265,6 +1298,7 @@ def _compile_bgp(edges: DataFrame, patterns, tag: str):
     untagged constant keeps matching on value alone (documented lenient —
     this engine's edges store one literal per (value, lang))."""
     has_lang = "lang" in edges.columns
+    has_lit = "obj_is_literal" in edges.columns
     bound: set[str] = set()
     plan: DataFrame | None = None
     gate_cols: list[str] = []
@@ -1272,12 +1306,16 @@ def _compile_bgp(edges: DataFrame, patterns, tag: str):
         if isinstance(p, _Path):
             scan = _compile_path(edges, p)
             pos_terms = (("a", s), ("b", o))
-            scan_lang = False
+            scan_lang = scan_lit = False
         else:
-            base_cols = ["subj", "pred", "obj"] + (["lang"] if has_lang else [])
+            base_cols = (
+                ["subj", "pred", "obj"]
+                + (["lang"] if has_lang else [])
+                + (["obj_is_literal"] if has_lit else [])
+            )
             scan = edges.select(*base_cols)
             pos_terms = (("subj", s), ("pred", p), ("obj", o))
-            scan_lang = has_lang
+            scan_lang, scan_lit = has_lang, has_lit
         cols, rename = [], {}
         for col, term in pos_terms:
             if term.kind == "const":
@@ -1298,6 +1336,17 @@ def _compile_bgp(edges: DataFrame, patterns, tag: str):
                             F.coalesce(F.col("lang"), F.lit("")).alias(
                                 _LANG_PFX + term.value
                             )
+                        )
+                    if col == "obj" and scan_lit:
+                        # "true"/"false" string so UNION branches align on
+                        # the common null-string fill; joins on it are
+                        # RDF-term-exact (IRI x never meets literal "x")
+                        rename[_LIT_PFX + term.value] = "obj_is_literal"
+                        cols.append(
+                            F.coalesce(
+                                F.col("obj_is_literal").cast("string"),
+                                F.lit("true"),
+                            ).alias(_LIT_PFX + term.value)
                         )
         # a fully-constant pattern is an existence gate, not a multiplier
         if not cols:
@@ -1568,7 +1617,11 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
     if select_vars is None:
         # SELECT *: user-visible variables only — the hidden lang
         # companions are internal plumbing for LANG()/term-exact joins
-        select_vars = sorted(v for v in bound if not v.startswith(_LANG_PFX))
+        select_vars = sorted(
+            v
+            for v in bound
+            if not v.startswith(_LANG_PFX) and not v.startswith(_LIT_PFX)
+        )
     missing = [v for v in select_vars + [ov for ov, _a in order_vars] if v not in bound]
     if missing:
         raise SparqlError(f"unbound variable(s) in SELECT/ORDER BY: {missing}")
