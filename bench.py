@@ -203,7 +203,8 @@ def ensure_sf1(spark, sf_dir: str) -> str:
     from pyspark.sql import functions as F
 
     path = os.path.join(BENCH_TMP, "sf1")
-    marker = os.path.join(path, "_SUCCESS_WBKG")
+    # v2: events added (round 6 — the temporal joins need a 10x event log)
+    marker = os.path.join(path, "_SUCCESS_WBKG_V2")
     if os.path.exists(marker):
         return path
     shutil.rmtree(path, ignore_errors=True)
@@ -239,6 +240,26 @@ def ensure_sf1(spark, sf_dir: str) -> str:
         .repartition(CPUS)
         .write.mode("overwrite")
         .parquet(os.path.join(path, "embeddings.parquet"))
+    )
+    # events tile 10x with DISJOINT user ids per replica (user_id shifted,
+    # event ids re-keyed): per-user event density stays constant while the
+    # user population grows 10x — the shape a 10x-bigger deployment
+    # produces, and the right test for per-key window ops (asof,
+    # sessionize): partition count grows, partition size does not.
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("rep") * F.lit(10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * F.lit(100_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(CPUS)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "events.parquet"))
     )
     open(marker, "w").write("ok")
     return path
@@ -426,6 +447,15 @@ def headline(sf_dir: str) -> dict:
         "sessionize_events",
         "url_normalize",
         "sparql_subquery",
+        # round-6 surfaces
+        "bpe_token_count",
+        "inverted_index",
+        "bm25_rank",
+        "bigram_lm",
+        "asof_join_events",
+        "interval_overlap",
+        "graph_node_jaccard",
+        "sparql_datatype",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
@@ -441,6 +471,13 @@ def headline(sf_dir: str) -> dict:
         "dedup_embedding",
         "repeated_passages",
         "cap_per_source",
+        # round-6: index build + LM scoring are the two biggest explode
+        # shuffles; the temporal joins ride the 10x event log (disjoint
+        # per-replica users -> more partitions, same partition size)
+        "inverted_index",
+        "bigram_lm",
+        "asof_join_events",
+        "interval_overlap",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf1_dir).count()
@@ -537,7 +574,7 @@ def headline(sf_dir: str) -> dict:
         "sf1_queries": sf1_queries,
         # x multiplier applied to sf0.1 rows (renamed from the misleading
         # "sf1_rows" — VERDICT r05: the value is the multiplier, not a count)
-        "sf1_multiplier": {"documents": 10, "embeddings": 10},
+        "sf1_multiplier": {"documents": 10, "embeddings": 10, "events": 10},
         # steal-insensitive twin of kg_triples_per_sec: triples per CPU-second
         # (user+sys jiffies at USER_HZ=100) of the chosen best-warm run, plus
         # the raw steal jiffies so a noisy round is self-evident in the JSON
