@@ -1099,6 +1099,49 @@ def q_graph_bfs(spark, sf_dir):
     ).select("node", "dist")
 
 
+def q_graph_sssp(spark, sf_dir):
+    """Weighted shortest paths (wbkg/graph_analytics.py sssp, the
+    Bellman-Ford frontier relaxation) over the per-region nation chain
+    with edge u->v weighted by v's chain position: node at position p has
+    dist = 1+2+...+p, so the oracle states the closed form p(p+1)/2. The
+    frontier loop relaxes exactly chain-length rounds then stops on the
+    empty-improvement test."""
+    from wbkg.graph_analytics import sssp
+
+    n = _read(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    pos = F.row_number().over(w) - 1
+    nodes = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("node"),
+        pos.alias("p"),
+        F.lead("n_nationkey").over(w).alias("nxt"),
+    )
+    edges = nodes.filter(F.col("nxt").isNotNull()).select(
+        F.col("node").alias("src"),
+        F.concat(F.lit("n:"), F.col("nxt").cast("string")).alias("dst"),
+        (F.col("p") + 1).cast("double").alias("weight"),
+    )
+    sources = nodes.filter(F.col("p") == 0).select("node")
+    return sssp(edges, sources)
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD2 change history (wbkg/ops/prep.py scd2_history): the events
+    log collapsed to versioned (user, state) intervals — one row per
+    event_type CHANGE, valid_to = next change's ts (null while current).
+    One window shuffle; event_id tiebreak pins equal-ts ordering on both
+    sides."""
+    from wbkg.ops.prep import scd2_history
+
+    return scd2_history(
+        _read(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
 def q_graph_degree_stats(spark, sf_dir):
     """Per-node in/out/total degree over the customer->nation->region
     membership digraph; one partial-aggregated shuffle per direction plus
@@ -2266,6 +2309,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": q_graph_degree_stats,
         "graph_bfs": q_graph_bfs,
         "graph_node_jaccard": q_graph_node_jaccard,
+        "graph_sssp": q_graph_sssp,
+        "scd2_history": q_scd2_history,
         "sessionize_events": q_sessionize_events,
         "sparql_having_groupconcat": q_sparql_having_groupconcat,
         "sparql_nested_groups": q_sparql_nested_groups,
@@ -3026,6 +3071,29 @@ def _oracle_sqls() -> dict[str, str]:
             FROM und ab
             JOIN und bc ON ab.b = bc.a
             JOIN und ac ON ab.a = ac.a AND bc.b = ac.b
+        """,
+        "graph_sssp": """
+            SELECT 'n:' || n_nationkey AS node,
+                   ((p * (p + 1)) / 2)::DOUBLE AS dist
+            FROM (SELECT n_nationkey,
+                         row_number() OVER (PARTITION BY n_regionkey
+                                            ORDER BY n_nationkey) - 1 AS p
+                  FROM nation)
+        """,
+        "scd2_history": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events),
+            c AS (
+              SELECT user_id, event_type AS state, ts AS valid_from, event_id
+              FROM o WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, state, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from, event_id)
+                     AS valid_to
+            FROM c
         """,
         "graph_node_jaccard": """
             WITH e AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o

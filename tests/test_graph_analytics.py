@@ -124,3 +124,24 @@ def test_bfs_distances_max_hops_cutoff(spark):
     src = spark.createDataFrame([("a",)], "node string")
     got = {r.node: r.dist for r in bfs_distances(e, src, max_hops=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops away -> cut off
+
+
+def test_sssp_weighted(spark):
+    from wbkg.graph_analytics import sssp
+
+    # direct heavy edge (a->d, 10) loses to the 3-hop light path (1+1+1);
+    # x is unreachable and absent; multi-source takes the nearer source
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0),
+            ("b", "c", 1.0),
+            ("c", "d", 1.0),
+            ("a", "d", 10.0),
+            ("s2", "d", 0.5),
+            ("y", "x", 1.0),  # island, no source reaches y
+        ],
+        "src string, dst string, weight double",
+    )
+    sources = spark.createDataFrame([("a",), ("s2",)], "node string")
+    got = {r.node: r.dist for r in sssp(edges, sources).collect()}
+    assert got == {"a": 0.0, "s2": 0.0, "b": 1.0, "c": 2.0, "d": 0.5}

@@ -1390,3 +1390,29 @@ def test_neighbor_jaccard_semantics(spark):
     capped = {(r.u, r.v): (r.common, r.jaccard)
               for r in neighbor_jaccard(edges, max_center_degree=2).collect()}
     assert capped == {(1, 2): (1, round(1 / 5, 8))}  # only 'b' wedges left
+
+
+def test_scd2_history(spark):
+    from datetime import datetime
+
+    from wbkg.ops.prep import scd2_history
+
+    T = datetime
+    log = spark.createDataFrame(
+        [
+            (1, 7, T(2024, 1, 1), "on"),
+            (2, 7, T(2024, 1, 2), "on"),    # repeat: no new version
+            (3, 7, T(2024, 1, 3), "off"),   # change
+            (4, 7, T(2024, 1, 4), "on"),    # change back
+            (5, 8, T(2024, 1, 1), "off"),   # other key
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, state string",
+    )
+    out = scd2_history(log, "user_id", "ts", "state", tiebreak_col="event_id")
+    rows = {(r.user_id, r.valid_from): (r.state, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (7, T(2024, 1, 1)): ("on", T(2024, 1, 3)),
+        (7, T(2024, 1, 3)): ("off", T(2024, 1, 4)),
+        (7, T(2024, 1, 4)): ("on", None),
+        (8, T(2024, 1, 1)): ("off", None),
+    }

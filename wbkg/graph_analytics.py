@@ -309,3 +309,61 @@ def neighbor_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iters: int = 30,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source single-source-shortest-path (weighted BFS
+    generalization) -> (node, dist): minimum total edge weight from the
+    nearest source, sources at 0.0. Non-negative weights assumed (the
+    Bellman-Ford frontier below is still CORRECT for negative weights
+    without negative cycles, but the iteration bound then matters).
+
+    Frontier relaxation, the Pregel pattern bfs_distances uses, plus the
+    min-compare: each round joins only the nodes whose distance IMPROVED
+    last round against the edge list, offers dist+w to their neighbors,
+    and keeps offers strictly below the incumbent. Per-round shuffle
+    volume is O(frontier out-edges) + one partial-agg min per touched
+    node — never O(V). Terminates when no node improves (checked on the
+    localCheckpoint-ed frontier, which is materialized anyway) or at
+    max_iters, whichever first."""
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"), F.lit(0.0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    for it in range(max_iters):
+        offers = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            offers.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("node", F.col("cand").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if it % checkpoint_every == checkpoint_every - 1:
+            dist = dist.localCheckpoint()
+        frontier = improved
+    return dist

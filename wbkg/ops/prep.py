@@ -355,3 +355,39 @@ def sketch_distinct(
             <= F.greatest(F.col("exact") * (5 * rsd), F.lit(1.0))
         ).alias("within_bounds"),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history -> (key, state,
+    valid_from, valid_to): collapse an append-only event/update log into
+    versioned intervals — one row per CHANGE of state per key, valid_to =
+    the next change's timestamp, null while current. The standard
+    warehouse-merge shape (Iceberg/Delta MERGE INTO ... SCD2) as a pure
+    window plan.
+
+    Plan: ONE shuffle (window partition by key); change detection is
+    lag(state) != state over (ts, tiebreak) order, interval close is
+    lead(ts) over the SAME partition after the change filter — Spark
+    keeps both windows in the one sort since the partition key is
+    unchanged. Pass `tiebreak_col` (a unique id) when timestamps can
+    collide within a key; without it equal-ts ordering is undefined,
+    exactly as in SQL."""
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        df.withColumn("_prev", F.lag(state_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
