@@ -455,6 +455,8 @@ def headline(sf_dir: str) -> dict:
         "asof_join_events",
         "interval_overlap",
         "graph_node_jaccard",
+        "graph_sssp",
+        "scd2_history",
         "sparql_datatype",
     ]:
         t0 = time.time()
