@@ -959,6 +959,32 @@ def q_sparql_datatype(spark, sf_dir):
     )
 
 
+def q_sparql_strlang(spark, sf_dir):
+    """STRLANG(expr, "tag") constructs a lang-tagged literal in BIND: the
+    bound variable gains a lang companion, so LANG() and DATATYPE()
+    (rdf:langString) downstream see the tag. Works over a plain
+    (subj,pred,obj) table — the companion is born in the BIND."""
+    from wbkg.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:label").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?n ?u ?lg ?dt WHERE {
+            ?n <urn:p:label> ?v .
+            BIND(STRLANG(UCASE(?v), "en") AS ?u)
+            BIND(LANG(?u) AS ?lg)
+            BIND(DATATYPE(?u) AS ?dt)
+        } ORDER BY ?n
+        """,
+    )
+
+
 def q_sparql_subquery_having(spark, sf_dir):
     """HAVING inside a { SELECT } subquery (ADVICE r05 medium): the lift is
     brace-depth-aware, so the HAVING filters the SUBQUERY's groups — the
@@ -2299,6 +2325,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_numeric": q_sparql_filter_numeric,
         "sparql_lang": q_sparql_lang,
         "sparql_datatype": q_sparql_datatype,
+        "sparql_strlang": q_sparql_strlang,
         "sparql_subquery_having": q_sparql_subquery_having,
         "sparql_offset": q_sparql_offset,
         "sparql_path_neg": q_sparql_path_neg,
@@ -2943,6 +2970,13 @@ def _oracle_sqls() -> dict[str, str]:
             SELECT 'n:' || n_nationkey AS n, (n_nationkey * 5)::VARCHAR AS pop
             FROM nation
             WHERE n_nationkey * 5 > 59 AND (n_nationkey * 5)::VARCHAR <> '60'
+        """,
+        "sparql_strlang": """
+            SELECT 'n:' || n_nationkey AS n, upper(n_name) AS u,
+                   'en' AS lg,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+                     AS dt
+            FROM nation ORDER BY n
         """,
         "sparql_datatype": """
             WITH e AS (

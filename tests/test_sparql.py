@@ -1194,3 +1194,37 @@ def test_term_type_join_is_exact(spark):
         g, "SELECT ?a ?b WHERE { ?a <p:x> ?v . ?b <p:y> ?v . }"
     ).collect()
     assert [(r.a, r.b) for r in out] == [("a:2", "b:2")]
+
+
+def test_strlang(lang_graph):
+    out = sparql_select(
+        lang_graph,
+        'SELECT ?n ?x ?t ?dt WHERE { ?n <p:count> ?c . '
+        'BIND(STRLANG(?c, "en") AS ?x) BIND(LANG(?x) AS ?t) '
+        "BIND(DATATYPE(?x) AS ?dt) } ORDER BY ?n",
+    ).collect()
+    assert [(r.n, r.x, r.t, r.dt) for r in out] == [
+        ("n:1", "5", "en", _RDF_LANGSTR),
+        ("n:2", "10", "en", _RDF_LANGSTR),
+        ("n:3", "40", "en", _RDF_LANGSTR),
+    ]
+    # the companion participates in tagged-constant matching downstream
+    f = sparql_select(
+        lang_graph,
+        'SELECT ?n WHERE { ?n <p:count> ?c . BIND(STRLANG(?c, "en") AS ?x) '
+        'FILTER(LANG(?x) = "en") }',
+    )
+    assert f.count() == 3
+    # nested STRLANG is rejected loudly, not silently untagged
+    with pytest.raises(SparqlError):
+        sparql_select(
+            lang_graph,
+            'SELECT ?x WHERE { ?n <p:count> ?c . '
+            'BIND(CONCAT(STRLANG(?c, "en"), "!") AS ?x) }',
+        )
+    # SELECT * hides the STRLANG companion
+    star = sparql_select(
+        lang_graph,
+        'SELECT * WHERE { ?n <p:count> ?c . BIND(STRLANG(?c, "en") AS ?x) }',
+    )
+    assert star.columns == ["c", "n", "x"]

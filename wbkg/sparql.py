@@ -1538,6 +1538,27 @@ def sparql_select(edges: DataFrame, query: str) -> DataFrame:
             # visible to later binds, VALUES and group FILTERs
             if var in bound:
                 raise SparqlError(f"BIND would rebind already-bound variable ?{var}")
+            # STRLANG(expr, "tag") constructs a lang-tagged literal: the
+            # value compiles like any BIND, and the bound variable gains a
+            # lang companion so LANG(?v), "x"@tag joins and DATATYPE(?v)
+            # (rdf:langString) all see the tag. Top-level only — a nested
+            # STRLANG has nowhere to carry its tag (one companion per var).
+            m_sl = re.fullmatch(
+                r"(?is)\s*STRLANG\s*\((.*),\s*\"([A-Za-z][A-Za-z0-9-]*)\"\s*\)\s*",
+                expr_text,
+            )
+            if m_sl:
+                col = _FilterParser(m_sl.group(1), prefixes, bound).parse_value()
+                plan = plan.withColumn(var, col).withColumn(
+                    _LANG_PFX + var, F.lit(m_sl.group(2))
+                )
+                bound.add(var)
+                bound.add(_LANG_PFX + var)
+                continue
+            if re.search(r"(?i)\bSTRLANG\s*\(", expr_text):
+                raise SparqlError(
+                    "STRLANG is only supported as the top-level BIND expression"
+                )
             col = _FilterParser(expr_text, prefixes, bound).parse_value()
             plan = plan.withColumn(var, col)
             bound.add(var)
