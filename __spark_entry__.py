@@ -2285,6 +2285,113 @@ def q_kg_pipeline_salted_edges(spark, sf_dir):
     return _edges_vs_oracle(spark, edges, n_docs)
 
 
+def q_graph_kcore(spark, sf_dir):
+    """k-core decomposition (wbkg/graph_analytics.py k_core): the 6-core
+    of the bipartite part--order incidence graph — iterative peel until
+    every surviving node keeps >= 6 distinct neighbors. Cascading fixture:
+    dropping thin orders thins part degrees and vice versa (6-12 peel
+    rounds at the test SFs); the oracle unrolls 16 peel rounds
+    mechanically, strictly more than any tested SF needs, so its fixpoint
+    equals the loop's."""
+    from wbkg.graph_analytics import k_core
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("dst"),
+    )
+    return k_core(li, k=6)
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity (wbkg/graph_analytics.py modularity) of a
+    deliberately-mixed partition: nation-chain + customer-membership
+    edges, nations assigned to communities by nationkey parity (so chain
+    edges cross communities), customers left out of the map (so the
+    singleton-fallback path is exercised on every customer node).
+    Integer-count folds; the two divisions and the sum are the only
+    floating ops (round 8)."""
+    from wbkg.graph_analytics import modularity
+
+    chain = _nation_chain_edges(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    nations = _read(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("node"),
+        F.concat(F.lit("m:"), (F.col("n_nationkey") % 2).cast("string")).alias(
+            "community"
+        ),
+    )
+    return modularity(chain.unionByName(cust), nations)
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation mining (wbkg/ops/textops.py pmi_collocations): top-40
+    adjacent word pairs by PMI over the documents corpus, min pair count
+    5. Integer count ratios into one ln (round 8); the top-k order is
+    totalized by (pmi DESC, c12 DESC, w1, w2) so the LIMIT cut is
+    engine-independent."""
+    from wbkg.ops.textops import pmi_collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_k=40)
+
+
+def q_rollup_events(spark, sf_dir):
+    """ROLLUP subtotal lattice (wbkg/ops/olap.py rollup_counts): event
+    counts at (event_type, user_bucket), (event_type), and () grouping
+    sets in ONE Expand+groupBy pass, gid = the ANSI GROUPING bitmask that
+    separates subtotal NULLs from data NULLs."""
+    from wbkg.ops.olap import rollup_counts
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    )
+    return rollup_counts(ev, ["event_type", "user_bucket"])
+
+
+def q_cube_events(spark, sf_dir):
+    """CUBE lattice (wbkg/ops/olap.py rollup_counts use_cube=True): same
+    fixture as rollup_events plus the (user_bucket)-only grouping set —
+    the full 2^2 lattice, still one Expand pass."""
+    from wbkg.ops.olap import rollup_counts
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    )
+    return rollup_counts(ev, ["event_type", "user_bucket"], use_cube=True)
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    """Fixed-vocabulary pivot (wbkg/ops/olap.py pivot_counts): per-user
+    counts of each of the five event types as columns — conditional
+    aggregates in one partial-agg groupBy, no distinct-scan pre-pass,
+    schema independent of the data."""
+    from wbkg.ops.olap import pivot_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return pivot_counts(
+        ev, "user_id", "event_type", ["click", "error", "purchase", "signup", "view"]
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (wbkg/ops/prep.py
+    sample_stratified): downsample en to 30% and zh to 50% by md5-hex
+    threshold compare (pure string <, zero float ops), other languages
+    kept whole — the no-RNG per-class mixture control, exactly
+    reproducible in any engine with md5."""
+    from wbkg.ops.prep import sample_stratified
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs, {"en": 0.3, "zh": 0.5}, label_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang", "source")
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2399,6 +2506,13 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "split_assign": q_split_assign,
         "sample_mixture": q_sample_mixture,
+        "graph_kcore": q_graph_kcore,
+        "graph_modularity": q_graph_modularity,
+        "pmi_collocations": q_pmi_collocations,
+        "rollup_events": q_rollup_events,
+        "cube_events": q_cube_events,
+        "pivot_event_counts": q_pivot_event_counts,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -3609,7 +3723,127 @@ def _oracle_sqls() -> dict[str, str]:
     # the Bloom prefilter provably cannot change the report (false
     # positives die in the exact join) — the oracle IS decontam_report's
     sqls["decontam_bloom"] = sqls["decontam_report"]
+    sqls["graph_kcore"] = _kcore_oracle_sql(k=6, rounds=16)
+    sqls["graph_modularity"] = """
+        WITH ch AS (
+          SELECT 'n:' || n_nationkey AS src, 'n:' || nxt AS dst
+          FROM (SELECT n_nationkey,
+                       lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                               ORDER BY n_nationkey) AS nxt
+                FROM nation)
+          WHERE nxt IS NOT NULL),
+        cust AS (
+          SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst
+          FROM customer),
+        raw AS (SELECT src, dst FROM ch UNION ALL SELECT src, dst FROM cust),
+        und AS (
+          SELECT src, dst FROM (
+            SELECT src, dst FROM raw UNION SELECT dst, src FROM raw)
+          WHERE src <> dst),
+        cmap AS (
+          SELECT 'n:' || n_nationkey AS n,
+                 'm:' || (n_nationkey % 2) AS c
+          FROM nation),
+        tagged AS (
+          SELECT coalesce(cs.c, '_singleton:' || u.src) AS c_src,
+                 coalesce(cd.c, '_singleton:' || u.dst) AS c_dst
+          FROM und u
+          LEFT JOIN cmap cs ON u.src = cs.n
+          LEFT JOIN cmap cd ON u.dst = cd.n),
+        per_c AS (
+          SELECT c_src AS c, count(*)::BIGINT AS d_c,
+                 sum(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END)::BIGINT
+                   AS intra_half
+          FROM tagged GROUP BY 1),
+        tot AS (SELECT sum(d_c)::BIGINT AS two_m FROM per_c)
+        SELECT count(*)::INTEGER AS n_communities,
+               (sum(intra_half) / 2)::BIGINT AS intra_edges,
+               (min(two_m) / 2)::BIGINT AS total_edges,
+               round(sum(intra_half / two_m::DOUBLE
+                         - (d_c / two_m::DOUBLE) * (d_c / two_m::DOUBLE)),
+                     8)::DOUBLE AS modularity
+        FROM per_c CROSS JOIN tot
+    """
+    sqls["pmi_collocations"] = r"""
+        WITH w AS (
+          SELECT list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS l
+          FROM documents),
+        bg AS (
+          SELECT l[i] AS w1, l[i + 1] AS w2
+          FROM w, unnest(generate_series(1, len(l) - 1)) t(i)
+          WHERE len(l) >= 2),
+        p AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2
+              HAVING count(*) >= 5),
+        toks AS (SELECT unnest(l) AS term FROM w),
+        uni AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+        tot AS (SELECT count(*)::BIGINT AS t FROM toks)
+        SELECT w1, w2, c12,
+               round(ln((c12 * t) / (u1.c * u2.c)::DOUBLE), 8)::DOUBLE AS pmi
+        FROM p JOIN uni u1 ON p.w1 = u1.term
+               JOIN uni u2 ON p.w2 = u2.term
+               CROSS JOIN tot
+        ORDER BY pmi DESC, c12 DESC, w1, w2
+        LIMIT 40
+    """
+    sqls["rollup_events"] = """
+        SELECT event_type, user_id % 10 AS user_bucket,
+               GROUPING(event_type, user_id % 10)::BIGINT AS gid,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY ROLLUP (event_type, user_id % 10)
+    """
+    sqls["cube_events"] = """
+        SELECT event_type, user_id % 10 AS user_bucket,
+               GROUPING(event_type, user_id % 10)::BIGINT AS gid,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY CUBE (event_type, user_id % 10)
+    """
+    sqls["pivot_event_counts"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+               count(*) FILTER (WHERE event_type = 'error')::BIGINT AS error,
+               count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+               count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
+        FROM events GROUP BY user_id
+    """
+    sqls["sample_stratified"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+              CASE lang WHEN 'en' THEN '4ccccccc'
+                        WHEN 'zh' THEN '80000000'
+                        ELSE 'g' END
+    """
     return sqls
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Mechanically-unrolled peel for the k-core oracle: `rounds` is chosen
+    strictly above the peel depth at every tested SF (probed: 6 rounds at
+    sf0.001, 10 at sf0.01, 12 at sf0.1 for k=6), so e{rounds} is the
+    fixpoint the Spark loop converges to."""
+    # MATERIALIZED is load-bearing: each e{i} is referenced three times
+    # (the edge scan + both keep-joins), so inlined CTEs would expand
+    # 3^rounds ways and exhaust file handles on the base parquet scan.
+    parts = [
+        "WITH b AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS src,",
+        "                           'o:' || l_orderkey AS dst FROM lineitem),",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM b UNION SELECT dst, src FROM b)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", k{i} AS MATERIALIZED (SELECT src FROM e{i} GROUP BY src"
+            f" HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f", e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e"
+            f" JOIN k{i} a ON e.src = a.src JOIN k{i} b2 ON e.dst = b2.src)"
+        )
+    parts.append(
+        f"SELECT src AS node, count(*)::INTEGER AS degree"
+        f" FROM e{rounds} GROUP BY src"
+    )
+    return "\n".join(parts)
 
 
 def _kg_expected_sql(heuristic_ner: bool = False) -> str:

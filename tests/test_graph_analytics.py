@@ -145,3 +145,87 @@ def test_sssp_weighted(spark):
     sources = spark.createDataFrame([("a",), ("s2",)], "node string")
     got = {r.node: r.dist for r in sssp(edges, sources).collect()}
     assert got == {"a": 0.0, "s2": 0.0, "b": 1.0, "c": 2.0, "d": 0.5}
+
+
+def test_k_core_triangle_with_tail(spark):
+    # triangle a-b-c plus tail c-d: the 2-core is exactly the triangle
+    # (d peels, which drops c's degree to 2 — still in)
+    from wbkg.graph_analytics import k_core
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    got = {r.node: r.degree for r in k_core(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_cascading_peel(spark):
+    # path a-b-c-d-e: 2-core is empty, but only after CASCADING rounds
+    # (endpoints peel first, exposing the next nodes round by round)
+    from wbkg.graph_analytics import k_core
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    assert k_core(e, k=2).count() == 0
+    # ... while the 1-core keeps everything
+    assert k_core(e, k=1).count() == 5
+
+
+def test_k_core_ignores_direction_and_duplicates(spark):
+    # both orientations + duplicates of the same undirected edge count once
+    from wbkg.graph_analytics import k_core
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "a")],
+    )
+    got = {r.node: r.degree for r in k_core(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_modularity_perfect_partition(spark):
+    # two disconnected triangles, each its own community:
+    # Q = sum_c (e_c/m - (d_c/2m)^2) = (3/6 - 1/4) + (3/6 - 1/4) = 0.5
+    from wbkg.graph_analytics import modularity
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")],
+    )
+    cmap = spark.createDataFrame(
+        [("a", "t1"), ("b", "t1"), ("c", "t1"), ("x", "t2"), ("y", "t2"), ("z", "t2")],
+        "node string, community string",
+    )
+    row = modularity(e, cmap).collect()[0]
+    assert row.n_communities == 2
+    assert row.intra_edges == 6
+    assert row.total_edges == 6
+    assert abs(row.modularity - 0.5) < 1e-8
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: e_c/m = 1, (d_c/2m)^2 = 1 -> Q = 0
+    from wbkg.graph_analytics import modularity
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    cmap = spark.createDataFrame(
+        [("a", "one"), ("b", "one"), ("c", "one")], "node string, community string"
+    )
+    row = modularity(e, cmap).collect()[0]
+    assert row.n_communities == 1
+    assert abs(row.modularity - 0.0) < 1e-8
+
+
+def test_modularity_unmapped_nodes_are_singletons(spark):
+    # a-b intra (mapped), c unmapped -> its own singleton community;
+    # hand-fold: edges {a-b, b-c}, m=2, communities: g={a,b}, s={c}
+    # d_g = 3, d_s = 1, intra_g = 1, intra_s = 0
+    # Q = (1/2 - (3/4)^2) + (0 - (1/4)^2) = 0.5 - 0.5625 - 0.0625 = -0.125
+    from wbkg.graph_analytics import modularity
+
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    cmap = spark.createDataFrame(
+        [("a", "g"), ("b", "g")], "node string, community string"
+    )
+    row = modularity(e, cmap).collect()[0]
+    assert row.n_communities == 2
+    assert row.intra_edges == 1
+    assert row.total_edges == 2
+    assert abs(row.modularity - (-0.125)) < 1e-8

@@ -1416,3 +1416,110 @@ def test_scd2_history(spark):
         (7, T(2024, 1, 4)): ("on", None),
         (8, T(2024, 1, 1)): ("off", None),
     }
+
+
+def test_pmi_collocations_hand_computed(spark):
+    # corpus: "new york" x3 + "the cat"/"the dog" noise. Unigrams:
+    # new=3 york=3 the=2 cat=1 dog=1 -> T=10; bigrams: (new,york)=3,
+    # (the,cat)=1, (the,dog)=1. With min_count=2 only (new,york) survives:
+    # PMI = ln(3*10 / (3*3)) = ln(10/3)
+    import math
+
+    from wbkg.ops.textops import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york"), (2, "new york"), (3, "new york"), (4, "the cat"), (5, "the dog")],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, min_count=2, top_k=10).collect()
+    assert [(r.w1, r.w2, r.c12) for r in rows] == [("new", "york", 3)]
+    assert abs(rows[0].pmi - round(math.log(10.0 / 3.0), 8)) < 1e-12
+
+
+def test_pmi_collocations_short_docs_and_tiebreak(spark):
+    # one-token docs emit no bigrams; equal-PMI pairs order by (w1, w2)
+    from wbkg.ops.textops import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d"), (4, "c d"), (5, "x"), (6, "")],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, min_count=1, top_k=10).collect()
+    # both pairs: c12=2, PMI = ln(2*8/(2*2)) = ln 4 -> tie broken by w1
+    assert [(r.w1, r.w2) for r in rows] == [("a", "b"), ("c", "d")]
+    assert rows[0].pmi == rows[1].pmi
+
+
+def test_rollup_counts_lattice(spark):
+    from wbkg.ops.olap import rollup_counts
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1)], "k string, v int"
+    )
+    got = {
+        (r.k, r.v, r.gid): r.n for r in rollup_counts(df, ["k", "v"]).collect()
+    }
+    assert got == {
+        ("a", 1, 0): 2, ("a", 2, 0): 1, ("b", 1, 0): 1,   # leaves
+        ("a", None, 1): 3, ("b", None, 1): 1,             # per-k subtotal
+        (None, None, 3): 4,                               # grand total
+    }
+
+
+def test_cube_counts_adds_cross_sets(spark):
+    from wbkg.ops.olap import rollup_counts
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], "k string, v int"
+    )
+    got = {
+        (r.k, r.v, r.gid): r.n
+        for r in rollup_counts(df, ["k", "v"], use_cube=True).collect()
+    }
+    # the cube-only grouping set: v alone (gid=2, k rolled up)
+    assert got[(None, 1, 2)] == 2
+    assert got[(None, 2, 2)] == 1
+    assert got[(None, None, 3)] == 3
+
+
+def test_pivot_counts_fixed_vocab(spark):
+    from wbkg.ops.olap import pivot_counts
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "y"), (2, "zzz")],
+        "uid long, t string",
+    )
+    rows = {r.uid: r for r in pivot_counts(df, "uid", "t", ["x", "y"]).collect()}
+    # fixed vocabulary: 'zzz' is NOT a column; missing combos are 0
+    assert set(rows[1].asDict()) == {"uid", "x", "y"}
+    assert (rows[1].x, rows[1].y) == (2, 1)
+    assert (rows[2].x, rows[2].y) == (0, 1)
+
+
+def test_sample_stratified_deterministic_and_bounded(spark):
+    from wbkg.ops.prep import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out1 = sample_stratified(df, {"en": 0.25}, label_col="lang")
+    out2 = sample_stratified(df, {"en": 0.25}, label_col="lang")
+    got1 = sorted(r.doc_id for r in out1.collect())
+    got2 = sorted(r.doc_id for r in out2.collect())
+    assert got1 == got2  # md5-stable, no RNG
+    n_en = out1.filter(F.col("lang") == "en").count()
+    assert 150 < n_en < 350  # ~250 of 1000 at fraction 0.25
+    # unlisted stratum kept whole
+    assert out1.filter(F.col("lang") == "zh").count() == 1000
+
+
+def test_sample_stratified_edge_fractions(spark):
+    from wbkg.ops.prep import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)], "doc_id long, lang string"
+    )
+    assert sample_stratified(df, {"a": 0.0}, label_col="lang").count() == 0
+    assert sample_stratified(df, {"a": 1.0}, label_col="lang").count() == 100
+    assert sample_stratified(df, {}, label_col="lang").count() == 100

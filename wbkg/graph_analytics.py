@@ -367,3 +367,138 @@ def sssp(
             dist = dist.localCheckpoint()
         frontier = improved
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """k-core -> (node, degree): the maximal subgraph in which every node
+    has degree >= k, with each surviving node's degree INSIDE the core.
+    The standard corpus/graph-cleaning primitive (drop the sparse fringe
+    before community detection or embedding training); the reference's
+    community stage (ref src/pipeline.py -> graspologic) benefits from
+    exactly this pre-filter on real KGs.
+
+    Undirected simple-graph semantics: the edge list is symmetrized and
+    deduped, self-loops dropped, so degree = distinct-neighbor count.
+
+    Plan: iterative peel. Each round computes degrees (one partial-agg
+    shuffle on the node key) and left-semi-joins the edge list against
+    the keep-set on BOTH endpoints — all three shuffles share the node
+    key, so a cluster co-partitions them and AQE broadcasts the keep-set
+    once peeling has shrunk it. The fixpoint test rides the count() the
+    loop needs anyway; localCheckpoint every `checkpoint_every` rounds
+    truncates lineage exactly like the CC/LP/SSSP loops. Peel depth is
+    the graph's degeneracy-ordering depth, not O(V) — tens of rounds on
+    power-law graphs regardless of scale."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cur = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = cur.count()
+    for it in range(max_iters):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("src")
+        )
+        nxt = cur.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+        if it % checkpoint_every == checkpoint_every - 1:
+            nxt = nxt.localCheckpoint()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            cur = nxt
+            break
+        cur, n_edges = nxt, n_next
+    return (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("int").alias("degree"))
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    community: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a node partition -> one row (n_communities,
+    intra_edges, total_edges, modularity): the quality score for the
+    community stage's output (the reference's graspologic partition has
+    exactly this figure of merit; wbkg/communities.py label propagation
+    needs it to be auditable rather than taken on faith).
+
+    Undirected simple-graph semantics (symmetrize + dedup, self-loops
+    dropped). Q = sum_c [ e_c/m - (d_c/(2m))^2 ] with e_c the intra-
+    community edge count, d_c the total degree of community c, m the
+    undirected edge count.
+
+    Plan: two broadcast-or-hash joins tag each directed half-edge with
+    its endpoint communities (node -> community is the small side — the
+    community map is vocabulary-sized, Catalyst broadcasts it), then ONE
+    partial-agg groupBy per community folds e_c and d_c, and a one-row
+    final aggregate closes Q. Integer counts throughout; the divisions
+    are the only floating ops (round 8, the shared ulp convention).
+    Nodes absent from the community map form singleton communities of
+    their own (labelled by the node id) — standard convention, keeps Q
+    well-defined on partial partitions."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    cmap = communities.select(
+        F.col(node).alias("_n"), F.col(community).cast("string").alias("_c")
+    )
+    tagged = (
+        und.join(cmap.withColumnRenamed("_n", "src"), "src", "left")
+        .withColumnRenamed("_c", "c_src")
+        .join(
+            cmap.select(F.col("_n").alias("dst"), F.col("_c").alias("c_dst")),
+            "dst",
+            "left",
+        )
+        .select(
+            F.coalesce("c_src", F.concat(F.lit("_singleton:"), F.col("src"))).alias("c_src"),
+            F.coalesce("c_dst", F.concat(F.lit("_singleton:"), F.col("dst"))).alias("c_dst"),
+        )
+    )
+    per_c = tagged.groupBy(F.col("c_src").alias("c")).agg(
+        F.count("*").alias("d_c"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0)).alias(
+            "intra_half"
+        ),
+    )
+    # one-row broadcast of 2m (the crossJoin(broadcast(1-row agg)) scalar
+    # fold — shows as BroadcastNestedLoopJoin in explain, intended)
+    tot = per_c.agg(F.sum("d_c").alias("_two_m"))
+    frac = F.col("d_c") / F.col("_two_m")
+    return (
+        per_c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("int").alias("n_communities"),
+            (F.sum("intra_half") / 2).cast("bigint").alias("intra_edges"),
+            (F.min("_two_m") / 2).cast("bigint").alias("total_edges"),
+            F.round(
+                F.sum(F.col("intra_half") / F.col("_two_m") - frac * frac),
+                8,
+            ).alias("modularity"),
+        )
+    )

@@ -391,3 +391,41 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: keep each row with its stratum's
+    fraction, decided by the md5 of the id — the per-class analogue of
+    split_assign's global split (downsample over-represented languages /
+    sources to a target mixture without an RNG, so re-runs and the
+    fidelity oracle see the same sample).
+
+    Mechanics: fractions maps label -> fraction in [0,1]; each fraction f
+    becomes an 8-hex-digit threshold floor(f * 16^8) and a row survives
+    iff substr(md5(id),1,8) < threshold as a STRING compare — hex is
+    lexicographically monotone, both Spark and any SQL engine emit the
+    same lowercase-hex md5, so the decision is bit-identical everywhere
+    with no float or bigint conversion at all (granularity 1/2^32;
+    fraction 1.0 compiles to the sentinel "g", above every hex digit).
+    Labels absent from `fractions` are kept whole.
+
+    Plan: pure map-side projection + filter — no shuffle, no RNG state,
+    trivially resumable; the per-label threshold is a small CASE
+    expression, not a join."""
+    def _thr(frac: float) -> str:
+        return "g" if frac >= 1.0 else format(int(frac * 16**8), "08x")
+
+    expr = None
+    for label, frac in sorted(fractions.items()):
+        cond = F.col(label_col) == label
+        lit = F.lit(_thr(frac))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    thr_col = expr.otherwise(F.lit("g")) if expr is not None else F.lit("g")
+    return df.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < thr_col
+    )

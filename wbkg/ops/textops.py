@@ -724,3 +724,74 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col(text_col), F.lit(GPT2_PIECE_PATTERN), F.lit(0)
     )
     return df.withColumn("n_bpe_tokens", _count(pieces_col))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus collocation mining -> (w1, w2, c12, pmi): the top_k adjacent
+    word pairs by pointwise mutual information, the classic phrase-mining
+    statistic (tokenizer vocab seeding, multi-word entity discovery — the
+    reference's acronym/glossary extraction finds NAMED phrases, this
+    finds the statistically-bound ones it misses).
+
+    PMI(w1,w2) = ln( C(w1,w2) * T / (C(w1) * C(w2)) ) with C(w) unigram
+    counts over the whole corpus and T the total token count — integer
+    ratio inputs, one ln (round 8, the shared ulp convention). Pairs
+    below min_count are dropped BEFORE the ln (rare-pair PMI is noise
+    and dropping early keeps the scoring join small); ties and the
+    top_k cut are made deterministic by ordering on
+    (pmi DESC, c12 DESC, w1, w2).
+
+    Plan: identical shuffle shape to bigram_lm_score — bigrams from
+    arrays_zip over the token array (map-side adjacency, no window or
+    self-join), two partial-agg shuffles (bigram, unigram), T as a
+    one-row broadcast, then two unigram-keyed joins (AQE broadcasts
+    small vocabularies, skew-splits Zipf heads) and a top_k sort that
+    TakeOrderedAndProject keeps driver-light."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    n = F.size(arr)
+    bg = df.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.arrays_zip(
+                    F.slice(arr, 1, n - 1).alias("w1"),
+                    F.slice(arr, 2, n - 1).alias("w2"),
+                ),
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    toks = df.select(F.explode(arr).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("_t"))
+    scored = (
+        c12.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") * F.col("_t"))
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                8,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.desc("c12"), "w1", "w2"
+    ).limit(top_k)
