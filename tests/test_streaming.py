@@ -302,3 +302,71 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Built-in bounded-state streaming dedup: duplicates inside the
+    watermark window collapse to the first-arriving row; a replay far
+    past the watermark re-emits (state evicted) — the documented
+    semantics, asserted on both sides."""
+    from datetime import datetime
+
+    from wbkg.streaming import stream_dedup_within_watermark
+
+    src = str(tmp_path / "wm_in")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ck")
+    os.makedirs(src, exist_ok=True)
+    T = datetime
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        q = (
+            stream_dedup_within_watermark(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r.keep_id for r in spark.read.parquet(out).collect())
+
+    # batch 1: duplicate 'alpha' within the same minute collapses
+    spark.createDataFrame(
+        [
+            (1, "alpha", T(2024, 1, 1, 10, 0)),
+            (2, "alpha", T(2024, 1, 1, 10, 1)),
+            (3, "beta", T(2024, 1, 1, 10, 2)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.parquet(src + "/f1")
+    assert drain() == [1, 3]
+
+    # batch 2: 'alpha' replayed two hours later. The watermark only
+    # ADVANCES at batch end (it is still 10:02-10min from batch 1 while
+    # batch 2 runs), so the old state row hasn't been evicted yet and the
+    # replay is still suppressed — eviction lags one batch.
+    spark.createDataFrame(
+        [
+            (4, "alpha", T(2024, 1, 1, 12, 0)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.parquet(src + "/f2")
+    assert drain() == [1, 3]
+
+    # batch 3: batch 2 advanced the watermark to 11:50, far past the
+    # alpha state row's 10:10 expiry — it was evicted at batch-2 end, so
+    # a fresh 'alpha' now RE-EMITS (the documented bounded-state trade)
+    spark.createDataFrame(
+        [
+            (6, "alpha", T(2024, 1, 1, 12, 30)),
+        ],
+        "doc_id long, text string, ts timestamp",
+    ).coalesce(1).write.parquet(src + "/f3")
+    assert drain() == [1, 3, 6]

@@ -249,3 +249,37 @@ def session_window_counts(
             "total_value",
         )
     )
+
+
+def stream_dedup_within_watermark(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup with BOUNDED state: Spark's built-in
+    dropDuplicatesWithinWatermark keyed on the content hash. Where
+    stream_dedup_first_seen holds one state row per distinct content
+    FOREVER (exact across the whole stream — right when distinct content
+    is bounded), this variant lets the state store evict a hash once the
+    watermark passes it: duplicates arriving within the watermark window
+    of each other collapse, state stays O(recent distinct), and the
+    operator survives unbounded content drift — the 100-TB default. The
+    trade is semantics, not correctness: a replay farther apart than the
+    watermark re-emits, which is exactly the contract the name states.
+    (Eviction lags one micro-batch — the watermark advances at batch END —
+    so a replay in the very next batch is still suppressed even if its
+    event time is far ahead; see the unit test's three-drain sequence.)
+
+    -> (h, keep_id, ts) append-mode stream, first-arriving row per hash
+    per watermark window."""
+    return (
+        docs_stream.select(
+            F.md5(F.col(text_col)).alias("h"),
+            F.col(id_col).alias("keep_id"),
+            F.col(ts_col).cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["h"])
+    )
