@@ -2392,6 +2392,45 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO emulation (wbkg/ops/table.py merge_upsert): upsert a
+    derived change-batch into the orders snapshot — every 7th order
+    repriced (update arm), every 13th mirrored to a fresh offset key
+    (insert arm; an offset, not negation, so orderkey 0 — which is in both
+    residue classes — cannot collide with its own update) — latest version wins, one window shuffle on the merge
+    key, no join. Oracle restates the union + row_number latest-per-key
+    rule."""
+    from wbkg.ops.table import merge_upsert
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit(0).alias("version")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("version", F.lit(1))
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+        .withColumn("version", F.lit(1))
+    )
+    return merge_upsert(
+        o, updates.unionByName(inserts), keys=["o_orderkey"], order_col="version"
+    )
+
+
+def q_dedup_sentences(spark, sf_dir):
+    """Within-document repeated-sentence removal (wbkg/ops/textops.py
+    dedup_sentences): order-preserving first-occurrence filter over the
+    sentence array, pure map-side Catalyst (no explode/shuffle/UDF). The
+    split regex is lookbehind-free so DuckDB's RE2 tokenizes identically;
+    the oracle replays the same position-indexed list filter."""
+    from wbkg.ops.textops import dedup_sentences
+
+    return dedup_sentences(_read(spark, sf_dir, "documents"))
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2513,6 +2552,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": q_cube_events,
         "pivot_event_counts": q_pivot_event_counts,
         "sample_stratified": q_sample_stratified,
+        "merge_upsert": q_merge_upsert,
+        "dedup_sentences": q_dedup_sentences,
     }
 
 
@@ -3806,6 +3847,40 @@ def _oracle_sqls() -> dict[str, str]:
                count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
                count(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
         FROM events GROUP BY user_id
+    """
+    sqls["merge_upsert"] = """
+        WITH t AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, 0 AS version, 0 AS prov
+          FROM orders),
+        s AS (
+          SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+                 1 AS version, 1 AS prov
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, o_custkey, o_totalprice,
+                 1 AS version, 1 AS prov
+          FROM orders WHERE o_orderkey % 13 = 0),
+        u AS (SELECT * FROM t UNION ALL SELECT * FROM s)
+        SELECT o_orderkey, o_custkey, o_totalprice, version FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY version DESC, prov DESC) AS rn
+          FROM u)
+        WHERE rn = 1
+    """
+    sqls["dedup_sentences"] = r"""
+        SELECT doc_id,
+               len(l)::INTEGER AS n_sentences,
+               len(kept)::INTEGER AS n_kept,
+               array_to_string(kept, ' ') AS text_deduped
+        FROM (
+          SELECT doc_id, l,
+                 list_filter(l, (x, i) -> list_position(l[1:i-1], x) = 0)
+                   AS kept
+          FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+                               x -> x <> '') AS l
+            FROM documents))
     """
     sqls["sample_stratified"] = """
         SELECT doc_id, lang, source FROM documents

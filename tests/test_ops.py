@@ -1523,3 +1523,69 @@ def test_sample_stratified_edge_fractions(spark):
     assert sample_stratified(df, {"a": 0.0}, label_col="lang").count() == 0
     assert sample_stratified(df, {"a": 1.0}, label_col="lang").count() == 100
     assert sample_stratified(df, {}, label_col="lang").count() == 100
+
+
+def test_merge_upsert_update_insert_carry(spark):
+    from wbkg.ops.table import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "old-a", 0), (2, "old-b", 0), (3, "old-c", 0)],
+        "k long, v string, version int",
+    )
+    source = spark.createDataFrame(
+        [(2, "new-b", 1), (4, "new-d", 1)], "k long, v string, version int"
+    )
+    got = {
+        r.k: (r.v, r.version)
+        for r in merge_upsert(target, source, ["k"], "version").collect()
+    }
+    assert got == {
+        1: ("old-a", 0),   # carried unchanged
+        2: ("new-b", 1),   # updated
+        3: ("old-c", 0),   # carried unchanged
+        4: ("new-d", 1),   # inserted
+    }
+
+
+def test_merge_upsert_source_wins_order_tie(spark):
+    # the ANSI "matched -> update" arm: same version on both sides,
+    # source row replaces the target row
+    from wbkg.ops.table import merge_upsert
+
+    target = spark.createDataFrame([(1, "old", 5)], "k long, v string, version int")
+    source = spark.createDataFrame([(1, "new", 5)], "k long, v string, version int")
+    got = merge_upsert(target, source, ["k"], "version").collect()
+    assert [(r.k, r.v, r.version) for r in got] == [(1, "new", 5)]
+
+
+def test_merge_upsert_target_newer_survives(spark):
+    # a stale change batch (lower version) must NOT clobber a newer target
+    from wbkg.ops.table import merge_upsert
+
+    target = spark.createDataFrame([(1, "current", 7)], "k long, v string, version int")
+    source = spark.createDataFrame([(1, "stale", 3)], "k long, v string, version int")
+    got = merge_upsert(target, source, ["k"], "version").collect()
+    assert [(r.k, r.v, r.version) for r in got] == [(1, "current", 7)]
+
+
+def test_dedup_sentences_first_occurrence_order(spark):
+    from wbkg.ops.textops import dedup_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now. great offer! buy now. details inside. great offer!"),
+            (2, "just one sentence"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_sentences(docs).collect()}
+    # split: [buy now | great offer | buy now | details inside | great offer!]
+    # — the FINAL sentence keeps its terminal '!' (no trailing split), so it
+    # does not collide with the earlier 'great offer'; only the repeated
+    # 'buy now' drops
+    assert got[1].n_sentences == 5
+    assert got[1].n_kept == 4
+    assert got[1].text_deduped == "buy now great offer details inside great offer!"
+    assert got[2].n_sentences == 1 and got[2].n_kept == 1
+    assert got[3].n_sentences == 0 and got[3].n_kept == 0

@@ -795,3 +795,32 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi"), F.desc("c12"), "w1", "w2"
     ).limit(top_k)
+
+
+def dedup_sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Within-document repeated-sentence removal -> (id, n_sentences,
+    n_kept, text_deduped): drop every repeat of a sentence already seen
+    EARLIER IN THE SAME DOCUMENT, keeping first occurrences in order —
+    the intra-doc half of the dedup spectrum (boilerplate headers, scraped
+    navigation, template repetition), where repeated_passages handles the
+    cross-doc half.
+
+    Sentences split on terminal punctuation + whitespace ('[.!?]+\\s+' —
+    deliberately lookbehind-free so any RE2-based engine tokenizes
+    identically); order-preserving dedup is a position-indexed array
+    filter (element kept iff absent from the prefix before it), entirely
+    map-side Catalyst — per-doc O(s^2) on sentence COUNT, no explode, no
+    shuffle, no UDF."""
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+\s+"), lambda x: x != ""
+    )
+    kept = F.filter(
+        sents,
+        lambda x, i: F.array_position(F.slice(sents, F.lit(1), i), x) == 0,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(sents).cast("int").alias("n_sentences"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_deduped"),
+    )
