@@ -2431,6 +2431,34 @@ def q_dedup_sentences(spark, sf_dir):
     return dedup_sentences(_read(spark, sf_dir, "documents"))
 
 
+def q_graph_link_prediction(spark, sf_dir):
+    """Link prediction (wbkg/graph_analytics.py link_prediction): top-100
+    unconnected node pairs of the part--order incidence graph by
+    Adamic-Adar, hub centers capped at degree 30 (wedge volume stays
+    ~10M at sf0.1 instead of quadratic blowup; the cap is part of the
+    stated contract and the oracle applies it identically). Integer
+    common counts; the 1/ln(degree) sum rounds to 8 and the top-k order
+    is totalized by (adamic_adar, common, u, v)."""
+    from wbkg.graph_analytics import link_prediction
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("dst"),
+    )
+    return link_prediction(li, min_common=3, max_center_degree=30, top_k=100)
+
+
+def q_event_rate_anomaly(spark, sf_dir):
+    """Per-user event-rate z-score anomalies (wbkg/ops/prep.py
+    event_rate_anomaly): hours whose count deviates > 2.5 sample stddevs
+    from the user's own hourly mean. The moments are integer sums and the
+    mean/var/z expressions are spelled in one fixed IEEE order repeated
+    literally by the oracle — no Welford-vs-naive drift."""
+    from wbkg.ops.prep import event_rate_anomaly
+
+    return event_rate_anomaly(_read(spark, sf_dir, "events"))
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2554,6 +2582,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "merge_upsert": q_merge_upsert,
         "dedup_sentences": q_dedup_sentences,
+        "graph_link_prediction": q_graph_link_prediction,
+        "event_rate_anomaly": q_event_rate_anomaly,
     }
 
 
@@ -3888,6 +3918,49 @@ def _oracle_sqls() -> dict[str, str]:
               CASE lang WHEN 'en' THEN '4ccccccc'
                         WHEN 'zh' THEN '80000000'
                         ELSE 'g' END
+    """
+    sqls["graph_link_prediction"] = """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT 'p:' || l_partkey AS src, 'o:' || l_orderkey AS dst
+          FROM lineitem),
+        und AS MATERIALIZED (
+          SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        deg AS MATERIALIZED (
+          SELECT src AS center, count(*)::BIGINT AS cdeg FROM und GROUP BY 1),
+        adj AS MATERIALIZED (
+          SELECT u.dst AS center, u.src AS node
+          FROM und u JOIN deg d ON u.dst = d.center
+          WHERE d.cdeg <= 30),
+        w AS (
+          SELECT a.node AS u, b.node AS v, d.cdeg
+          FROM adj a JOIN adj b ON a.center = b.center AND a.node < b.node
+          JOIN deg d ON d.center = a.center),
+        s AS (
+          SELECT u, v, count(*)::BIGINT AS common,
+                 round(sum(1.0 / ln(cdeg)), 8)::DOUBLE AS adamic_adar
+          FROM w GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT s.u, s.v, s.common, s.adamic_adar
+        FROM s LEFT JOIN und ON s.u = und.src AND s.v = und.dst
+        WHERE und.src IS NULL
+        ORDER BY s.adamic_adar DESC, s.common DESC, s.u, s.v
+        LIMIT 100
+    """
+    sqls["event_rate_anomaly"] = """
+        WITH h AS (
+          SELECT user_id AS "user", date_trunc('hour', ts) AS hour,
+                 count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT "user", count(*)::BIGINT AS k, sum(n)::BIGINT AS sx,
+                 sum(n * n)::BIGINT AS sxx
+          FROM h GROUP BY 1)
+        SELECT "user", hour, n, z FROM (
+          SELECT h."user", h.hour, h.n,
+                 round((h.n - sx / k)
+                       / sqrt((sxx - (sx * sx) / k) / (k - 1)), 8)::DOUBLE AS z
+          FROM h JOIN m ON h."user" = m."user"
+          WHERE k >= 3 AND (sxx - (sx * sx) / k) / (k - 1) > 0)
+        WHERE abs(z) > 2.5
     """
     return sqls
 

@@ -229,3 +229,40 @@ def test_modularity_unmapped_nodes_are_singletons(spark):
     assert row.intra_edges == 1
     assert row.total_edges == 2
     assert abs(row.modularity - (-0.125)) < 1e-8
+
+
+def test_link_prediction_scores_and_anti_join(spark):
+    # star: hub h connected to a,b,c; plus direct edge a-b.
+    # Candidate pairs through h: (a,b),(a,c),(b,c) — but a-b already
+    # exists, so only (a,c),(b,c) survive; deg(h)=3 so AA = 1/ln(3)
+    import math
+
+    from wbkg.graph_analytics import link_prediction
+
+    e = _edges(spark, [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")])
+    rows = link_prediction(e, min_common=1).collect()
+    got = {(r.u, r.v): (r.common, r.adamic_adar) for r in rows}
+    aa = round(1.0 / math.log(3.0), 8)
+    assert got == {("a", "c"): (1, aa), ("b", "c"): (1, aa)}
+
+
+def test_link_prediction_center_cap_drops_hot_hub(spark):
+    # with the hub capped out of candidate generation, nothing remains
+    from wbkg.graph_analytics import link_prediction
+
+    e = _edges(spark, [("h", "a"), ("h", "b"), ("h", "c")])
+    assert link_prediction(e, min_common=1, max_center_degree=2).count() == 0
+
+
+def test_link_prediction_common_neighbor_count(spark):
+    # 4-cycle a-x-b-y-a: the two diagonals (a,b) and (x,y) each share two
+    # degree-2 centers: common=2, AA = 2 / ln(2) for both
+    import math
+
+    from wbkg.graph_analytics import link_prediction
+
+    e = _edges(spark, [("a", "x"), ("b", "x"), ("a", "y"), ("b", "y")])
+    rows = link_prediction(e, min_common=2).collect()
+    got = {(r.u, r.v): (r.common, r.adamic_adar) for r in rows}
+    aa = round(2.0 / math.log(2.0), 8)
+    assert got == {("a", "b"): (2, aa), ("x", "y"): (2, aa)}

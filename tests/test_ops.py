@@ -1589,3 +1589,38 @@ def test_dedup_sentences_first_occurrence_order(spark):
     assert got[1].text_deduped == "buy now great offer details inside great offer!"
     assert got[2].n_sentences == 1 and got[2].n_kept == 1
     assert got[3].n_sentences == 0 and got[3].n_kept == 0
+
+
+def test_event_rate_anomaly_flags_burst_hour(spark):
+    from datetime import datetime
+
+    from wbkg.ops.prep import event_rate_anomaly
+
+    T = datetime
+    rows = []
+    # user 1: 1 event/hour for 9 hours, then a 30-event burst hour
+    for h in range(9):
+        rows.append((1, T(2024, 1, 1, h, 0)))
+    rows += [(1, T(2024, 1, 1, 9, m % 60)) for m in range(30)]
+    # user 2: flat rate -> zero variance -> never flagged
+    for h in range(5):
+        rows.append((2, T(2024, 1, 1, h, 0)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = event_rate_anomaly(df, threshold=2.5).collect()
+    assert [(r.user, r.hour.hour, r.n) for r in got] == [(1, 9, 30)]
+    assert got[0].z > 2.5
+
+
+def test_event_rate_anomaly_needs_baseline(spark):
+    # two active hours is below the k >= 3 floor -> no output even with
+    # a wild swing
+    from datetime import datetime
+
+    from wbkg.ops.prep import event_rate_anomaly
+
+    T = datetime
+    rows = [(1, T(2024, 1, 1, 0, 0))] + [
+        (1, T(2024, 1, 1, 1, m % 60)) for m in range(50)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    assert event_rate_anomaly(df).count() == 0

@@ -502,3 +502,71 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_center_degree: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Missing-link candidates -> (u, v, common, adamic_adar): node pairs
+    NOT currently connected, scored by shared-neighbor evidence — the
+    classic link-prediction primitives (common-neighbor count and
+    Adamic-Adar, which discounts each shared neighbor by 1/ln(degree) so
+    promiscuous hubs vouch for less). On the KG this proposes edges the
+    extraction stage missed; on a co-purchase graph it is "customers also
+    bought".
+
+    Undirected simple-graph semantics (symmetrize + dedup, self-loops
+    dropped). Plan: the same Schank-Wagner wedge enumeration as
+    neighbor_jaccard — adjacency self-join through the shared CENTER with
+    u < v, partial-agg fold of count and sum(1/ln(center_degree)) in ONE
+    groupBy — then one LEFT ANTI join against the (undirected) edge list
+    removes already-connected pairs. `max_center_degree` caps wedge
+    volume at hubs exactly like neighbor_jaccard (candidate generation
+    only; degrees in the score stay true). Scores: integer count + a sum
+    of 1/ln(integer) terms, rounded to 8 (the shared ulp convention);
+    top_k (if set) cuts on the total order (adamic_adar DESC, common
+    DESC, u, v) so the LIMIT is engine-independent."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("center")).agg(
+        F.count("*").alias("cdeg")
+    )
+    adj = und.select(F.col("dst").alias("center"), F.col("src").alias("node"))
+    if max_center_degree is not None:
+        adj = adj.join(
+            deg.filter(F.col("cdeg") > max_center_degree).select("center"),
+            "center",
+            "left_anti",
+        )
+    a = adj.alias("a")
+    b = adj.select(F.col("center"), F.col("node").alias("node_b")).alias("b")
+    wedges = (
+        a.join(b, "center")
+        .filter(F.col("a.node") < F.col("b.node_b"))
+        .join(deg, "center")
+    )
+    scored = (
+        wedges.groupBy(F.col("a.node").alias("u"), F.col("b.node_b").alias("v"))
+        .agg(
+            F.count("*").alias("common"),
+            F.round(F.sum(1.0 / F.log(F.col("cdeg"))), 8).alias("adamic_adar"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    existing = und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    out = scored.join(existing, ["u", "v"], "left_anti")
+    if top_k is not None:
+        out = out.orderBy(
+            F.desc("adamic_adar"), F.desc("common"), "u", "v"
+        ).limit(top_k)
+    return out

@@ -429,3 +429,53 @@ def sample_stratified(
     return df.filter(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < thr_col
     )
+
+
+def event_rate_anomaly(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-user event-rate anomaly detection -> (user, hour, n, z): hours
+    whose event count deviates from that user's own hourly mean by more
+    than `threshold` sample standard deviations — the burst/outage
+    detector every event pipeline grows (a scraper going haywire, a
+    source replaying, an ingest gap).
+
+    Statistics are over the user's ACTIVE hours (hours with >= 1 event);
+    users with < 3 active hours or zero variance emit nothing (no
+    baseline to deviate from). Numerics are engine-exact by construction:
+    the only inputs are the integer sums (n, sum x, sum x^2), and the
+    mean/variance/z are spelled in ONE fixed IEEE evaluation order —
+    var = (sxx - (sx*sx)/n) / (n-1) — that the oracle repeats literally,
+    so no Welford-vs-naive drift; z is rounded to 8 like every float
+    surface here.
+
+    Plan: two partial-agg shuffles on the user key ((user,hour) count,
+    then per-user moment fold) + one user-keyed join back — co-partitioned
+    end to end; no window over unbounded history, no driver state."""
+    hours = df.select(
+        F.col(user_col).alias("user"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).groupBy("user", "hour").agg(F.count("*").alias("n"))
+    moments = hours.groupBy("user").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("k")
+    var = (F.col("sxx") - (F.col("sx") * F.col("sx")) / F.col("k")) / (
+        F.col("k") - 1
+    )
+    return (
+        hours.join(moments, "user")
+        .filter((F.col("k") >= 3) & (var > 0))
+        .select(
+            "user",
+            "hour",
+            "n",
+            F.round((F.col("n") - mean) / F.sqrt(var), 8).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > threshold)
+    )
