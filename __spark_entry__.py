@@ -2459,6 +2459,29 @@ def q_event_rate_anomaly(spark, sf_dir):
     return event_rate_anomaly(_read(spark, sf_dir, "events"))
 
 
+def q_rolling_stats(spark, sf_dir):
+    """Trailing 7-row per-user moving sum/avg (wbkg/ops/prep.py
+    rolling_stats): ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over
+    (ts, event_id) — the tiebreak totalizes equal timestamps so both
+    engines fold the same frame; round 8 absorbs Spark's sequential
+    recompute vs DuckDB's segment-tree summation order."""
+    from wbkg.ops.prep import rolling_stats
+
+    return rolling_stats(_read(spark, sf_dir, "events"), window_rows=7)
+
+
+def q_ntile_deciles(spark, sf_dir):
+    """Exact distributed NTILE(10) (wbkg/ops/prep.py ntile_buckets) over
+    document length: range repartition + per-partition parallel windows +
+    prefix offsets, NOT the single-partition global window (the
+    scale-killer this op exists to avoid); (n_chars, doc_id) totalizes
+    the order so bucket assignment is engine-exact."""
+    from wbkg.ops.prep import ntile_buckets
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return ntile_buckets(docs, n=10, order_cols=["n_chars", "doc_id"])
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2584,6 +2607,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sentences": q_dedup_sentences,
         "graph_link_prediction": q_graph_link_prediction,
         "event_rate_anomaly": q_event_rate_anomaly,
+        "rolling_stats": q_rolling_stats,
+        "ntile_deciles": q_ntile_deciles,
     }
 
 
@@ -3961,6 +3986,20 @@ def _oracle_sqls() -> dict[str, str]:
           FROM h JOIN m ON h."user" = m."user"
           WHERE k >= 3 AND (sxx - (sx * sx) / k) / (k - 1) > 0)
         WHERE abs(z) > 2.5
+    """
+    sqls["rolling_stats"] = """
+        SELECT user_id, ts, event_id,
+               count(*) OVER w AS roll_n,
+               round(sum(value) OVER w, 8)::DOUBLE AS roll_sum,
+               round(avg(value) OVER w, 8)::DOUBLE AS roll_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """
+    sqls["ntile_deciles"] = """
+        SELECT doc_id, n_chars,
+               NTILE(10) OVER (ORDER BY n_chars, doc_id)::INTEGER AS bucket
+        FROM documents
     """
     return sqls
 

@@ -1624,3 +1624,66 @@ def test_event_rate_anomaly_needs_baseline(spark):
     ]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     assert event_rate_anomaly(df).count() == 0
+
+
+def test_rolling_stats_trailing_frame(spark):
+    from datetime import datetime
+
+    from wbkg.ops.prep import rolling_stats
+
+    T = datetime
+    df = spark.createDataFrame(
+        [
+            (1, 7, T(2024, 1, 1, 0), 1.0),
+            (2, 7, T(2024, 1, 1, 1), 2.0),
+            (3, 7, T(2024, 1, 1, 2), 4.0),
+            (4, 7, T(2024, 1, 1, 3), 8.0),
+            (5, 9, T(2024, 1, 1, 0), 100.0),  # other key: frames don't cross
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: (r.roll_n, r.roll_sum, r.roll_avg)
+        for r in rolling_stats(df, window_rows=3).collect()
+    }
+    assert got[1] == (1, 1.0, 1.0)
+    assert got[2] == (2, 3.0, 1.5)
+    assert got[3] == (3, 7.0, round(7.0 / 3, 8))
+    assert got[4] == (3, 14.0, round(14.0 / 3, 8))  # row 1 fell out of frame
+    assert got[5] == (1, 100.0, 100.0)
+
+
+def test_ntile_buckets_matches_single_partition_ntile(spark):
+    # the distributed rank+offset path must equal Spark's own NTILE
+    # computed the naive single-partition way
+    from pyspark.sql import Window as W
+
+    from wbkg.ops.prep import ntile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(250)], "id long, value double"
+    )
+    got = {
+        r.id: r.bucket
+        for r in ntile_buckets(
+            df, n=7, order_cols=["value", "id"], num_partitions=8
+        ).collect()
+    }
+    ref = {
+        r.id: r.b
+        for r in df.withColumn(
+            "b", F.ntile(7).over(W.orderBy("value", "id"))
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_ntile_buckets_fewer_rows_than_buckets(spark):
+    from wbkg.ops.prep import ntile_buckets
+
+    df = spark.createDataFrame([(1, 5.0), (2, 1.0)], "id long, value double")
+    got = {
+        r.id: r.bucket
+        for r in ntile_buckets(df, n=10, order_cols=["value", "id"]).collect()
+    }
+    assert got == {2: 1, 1: 2}  # row i in value order -> bucket i

@@ -479,3 +479,94 @@ def event_rate_anomaly(
         )
         .filter(F.abs(F.col("z")) > threshold)
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 7,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key rolling statistics -> (+roll_n, roll_sum, roll_avg): each
+    row's trailing `window_rows`-row sum/avg of `value_col` in event-time
+    order — the moving-average smoother every metrics/time-series surface
+    needs (and the shape RANGE BETWEEN / ROWS BETWEEN compiles to).
+
+    Frame is ROWS BETWEEN window_rows-1 PRECEDING AND CURRENT ROW over
+    (ts, tiebreak) — the tiebreak pins equal-timestamp order on both
+    engines, which is what makes the float fold bit-stable: both Spark and
+    any ANSI engine accumulate the frame in the same row order (roll_avg
+    rounds to 8, the shared convention). One hash-partitioned window
+    shuffle on the key; frames never cross keys, so skew is bounded by the
+    hottest key's row count, not the table."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        F.count("*").over(w).alias("roll_n"),
+        F.round(F.sum(value_col).over(w), 8).alias("roll_sum"),
+        F.round(F.avg(value_col).over(w), 8).alias("roll_avg"),
+    )
+
+
+def ntile_buckets(
+    df: DataFrame,
+    n: int = 10,
+    order_cols: list | None = None,
+    value_col: str = "value",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global quantile bucketing -> (+bucket): exact ANSI NTILE(n) over
+    the total order `order_cols` (default: the value column — callers
+    include a unique tiebreak when values repeat, or assignment within a
+    tie is engine-arbitrary) — decile/percentile labels for score
+    calibration (quality-score deciles feeding a keep-top-X% filter).
+
+    A naive `ntile().over(Window.orderBy(...))` funnels THE WHOLE TABLE
+    through one partition (Spark has no partition key to hash on) — the
+    classic global-window scale-killer. This computes the same exact
+    result distributed: repartitionByRange on the order (a sampled,
+    balanced range sort), per-partition row_number in parallel windows,
+    plus a partition-count prefix-offset (one tiny groupBy collected —
+    `num_partitions` rows, driver-bounded by construction) turns local
+    ranks into exact global ranks; the ANSI fill rule (first N mod n
+    buckets take one extra row) maps rank -> bucket in closed form."""
+    order = [F.col(c) for c in (order_cols if order_cols else [value_col])]
+    ranged = df.repartitionByRange(num_partitions, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    sizes = {
+        r._pid: r.cnt
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    rank = (F.row_number().over(w) + off_expr[F.col("_pid")]).alias("_grank")
+    q, r = divmod(total, n) if total else (0, 0)
+    g = F.col("_grank")
+    # ANSI NTILE: buckets 1..r hold q+1 rows, buckets r+1..n hold q rows
+    if q == 0:
+        bucket = g  # fewer rows than buckets: row i -> bucket i
+    else:
+        bucket = F.when(
+            g <= r * (q + 1), F.ceil(g / F.lit(q + 1))
+        ).otherwise(F.lit(r) + F.ceil((g - r * (q + 1)) / F.lit(q)))
+    return (
+        ranged.withColumn("_grank", rank)
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("_pid", "_grank")
+    )
