@@ -2482,6 +2482,35 @@ def q_ntile_deciles(spark, sf_dir):
     return ntile_buckets(docs, n=10, order_cols=["n_chars", "doc_id"])
 
 
+def q_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 Update (wbkg/sparql.py sparql_update): a three-op
+    request — predicate rewrite via DELETE/INSERT WHERE (evaluated against
+    the pre-op graph per spec §3.1.3), a DELETE WHERE sweep, and an
+    INSERT DATA — applied functionally to a nation-derived edge set. The
+    oracle states the final graph relationally."""
+    from wbkg.sparql import sparql_update
+
+    n = _read(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("urn:p:in_region").alias("pred"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    ).unionByName(
+        n.select(
+            F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit("urn:p:name").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+    )
+    return sparql_update(
+        edges,
+        """DELETE { ?n <urn:p:in_region> ?r } INSERT { ?n <urn:p:region> ?r }
+           WHERE { ?n <urn:p:in_region> ?r } ;
+           DELETE WHERE { ?n <urn:p:name> ?v } ;
+           INSERT DATA { <n:0> <urn:p:flag> "zero" }""",
+    )
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2609,6 +2638,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_anomaly": q_event_rate_anomaly,
         "rolling_stats": q_rolling_stats,
         "ntile_deciles": q_ntile_deciles,
+        "sparql_update": q_sparql_update,
     }
 
 
@@ -4000,6 +4030,13 @@ def _oracle_sqls() -> dict[str, str]:
         SELECT doc_id, n_chars,
                NTILE(10) OVER (ORDER BY n_chars, doc_id)::INTEGER AS bucket
         FROM documents
+    """
+    sqls["sparql_update"] = """
+        SELECT 'n:' || n_nationkey AS subj, 'urn:p:region' AS pred,
+               'r:' || n_regionkey AS obj
+        FROM nation
+        UNION ALL
+        SELECT 'n:0', 'urn:p:flag', 'zero'
     """
     return sqls
 

@@ -1228,3 +1228,125 @@ def test_strlang(lang_graph):
         'SELECT * WHERE { ?n <p:count> ?c . BIND(STRLANG(?c, "en") AS ?x) }',
     )
     assert star.columns == ["c", "n", "x"]
+
+
+# --------------------------------------------------------------------------- #
+# SPARQL 1.1 Update                                                            #
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture()
+def small_graph(spark):
+    return spark.createDataFrame(
+        [
+            ("e:a", "p:in", "n:1", None),
+            ("e:b", "p:in", "n:2", None),
+            ("n:1", "p:name", "alpha", "en"),
+            ("n:1", "p:name", "alpha", None),
+            ("n:2", "p:name", "beta", None),
+        ],
+        "subj string, pred string, obj string, lang string",
+    )
+
+
+def _triples(df):
+    return {(r.subj, r.pred, r.obj, r.lang) for r in df.collect()}
+
+
+def test_update_insert_data_is_set_semantics(small_graph):
+    from wbkg.sparql import sparql_update
+
+    out = sparql_update(
+        small_graph,
+        """INSERT DATA { <e:c> <p:in> <n:1> .
+                         <e:a> <p:in> <n:1> .
+                         <n:3> <p:name> "gamma"@fr }""",
+    )
+    got = _triples(out)
+    assert ("e:c", "p:in", "n:1", None) in got
+    assert ("n:3", "p:name", "gamma", "fr") in got
+    # existing triple not duplicated
+    assert out.filter("subj='e:a' and pred='p:in'").count() == 1
+
+
+def test_update_delete_data_lang_exact(small_graph):
+    from wbkg.sparql import sparql_update
+
+    out = sparql_update(small_graph, 'DELETE DATA { <n:1> <p:name> "alpha" }')
+    got = _triples(out)
+    # only the UNTAGGED literal went; the @en twin stays
+    assert ("n:1", "p:name", "alpha", "en") in got
+    assert ("n:1", "p:name", "alpha", None) not in got
+
+
+def test_update_delete_where_ignores_lang(small_graph):
+    from wbkg.sparql import sparql_update
+
+    out = sparql_update(
+        small_graph,
+        "PREFIX p: <p:>\nDELETE WHERE { ?n p:name ?v }",
+    )
+    assert _triples(out) == {
+        ("e:a", "p:in", "n:1", None),
+        ("e:b", "p:in", "n:2", None),
+    }
+
+
+def test_update_modify_rewrites_predicate(small_graph):
+    from wbkg.sparql import sparql_update
+
+    out = sparql_update(
+        small_graph,
+        """DELETE { ?s <p:in> ?o } INSERT { ?s <p:member_of> ?o }
+           WHERE { ?s <p:in> ?o }""",
+    )
+    got = _triples(out)
+    assert ("e:a", "p:member_of", "n:1", None) in got
+    assert ("e:b", "p:member_of", "n:2", None) in got
+    assert not any(p == "p:in" for _, p, _, _ in got)
+
+
+def test_update_sequence_applies_left_to_right(small_graph):
+    from wbkg.sparql import sparql_update
+
+    out = sparql_update(
+        small_graph,
+        """INSERT DATA { <e:z> <p:in> <n:9> } ;
+           DELETE WHERE { ?s <p:in> <n:2> }""",
+    )
+    got = _triples(out)
+    assert ("e:z", "p:in", "n:9", None) in got
+    assert not any(s == "e:b" for s, _, _, _ in got)
+
+
+def test_update_insert_where_with_filter(small_graph):
+    from wbkg.sparql import sparql_update
+
+    out = sparql_update(
+        small_graph,
+        """INSERT { ?n <p:flagged> "yes" }
+           WHERE { ?n <p:name> ?v FILTER(STRSTARTS(?v, "a")) }""",
+    )
+    got = _triples(out)
+    assert ("n:1", "p:flagged", "yes", None) in got
+    assert not any(s == "n:2" and p == "p:flagged" for s, p, _, _ in got)
+
+
+def test_update_rejects_nonground_data_and_garbage(small_graph):
+    from wbkg.sparql import SparqlError, sparql_update
+
+    with pytest.raises(SparqlError):
+        sparql_update(small_graph, "INSERT DATA { ?s <p:x> <o:y> }")
+    with pytest.raises(SparqlError):
+        sparql_update(small_graph, "LOAD <http://example.org/g>")
+
+
+def test_update_without_lang_column(spark):
+    from wbkg.sparql import sparql_update
+
+    g = spark.createDataFrame(
+        [("a", "p:x", "b")], "subj string, pred string, obj string"
+    )
+    out = sparql_update(g, "INSERT DATA { <c> <p:x> <d> } ; DELETE DATA { <a> <p:x> <b> }")
+    assert {(r.subj, r.obj) for r in out.collect()} == {("c", "d")}
+    assert out.columns == ["subj", "pred", "obj"]

@@ -1856,3 +1856,194 @@ def sparql_describe(edges: DataFrame, query: str) -> DataFrame:
         described = described.unionByName(bn)
         frontier = add
     return out.dropDuplicates(["subj", "pred", "obj"])
+
+
+def _split_update_ops(body: str) -> list[str]:
+    """Split a SPARQL Update request on top-level ';' (outside string
+    literals and outside braces) -> individual operations."""
+    lit_spans = _string_spans(body)
+    ops, depth, start = [], 0, 0
+    for i, c in enumerate(body):
+        if any(a <= i < b for a, b in lit_spans):
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+        elif c == ";" and depth == 0:
+            ops.append(body[start:i])
+            start = i + 1
+    ops.append(body[start:])
+    return [op for op in ops if op.strip()]
+
+
+def _instantiate_template(bindings: DataFrame, template) -> DataFrame:
+    """Project one (subj, pred, obj[, lang]) frame per template triple from
+    a solution set and union them — shared by CONSTRUCT-style materialization
+    and the update verbs. Constant lang-tagged object literals carry their
+    tag; everything else gets lang null."""
+    frames = []
+    for s, p, o in template:
+        cols = [
+            (F.col(t.value) if t.kind == "var" else F.lit(t.value)).alias(name)
+            for name, t in (("subj", s), ("pred", p), ("obj", o))
+        ]
+        cols.append(
+            (F.lit(o.lang) if (o.kind == "const" and o.lang) else F.lit(None).cast("string")).alias("lang")
+        )
+        frames.append(bindings.select(*cols))
+    out = frames[0]
+    for nxt in frames[1:]:
+        out = out.unionByName(nxt)
+    return out.dropDuplicates(["subj", "pred", "obj", "lang"])
+
+
+def sparql_update(edges: DataFrame, query: str) -> DataFrame:
+    """SPARQL 1.1 Update (§3 graph-update subset) applied FUNCTIONALLY:
+    returns the updated edges DataFrame instead of mutating a store — the
+    lazy-plan twin of rdflib's `graph.update(...)` over the reference's
+    finished graph (ref src/graph.py builds exactly such an rdflib store).
+    Callers persist the result wherever the previous snapshot lived
+    (wbkg/ops/table.py merge_upsert is the upsert-shaped alternative when
+    changes arrive as a batch, not a query).
+
+    Supported operations, ';'-separated and applied left to right:
+
+        INSERT DATA { ground triples }
+        DELETE DATA { ground triples }
+        DELETE WHERE { bgp }                      # pattern is its own template
+        DELETE { template } INSERT { template } WHERE { group }
+        DELETE { template } WHERE { group }
+        INSERT { template } WHERE { group }
+
+    Semantics: the graph is a triple SET — inserts that already exist are
+    no-ops (anti-join before the union), deletes remove every row matching
+    (subj, pred, obj). A "lit"@tag object in DATA matches/creates the
+    `lang` companion null-safely when the input carries that column;
+    WHERE-driven templates instantiate lang only for constant tagged
+    literals (variables project the plain obj binding — term-exact
+    companion plumbing stays in SELECT-land, see sparql_strlang).
+
+    Plan shape per op: deletes are ONE left-anti join of the snapshot
+    against the (small) delete set; inserts are one anti-join + union.
+    WHERE blocks compile through the full SELECT machinery (joins that
+    Catalyst/AQE reorder and broadcast), so cost is carried by the match,
+    not the apply — at 100 TB the snapshot streams through exactly once
+    per op."""
+    q = query.strip()
+    pm = re.match(r"(?is)^\s*((?:PREFIX[^\n]*\n?\s*)*)", q)
+    prefix_block = pm.group(1)
+    prefixes = {
+        pfx: iri
+        for pfx, iri in re.findall(
+            r"(?i)PREFIX\s+([A-Za-z_][\w-]*):\s*<([^>]*)>", prefix_block
+        )
+    }
+    body = q[pm.end():]
+    has_lang = "lang" in edges.columns
+    cur = edges
+
+    for op in _split_update_ops(body):
+        op = op.strip()
+        m_data = re.match(r"(?is)^(INSERT|DELETE)\s+DATA\s*\{(.*)\}\s*$", op)
+        m_delwhere = re.match(r"(?is)^DELETE\s+WHERE\s*\{(.*)\}\s*$", op)
+        m_modify = re.match(
+            r"(?is)^(?:DELETE\s*\{(.*?)\}\s*)?(?:INSERT\s*\{(.*?)\}\s*)?WHERE\s*(\{.*\})\s*$",
+            op,
+        )
+        if m_data:
+            verb = m_data.group(1).upper()
+            triples = _parse_patterns(m_data.group(2), prefixes)
+            if any(t.kind == "var" for pat in triples for t in pat):
+                raise SparqlError(f"{verb} DATA requires ground triples")
+            rows = [
+                (s.value, p.value, o.value, o.lang) for s, p, o in triples
+            ]
+            delta = cur.sparkSession.createDataFrame(
+                rows, "subj string, pred string, obj string, lang string"
+            ).dropDuplicates()
+            cur = _apply_delta(
+                cur, delta, insert=(verb == "INSERT"), has_lang=has_lang,
+                lang_exact=True,
+            )
+            continue
+        if m_delwhere:
+            pattern_block = "{" + m_delwhere.group(1) + "}"
+            template = _parse_patterns(m_delwhere.group(1), prefixes)
+            if any(isinstance(t, _Path) for pat in template for t in pat):
+                raise SparqlError("property paths are not allowed in DELETE WHERE")
+            delta = _instantiate_template(
+                _update_bindings(cur, prefix_block, template, pattern_block), template
+            )
+            cur = _apply_delta(
+                cur, delta, insert=False, has_lang=has_lang, lang_exact=False
+            )
+            continue
+        if m_modify and (m_modify.group(1) or m_modify.group(2)):
+            where_block = m_modify.group(3)
+            # SPARQL 1.1 §3.1.3: WHERE is evaluated ONCE against the
+            # pre-operation graph; both templates instantiate from those
+            # solutions, then delete applies before insert.
+            deltas = []
+            for tmpl_text, insert in ((m_modify.group(1), False), (m_modify.group(2), True)):
+                if tmpl_text is None:
+                    continue
+                template = _parse_patterns(tmpl_text, prefixes)
+                if not template:
+                    raise SparqlError("empty update template")
+                if any(isinstance(t, _Path) for pat in template for t in pat):
+                    raise SparqlError("property paths are not allowed in update templates")
+                deltas.append(
+                    (
+                        _instantiate_template(
+                            _update_bindings(cur, prefix_block, template, where_block),
+                            template,
+                        ).localCheckpoint(),
+                        insert,
+                    )
+                )
+            for delta, insert in deltas:
+                cur = _apply_delta(
+                    cur, delta, insert=insert, has_lang=has_lang,
+                    lang_exact=insert,
+                )
+            continue
+        raise SparqlError(f"unsupported update operation: {op[:80]}")
+    return cur
+
+
+def _update_bindings(cur: DataFrame, prefix_block: str, template, where_block: str) -> DataFrame:
+    """Solutions for an update WHERE block, projected to the template's
+    variables (SELECT * when the template is ground — one dummy row set)."""
+    tmpl_vars = sorted({t.value for pat in template for t in pat if t.kind == "var"})
+    proj = " ".join("?" + v for v in tmpl_vars) if tmpl_vars else "*"
+    return sparql_select(cur, f"{prefix_block} SELECT {proj} WHERE {where_block}")
+
+
+def _apply_delta(
+    cur: DataFrame,
+    delta: DataFrame,
+    insert: bool,
+    has_lang: bool,
+    lang_exact: bool = True,
+) -> DataFrame:
+    """Insert: anti-join the delta against the snapshot (set semantics),
+    null-fill any snapshot columns the delta lacks, union. Delete: one
+    left-anti join on (subj, pred, obj) — plus the lang companion
+    null-safely when the snapshot carries it AND the delta is lang-exact.
+    Inserts are always lang-exact (a template's constant tagged literal
+    carries its tag; variables insert untagged); WHERE-driven DELETEs are
+    not (a variable object binds the plain obj value, so it must match a
+    tagged literal regardless of its tag)."""
+    keys = ["subj", "pred", "obj"]
+    if has_lang and (lang_exact or insert):
+        cond = [cur[k] == delta[k] for k in keys] + [
+            cur["lang"].eqNullSafe(delta["lang"])
+        ]
+    else:
+        delta = delta.drop("lang")
+        cond = [cur[k] == delta[k] for k in keys]
+    if insert:
+        new_rows = delta.join(cur, cond, "left_anti")
+        return cur.unionByName(new_rows, allowMissingColumns=True)
+    return cur.join(delta, cond, "left_anti")
