@@ -458,6 +458,16 @@ def headline(sf_dir: str) -> dict:
         "graph_sssp",
         "scd2_history",
         "sparql_datatype",
+        # round-6 batch 2
+        "graph_kcore",
+        "graph_link_prediction",
+        "pmi_collocations",
+        "merge_upsert",
+        "event_rate_anomaly",
+        "ntile_deciles",
+        "rollup_events",
+        "dedup_sentences",
+        "sparql_update",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
@@ -529,16 +539,28 @@ def headline(sf_dir: str) -> dict:
             .write.mode("overwrite")
             .parquet(g10)
         )
+    from wbkg.graph_analytics import k_core
+
     for name, path_ in [
         ("graph_triangles_x1", g1),
         ("graph_triangles", g10),
         ("graph_pagerank_x1", g1),
         ("graph_pagerank", g10),
+        # round-6 batch 2: iterative peel at 1x/10x — 10 disconnected
+        # replicas keep the per-component peel depth constant, so time
+        # should track edge volume, not rounds x volume
+        ("graph_kcore_x1", g1),
+        ("graph_kcore", g10),
     ]:
         edges = spark.read.parquet(path_)
         t0 = time.time()
         if name.startswith("graph_triangles"):
             n = triangle_count(edges).collect()[0][0]
+        elif name.startswith("graph_kcore"):
+            # k=80 sits just below the dense co-purchase graph's collapse
+            # threshold (k=90 peels to empty): real cascading rounds with a
+            # nontrivial surviving core to count
+            n = k_core(edges, k=80).count()
         else:
             n = pagerank(edges, iterations=10, damping=0.85).count()
         sf1_queries[name] = round(time.time() - t0, 3)
