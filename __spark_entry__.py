@@ -2511,6 +2511,46 @@ def q_sparql_update(spark, sf_dir):
     )
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-doc token-distribution Shannon entropy (wbkg/ops/textops.py
+    token_entropy) — repetition/word-salad quality signal. Integer counts
+    into one division + ln per distinct term, round 8."""
+    from wbkg.ops.textops import token_entropy
+
+    return token_entropy(_read(spark, sf_dir, "documents"))
+
+
+def q_flesch_reading_ease(spark, sf_dir):
+    """Flesch reading ease (wbkg/ops/textops.py flesch_reading_ease):
+    vowel-group syllable heuristic, lookbehind-free sentence split, one
+    map-side projection (no explode/shuffle/UDF); the oracle replays the
+    identical lambda pipeline with ::DOUBLE-pinned literals."""
+    from wbkg.ops.textops import flesch_reading_ease
+
+    return flesch_reading_ease(_read(spark, sf_dir, "documents"))
+
+
+def q_key_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnostic (wbkg/ops/prep.py key_skew_report) over the
+    lineitem part key: per-key counts folded into power-of-two buckets via
+    binary-digit length (pure integer, immune to the floor(log2) float
+    edge). The pre-salting audit report, <= 64 rows."""
+    from wbkg.ops.prep import key_skew_report
+
+    return key_skew_report(_read(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton/Z-order clustering key (wbkg/ops/table.py zorder_key) over
+    (custkey, orderkey) — the OPTIMIZE ZORDER BY maintenance primitive;
+    pure integer shift/and/add Catalyst expression, bit-identical in any
+    engine."""
+    from wbkg.ops.table import zorder_key
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return zorder_key(o, "o_custkey", "o_orderkey", bits=16)
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2639,6 +2679,10 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": q_rolling_stats,
         "ntile_deciles": q_ntile_deciles,
         "sparql_update": q_sparql_update,
+        "token_entropy": q_token_entropy,
+        "flesch_reading_ease": q_flesch_reading_ease,
+        "key_skew_report": q_key_skew_report,
+        "zorder_key": q_zorder_key,
     }
 
 
@@ -4038,7 +4082,69 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT 'n:0', 'urn:p:flag', 'zero'
     """
+    sqls["token_entropy"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\W+'),
+                   x -> x <> '')) AS term
+          FROM documents),
+        c AS (SELECT doc_id, term, count(*)::BIGINT AS c
+              FROM toks GROUP BY 1, 2),
+        n AS (SELECT doc_id, term, c, sum(c) OVER (PARTITION BY doc_id) AS n
+              FROM c)
+        SELECT doc_id, max(n)::INTEGER AS n_tokens,
+               count(*)::INTEGER AS n_distinct,
+               round(-sum((c / n::DOUBLE) * ln(c / n::DOUBLE)), 8)::DOUBLE
+                 AS entropy
+        FROM n GROUP BY doc_id
+    """
+    sqls["flesch_reading_ease"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(text, '[.!?]+\s+'),
+                                 x -> x <> ''))::INTEGER AS n_sentences,
+                 list_filter(regexp_split_to_array(lower(text), '\W+'),
+                             x -> x <> '') AS words
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, n_sentences, len(words)::INTEGER AS n_words,
+                 list_sum(list_transform(words,
+                   w -> len(list_filter(
+                          regexp_split_to_array(w, '[^aeiouy]+'),
+                          s -> s <> ''))))::INTEGER AS n_syllables
+          FROM base)
+        SELECT doc_id, n_sentences, n_words, n_syllables,
+               round(206.835::DOUBLE
+                     - 1.015::DOUBLE * (n_words / n_sentences::DOUBLE)
+                     - 84.6::DOUBLE * (n_syllables / n_words::DOUBLE),
+                     8)::DOUBLE AS flesch
+        FROM cnt WHERE n_sentences > 0 AND n_words > 0
+    """
+    sqls["key_skew_report"] = """
+        WITH c AS (SELECT l_partkey AS k, count(*)::BIGINT AS c
+                   FROM lineitem GROUP BY 1)
+        SELECT (length(bin(c)) - 1)::INTEGER AS bucket,
+               count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+               min(c)::BIGINT AS min_count, max(c)::BIGINT AS max_count
+        FROM c GROUP BY 1
+    """
+    sqls["zorder_key"] = _zorder_oracle_sql(bits=16)
     return sqls
+
+
+def _zorder_oracle_sql(bits: int) -> str:
+    """The Morton interleave as explicit BIGINT shift/and/add terms — the
+    same expression wbkg/ops/table.py zorder_key compiles, spelled for
+    DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((o_custkey >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((o_orderkey >> {i}) & 1) << {2 * i + 1})")
+    return (
+        "SELECT o_orderkey, o_custkey, ("
+        + " + ".join(terms)
+        + ")::BIGINT AS zkey FROM orders"
+    )
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:

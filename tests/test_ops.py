@@ -1687,3 +1687,95 @@ def test_ntile_buckets_fewer_rows_than_buckets(spark):
         for r in ntile_buckets(df, n=10, order_cols=["value", "id"]).collect()
     }
     assert got == {2: 1, 1: 2}  # row i in value order -> bucket i
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from wbkg.ops.textops import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(docs).collect()}
+    assert (got[1].n_tokens, got[1].n_distinct, got[1].entropy) == (4, 1, -0.0)
+    assert got[2].entropy == round(math.log(4.0), 8)  # uniform over 4
+    assert got[3].entropy == round(math.log(2.0), 8)  # uniform over 2
+
+
+def test_flesch_reading_ease_hand_computed(spark):
+    from wbkg.ops.textops import flesch_reading_ease
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran."), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = flesch_reading_ease(docs).collect()
+    assert len(rows) == 1  # empty doc drops (no sentences)
+    r = rows[0]
+    # sentences: ['the cat sat', 'the dog ran.'] -> 2; words: 6
+    # syllables (vowel groups): the=1 cat=1 sat=1 the=1 dog=1 ran=1 -> 6
+    assert (r.n_sentences, r.n_words, r.n_syllables) == (2, 6, 6)
+    assert r.flesch == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 8)
+
+
+def test_flesch_syllable_vowel_groups(spark):
+    from wbkg.ops.textops import flesch_reading_ease
+
+    docs = spark.createDataFrame(
+        [(1, "beautiful onomatopoeia rhythm.")], "doc_id long, text string"
+    )
+    r = flesch_reading_ease(docs).collect()[0]
+    # beautiful: eau|i|u -> 3; onomatopoeia: o|o|a|o|oeia -> 5; rhythm: y -> 1
+    assert r.n_syllables == 9
+
+
+def test_key_skew_report_buckets(spark):
+    from wbkg.ops.prep import key_skew_report
+
+    rows = (
+        [("hot",)] * 1000         # bucket floor(log2(1000)) = 9
+        + [("warm",)] * 8         # bucket 3
+        + [("cool",)] * 5         # bucket 2
+        + [("one",)]              # bucket 0
+        + [("uno",)]              # bucket 0
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.bucket: (r.n_keys, r.n_rows, r.min_count, r.max_count)
+           for r in key_skew_report(df, "k").collect()}
+    assert got == {
+        9: (1, 1000, 1000, 1000),
+        3: (1, 8, 8, 8),
+        2: (1, 5, 5, 5),
+        0: (2, 2, 1, 1),
+    }
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from wbkg.ops.table import zorder_key
+
+    def morton(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    data = [(3, 5), (0, 0), (65535, 65535), (1, 0), (0, 1), (12345, 54321)]
+    df = spark.createDataFrame(data, "a long, b long")
+    got = {(r.a, r.b): r.zkey for r in zorder_key(df, "a", "b").collect()}
+    for a, b in data:
+        assert got[(a, b)] == morton(a, b)
+    # locality sanity: interleave of maxed 16-bit inputs fills 32 bits
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_key_rejects_wide_bits(spark):
+    import pytest as _pytest
+
+    from wbkg.ops.table import zorder_key
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with _pytest.raises(ValueError):
+        zorder_key(df, "a", "b", bits=32)

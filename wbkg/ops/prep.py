@@ -570,3 +570,31 @@ def ntile_buckets(
         .withColumn("bucket", bucket.cast("int"))
         .drop("_pid", "_grank")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-skew diagnostic -> (bucket, n_keys, n_rows, min_count,
+    max_count): the per-key frequency distribution folded into power-of-two
+    buckets (bucket = floor(log2(rows-for-key))) — the report you read
+    BEFORE deciding to salt a join or cap a band (wbkg/link.py's salted
+    strategy, the dedup bands' max_df caps). A healthy key is bucket 0-5;
+    a bucket-20 row is a 1M-row hot key that will own a straggler task.
+
+    The bucket is computed as binary-digit-count minus one (string length
+    of the base-2 representation) — pure integer path, immune to the
+    floor(log2()) float edge where ln(c)/ln(2) lands at 46.99999... for an
+    exact power of two. Two partial-agg shuffles (per-key count, then
+    per-bucket fold); the report is at most 64 rows."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(F.count("*").alias("c"))
+    bucket = (
+        F.length(F.conv(F.col("c").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return (
+        counts.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.min("c").alias("min_count"),
+            F.max("c").alias("max_count"),
+        )
+    )

@@ -824,3 +824,82 @@ def dedup_sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.size(kept).cast("int").alias("n_kept"),
         F.array_join(kept, " ").alias("text_deduped"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token-distribution Shannon entropy -> (id, n_tokens,
+    n_distinct, entropy): low entropy flags degenerate repetition (the
+    same token looped), high entropy near ln(n) flags word salad with no
+    repeated structure — a standard cheap quality signal next to
+    gopher_quality's ratio rules.
+
+    entropy = -sum_t (c_t/n) * ln(c_t/n) over the doc's token counts.
+    Integer counts feed one division + one ln per distinct token (round 8,
+    the shared convention; term-sum order inside a doc is absorbed).
+
+    Plan: explode -> ONE partial-agg groupBy on (doc, token) -> per-doc
+    fold. The (doc, token) key is unique per doc so there is no hot-key
+    skew beyond document length itself."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    toks = df.select(F.col(id_col), F.explode(arr).alias("term"))
+    counts = toks.groupBy(id_col, "term").agg(F.count("*").alias("c"))
+    # per-doc total via a window on the SAME key the final fold groups on —
+    # the two exchanges co-partition (and AQE reuses the first)
+    with_n = counts.withColumn(
+        "_n", F.sum("c").over(Window.partitionBy(id_col))
+    )
+    p = F.col("c") / F.col("_n")
+    return with_n.groupBy(id_col).agg(
+        F.max("_n").cast("int").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_distinct"),
+        F.round(-F.sum(p * F.log(p)), 8).alias("entropy"),
+    )
+
+
+def flesch_reading_ease(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease score -> (id, n_sentences, n_words, n_syllables,
+    flesch): 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words) —
+    the classic readability quality filter (C4 kept pages in a Flesch
+    band; the reference's corpus is policy prose where this separates
+    scanned-table garbage from text).
+
+    Syllables use the standard vowel-group heuristic: count maximal
+    [aeiouy]+ runs per word (the deterministic surrogate every fast
+    readability library uses — exact hyphenation is a dictionary problem,
+    documented deviation). Sentences split on the same lookbehind-free
+    '[.!?]+\\s+' rule as dedup_sentences; empty docs drop out (no
+    sentences). Everything is one map-side projection — counts come from
+    regexp_count-style array sizes, no explode, no shuffle, no UDF."""
+    sents = F.filter(F.split(F.col(text_col), r"[.!?]+\s+"), lambda x: x != "")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+    )
+    # syllables: total vowel-group count across the doc's words; counted on
+    # the same lowercased word array so both engines agree on boundaries
+    syl = F.aggregate(
+        F.transform(
+            words, lambda w: F.size(F.filter(F.split(w, r"[^aeiouy]+"), lambda s: s != ""))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_s, n_w = F.size(sents), F.size(words)
+    out = df.select(
+        F.col(id_col),
+        n_s.cast("int").alias("n_sentences"),
+        n_w.cast("int").alias("n_words"),
+        syl.cast("int").alias("n_syllables"),
+    ).filter((F.col("n_sentences") > 0) & (F.col("n_words") > 0))
+    return out.withColumn(
+        "flesch",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+            8,
+        ),
+    )
