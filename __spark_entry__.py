@@ -2551,6 +2551,46 @@ def q_zorder_key(spark, sf_dir):
     return zorder_key(o, "o_custkey", "o_orderkey", bits=16)
 
 
+def q_funnel_stages(spark, sf_dir):
+    """Ordered funnel conversion (wbkg/ops/prep.py funnel_stages): how far
+    each user gets through view -> click -> purchase as an in-order
+    subsequence of their event stream. One groupBy collect+fold on the
+    user key; the greedy cursor walk equals the oracle's
+    min-position-after-slice subsequence test."""
+    from wbkg.ops.prep import funnel_stages
+
+    return funnel_stages(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (wbkg/ops/prep.py cohort_retention): users
+    bucketed by first-activity ISO week x active-week offset. Integer
+    epoch-day difference / 7 (exact — both sides are Monday-truncated);
+    user-distinct (user, week) rows feed the fold."""
+    from wbkg.ops.prep import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"))
+
+
+def q_state_dwell_time(spark, sf_dir):
+    """SCD2 dwell-time rollup (wbkg/ops/prep.py state_dwell_time over
+    scd2_history's output): seconds per (user, state) across closed
+    versions + per-user share. Integer timestampdiff microseconds; one
+    (key,state) fold + one key-total window, co-partitioned."""
+    from wbkg.ops.prep import scd2_history, state_dwell_time
+
+    hist = scd2_history(
+        _read(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak_col="event_id",
+    )
+    return state_dwell_time(hist)
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2683,6 +2723,9 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch_reading_ease": q_flesch_reading_ease,
         "key_skew_report": q_key_skew_report,
         "zorder_key": q_zorder_key,
+        "funnel_stages": q_funnel_stages,
+        "cohort_retention": q_cohort_retention,
+        "state_dwell_time": q_state_dwell_time,
     }
 
 
@@ -4129,6 +4172,70 @@ def _oracle_sqls() -> dict[str, str]:
         FROM c GROUP BY 1
     """
     sqls["zorder_key"] = _zorder_oracle_sql(bits=16)
+    sqls["funnel_stages"] = """
+        WITH seq AS (
+          SELECT user_id AS "user",
+                 list(event_type ORDER BY ts, event_id) AS s
+          FROM events GROUP BY 1),
+        p AS (SELECT "user", s, list_position(s, 'view') AS p1 FROM seq),
+        q AS (SELECT "user", s, p1,
+                     CASE WHEN p1 = 0 THEN 0
+                          ELSE list_position(s[p1 + 1:], 'click') END AS r2
+              FROM p),
+        r AS (SELECT "user", p1, r2,
+                     CASE WHEN r2 = 0 THEN 0
+                          ELSE list_position(s[p1 + r2 + 1:], 'purchase') END
+                       AS r3
+              FROM q)
+        SELECT "user",
+               (CASE WHEN p1 = 0 THEN 0
+                     WHEN r2 = 0 THEN 1
+                     WHEN r3 = 0 THEN 2
+                     ELSE 3 END)::INTEGER AS reached
+        FROM r
+    """
+    sqls["cohort_retention"] = """
+        WITH weeks AS (
+          SELECT DISTINCT user_id AS u,
+                 date_trunc('week', ts)::DATE AS week
+          FROM events),
+        first AS (SELECT u, min(week) AS cohort_week FROM weeks GROUP BY 1)
+        SELECT cohort_week::VARCHAR AS cohort_week,
+               (datediff('day', cohort_week, week) / 7)::INTEGER
+                 AS week_offset,
+               count(*)::BIGINT AS n_users
+        FROM weeks JOIN first USING (u)
+        GROUP BY 1, 2
+    """
+    sqls["state_dwell_time"] = """
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events),
+        c AS (
+          SELECT user_id, event_type AS state, ts AS valid_from, event_id
+          FROM o WHERE prev IS NULL OR prev <> event_type),
+        h AS (
+          SELECT user_id, state, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY valid_from, event_id)
+                   AS valid_to
+          FROM c),
+        closed AS (
+          SELECT user_id AS key, state,
+                 (epoch_us(valid_to) - epoch_us(valid_from))::BIGINT AS us
+          FROM h WHERE valid_to IS NOT NULL),
+        per AS (
+          SELECT key, state, count(*)::INTEGER AS n_intervals,
+                 sum(us)::BIGINT AS total_micros
+          FROM closed GROUP BY 1, 2)
+        SELECT key, state, n_intervals, total_micros,
+               round(total_micros
+                     / (sum(total_micros) OVER (PARTITION BY key))::DOUBLE,
+                     8)::DOUBLE AS share
+        FROM per
+    """
     return sqls
 
 

@@ -1779,3 +1779,83 @@ def test_zorder_key_rejects_wide_bits(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with _pytest.raises(ValueError):
         zorder_key(df, "a", "b", bits=32)
+
+
+def test_funnel_stages_subsequence_with_noise(spark):
+    from datetime import datetime
+
+    from wbkg.ops.prep import funnel_stages
+
+    T = datetime
+    rows = [
+        # user 1: full funnel with interleaved noise
+        (1, 1, T(2024, 1, 1, 0), "view"),
+        (2, 1, T(2024, 1, 1, 1), "error"),
+        (3, 1, T(2024, 1, 1, 2), "click"),
+        (4, 1, T(2024, 1, 1, 3), "view"),
+        (5, 1, T(2024, 1, 1, 4), "purchase"),
+        # user 2: purchase BEFORE view/click -> order matters, reached=2
+        (6, 2, T(2024, 1, 1, 0), "purchase"),
+        (7, 2, T(2024, 1, 1, 1), "view"),
+        (8, 2, T(2024, 1, 1, 2), "click"),
+        # user 3: never viewed
+        (9, 3, T(2024, 1, 1, 0), "click"),
+        (10, 3, T(2024, 1, 1, 1), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r.user: r.reached for r in funnel_stages(df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 0}
+
+
+def test_cohort_retention_matrix(spark):
+    from datetime import datetime
+
+    from wbkg.ops.prep import cohort_retention
+
+    T = datetime
+    rows = [
+        (1, T(2024, 1, 1)),   # Mon wk0 cohort
+        (1, T(2024, 1, 10)),  # wk1
+        (1, T(2024, 1, 16)),  # wk2
+        (2, T(2024, 1, 3)),   # same cohort week
+        (2, T(2024, 1, 17)),  # wk2
+        (3, T(2024, 1, 9)),   # wk1 cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 2,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_state_dwell_time_shares(spark):
+    from datetime import datetime
+
+    from wbkg.ops.prep import scd2_history, state_dwell_time
+
+    T = datetime
+    log = spark.createDataFrame(
+        [
+            (1, 7, T(2024, 1, 1, 0), "on"),
+            (2, 7, T(2024, 1, 1, 6), "off"),   # on for 6h
+            (3, 7, T(2024, 1, 1, 8), "on"),    # off for 2h
+            (4, 8, T(2024, 1, 1, 0), "on"),    # open only -> drops out
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, state string",
+    )
+    hist = scd2_history(log, "user_id", "ts", "state", tiebreak_col="event_id")
+    got = {
+        (r.key, r.state): (r.n_intervals, r.total_micros, r.share)
+        for r in state_dwell_time(hist, state_col="state").collect()
+    }
+    h = 3_600_000_000  # microseconds per hour
+    assert got == {
+        (7, "on"): (1, 6 * h, 0.75),
+        (7, "off"): (1, 2 * h, 0.25),
+    }

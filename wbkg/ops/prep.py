@@ -598,3 +598,128 @@ def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
             F.max("c").alias("max_count"),
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    stages: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered funnel analysis -> (user, reached): how far each user got
+    through `stages` as an in-order SUBSEQUENCE of their event stream
+    (view -> click -> purchase etc.; other events may interleave) — the
+    conversion query behind every product-analytics dashboard.
+
+    Mechanics: each user's events fold into one ordered array via
+    array_sort on (ts, tiebreak, type) structs — deterministic total
+    order, no collect_list ordering gamble — then a single linear
+    aggregate walks the array advancing a stage cursor (match the next
+    wanted stage, ignore everything else). `reached` = stages completed
+    (0..len(stages)).
+
+    Plan: ONE partial-agg groupBy on the user key (collect + fold are the
+    same aggregate); the walk is per-user O(events), map-side JVM lambda
+    (no UDF, no explode). Skew bound = hottest user's event count."""
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(type_col).alias("et"),
+        ).alias("s"),
+    )
+    seq = ev.groupBy("user").agg(
+        F.array_sort(F.collect_list("s")).alias("seq")
+    )
+    want = F.array(*[F.lit(s) for s in stages])
+    reached = F.aggregate(
+        F.col("seq"),
+        F.lit(0),
+        lambda acc, x: F.when(
+            (acc < F.size(want)) & (x["et"] == F.element_at(want, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return seq.select("user", reached.cast("int").alias("reached"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix -> (cohort_week, week_offset, n_users):
+    users grouped by first-activity week, counted per subsequent active
+    week offset — THE growth-analytics table.
+
+    Plan: per-user first week is one partial-agg min on the user key;
+    (user, week) activity dedups in the same shuffle family; the matrix
+    fold is a (cohort, offset) partial agg over user-distinct rows. Week
+    buckets via date_trunc('week') (ISO Monday start in both Spark and
+    DuckDB); offset in whole weeks from the epoch-day difference (integer
+    path — no interval-division float edge)."""
+    weeks = df.select(
+        F.col(user_col).alias("user"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+    ).distinct()
+    first = weeks.groupBy("user").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user")
+        .select(
+            # ISO string, not DATE: computed dates round-trip differently
+            # through arrow/pandas in different engines; the label is the
+            # contract, not the physical date type
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def state_dwell_time(
+    scd2: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "state",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Dwell-time rollup over an SCD2 history (scd2_history's output) ->
+    (key, state, n_intervals, total_micros, share): how long each key
+    spent in each state across its CLOSED intervals (open intervals — null
+    valid_to — have no duration yet and are excluded; keys with only open
+    intervals drop out).
+
+    Durations are MICROSECONDS (timestampdiff(MICROSECOND) — exact integer
+    arithmetic; a seconds unit would force a truncate-vs-boundary-crossing
+    choice that engines disagree on); no float until the final share
+    division, round 8. Plan: one partial-agg groupBy on (key, state) + a
+    key-total window on the same key — co-partitioned."""
+    closed = scd2.filter(F.col(to_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(state_col).alias("state"),
+        # timestampdiff, not a cast-to-long — TIMESTAMP_NTZ (what parquet
+        # event logs carry) refuses the epoch cast in Spark 4
+        F.expr(f"timestampdiff(MICROSECOND, {from_col}, {to_col})")
+        .cast("long")
+        .alias("us"),
+    )
+    per = closed.groupBy("key", "state").agg(
+        F.count("*").cast("int").alias("n_intervals"),
+        F.sum("us").alias("total_micros"),
+    )
+    w = Window.partitionBy("key")
+    return per.select(
+        "key",
+        "state",
+        "n_intervals",
+        "total_micros",
+        F.round(
+            F.col("total_micros") / F.sum("total_micros").over(w), 8
+        ).alias("share"),
+    )
