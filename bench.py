@@ -468,6 +468,11 @@ def headline(sf_dir: str) -> dict:
         "rollup_events",
         "dedup_sentences",
         "sparql_update",
+        # round-6 batch 3
+        "funnel_stages",
+        "token_entropy",
+        "zorder_key",
+        "cohort_retention",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
