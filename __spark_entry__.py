@@ -2591,6 +2591,20 @@ def q_state_dwell_time(spark, sf_dir):
     return state_dwell_time(hist)
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval reciprocal-rank fusion (wbkg/ops/textops.py
+    rrf_fuse): BM25 lexical ranking ('hash join stream') fused with the
+    bigram-LM fluency ranking by rank, not raw score. Integer ranks with
+    id tiebreaks; two 1/(60+rank) terms summed in fixed order, round 8;
+    top-50 cut totalized by (rrf, doc_id)."""
+    from wbkg.ops.textops import bigram_lm_score, bm25_rank, rrf_fuse
+
+    docs = _read(spark, sf_dir, "documents")
+    bm = bm25_rank(docs, "hash join stream")
+    fl = bigram_lm_score(docs)
+    return rrf_fuse(bm, fl, score_a="score", score_b="avg_logp", top_k=50)
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2726,6 +2740,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stages": q_funnel_stages,
         "cohort_retention": q_cohort_retention,
         "state_dwell_time": q_state_dwell_time,
+        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -4235,6 +4250,21 @@ def _oracle_sqls() -> dict[str, str]:
                      / (sum(total_micros) OVER (PARTITION BY key))::DOUBLE,
                      8)::DOUBLE AS share
         FROM per
+    """
+    sqls["rrf_fusion"] = f"""
+        WITH bm AS ({sqls["bm25_rank"]}),
+        fl AS ({sqls["bigram_lm"]}),
+        ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS rank_a FROM bm),
+        rb AS (SELECT doc_id, row_number() OVER (ORDER BY avg_logp DESC, doc_id)
+                         AS rank_b FROM fl)
+        SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+               round(coalesce(1.0::DOUBLE / (rank_a + 60), 0.0::DOUBLE)
+                     + coalesce(1.0::DOUBLE / (rank_b + 60), 0.0::DOUBLE),
+                     8)::DOUBLE AS rrf
+        FROM ra FULL JOIN rb USING (doc_id)
+        ORDER BY rrf DESC, doc_id
+        LIMIT 50
     """
     return sqls
 

@@ -1859,3 +1859,35 @@ def test_state_dwell_time_shares(spark):
         (7, "on"): (1, 6 * h, 0.75),
         (7, "off"): (1, 2 * h, 0.25),
     }
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from wbkg.ops.textops import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.5)], "doc_id long, score double"
+    )
+    got = {r.doc_id: r for r in rrf_fuse(a, b, k0=60).collect()}
+    assert (got[1].rank_a, got[1].rank_b) == (1, None)
+    assert got[1].rrf == round(1.0 / 61, 8)
+    assert (got[2].rank_a, got[2].rank_b) == (2, 1)
+    assert got[2].rrf == round(1.0 / 62 + 1.0 / 61, 8)
+    assert (got[4].rank_a, got[4].rank_b) == (None, 2)
+    assert got[4].rrf == round(1.0 / 62, 8)
+    # doc 2 (in both lists) outranks every single-list doc
+    top = rrf_fuse(a, b, k0=60, top_k=1).collect()[0]
+    assert top.doc_id == 2
+
+
+def test_rrf_fuse_tie_broken_by_id(spark):
+    from wbkg.ops.textops import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame([], "doc_id long, score double")
+    got = {r.doc_id: r.rank_a for r in rrf_fuse(a, b).collect()}
+    assert got == {3: 1, 5: 2}  # equal scores -> id order

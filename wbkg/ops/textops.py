@@ -903,3 +903,43 @@ def flesch_reading_ease(
             8,
         ),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    score_a: str = "score",
+    score_b: str = "score",
+    k0: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion -> (id, rank_a, rank_b, rrf): the standard
+    hybrid-retrieval combiner (BM25 list + vector/quality list — fuse by
+    rank, not by incomparable raw scores). rrf = sum over lists present of
+    1/(k0 + rank); a document missing from one list just contributes
+    nothing for it (the usual convention).
+
+    Ranks are row_number over (score DESC, id) — the id tiebreak makes
+    fusion deterministic even after round-8 score ties. SCALE CONTRACT:
+    inputs are retrieval RESULT lists (top-k sized, driver-bounded by the
+    retrieval step), so the global rank window's single partition holds k
+    rows, not a corpus — this is the one place a partition-less window is
+    the honest plan. Output order totalized by (rrf DESC, id)."""
+    wa = Window.orderBy(F.desc(score_a), F.col(id_col))
+    wb = Window.orderBy(F.desc(score_b), F.col(id_col))
+    a = ranked_a.select(F.col(id_col), F.row_number().over(wa).alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.row_number().over(wb).alias("rank_b"))
+    fused = a.join(b, id_col, "full").select(
+        id_col,
+        "rank_a",
+        "rank_b",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.col("rank_a") + F.lit(k0)), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.col("rank_b") + F.lit(k0)), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+    )
+    if top_k is not None:
+        fused = fused.orderBy(F.desc("rrf"), F.col(id_col)).limit(top_k)
+    return fused
