@@ -2605,6 +2605,18 @@ def q_rrf_fusion(spark, sf_dir):
     return rrf_fuse(bm, fl, score_a="score", score_b="avg_logp", top_k=50)
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling (wbkg/ops/prep.py sample_weighted,
+    Efraimidis-Spirakis A-Res): top-64 documents by u^(1/n_chars) with the
+    md5-derived uniform — inclusion probability proportional to document
+    length, zero RNG. round-8 key + id tiebreak totalizes the cut."""
+    from wbkg.ops.prep import sample_weighted
+
+    return sample_weighted(
+        _read(spark, sf_dir, "documents"), k=64, weight_col="n_chars"
+    )
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2741,6 +2753,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "state_dwell_time": q_state_dwell_time,
         "rrf_fusion": q_rrf_fusion,
+        "sample_weighted": q_sample_weighted,
     }
 
 
@@ -4265,6 +4278,18 @@ def _oracle_sqls() -> dict[str, str]:
         FROM ra FULL JOIN rb USING (doc_id)
         ORDER BY rrf DESC, doc_id
         LIMIT 50
+    """
+    sqls["sample_weighted"] = """
+        SELECT doc_id, n_chars::DOUBLE AS weight,
+               round(pow((('0x' || substr(md5(doc_id::VARCHAR || ':wrs'),
+                                          1, 8))::BIGINT + 1)
+                         / 4294967296.0::DOUBLE,
+                         1.0::DOUBLE / n_chars::DOUBLE),
+                     8)::DOUBLE AS key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY key DESC, doc_id
+        LIMIT 64
     """
     return sqls
 

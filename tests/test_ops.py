@@ -1891,3 +1891,31 @@ def test_rrf_fuse_tie_broken_by_id(spark):
     b = spark.createDataFrame([], "doc_id long, score double")
     got = {r.doc_id: r.rank_a for r in rrf_fuse(a, b).collect()}
     assert got == {3: 1, 5: 2}  # equal scores -> id order
+
+
+def test_sample_weighted_matches_python_reference(spark):
+    import hashlib
+
+    from wbkg.ops.prep import sample_weighted
+
+    rows = [(i, float((i * 13) % 50 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def key(i, w):
+        b = int(hashlib.md5(f"{i}:wrs".encode()).hexdigest()[:8], 16)
+        return round(((b + 1) / 4294967296.0) ** (1.0 / w), 8)
+
+    ref = sorted(((key(i, w), -i) for i, w in rows), reverse=True)[:10]
+    want = [-i for _, i in ref]
+    got = [r.doc_id for r in sample_weighted(df, k=10, weight_col="w").collect()]
+    assert got == want
+
+
+def test_sample_weighted_zero_weight_excluded_and_heavy_wins(spark):
+    from wbkg.ops.prep import sample_weighted
+
+    rows = [(0, 0.0), (1, 1e9)] + [(i, 1.0) for i in range(2, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r.doc_id for r in sample_weighted(df, k=5, weight_col="w").collect()]
+    assert 0 not in got          # zero weight never sampled
+    assert got[0] == 1           # u^(1/1e9) ~ 1 dominates everything

@@ -723,3 +723,42 @@ def state_dwell_time(
             F.col("total_micros") / F.sum("total_micros").over(w), 8
         ).alias("share"),
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement -> the k rows
+    (id, weight, key) with the largest A-Res keys (Efraimidis-Spirakis):
+    key = u^(1/w) with u a uniform draw — items are included with
+    probability proportional to weight, exactly the "sample important
+    documents more" primitive (length-weighted, quality-weighted).
+
+    The uniform draw is md5-derived — u = (bucket32 + 1) / 2^32 in (0, 1]
+    — so like every sampler here there is NO RNG: re-runs, re-partitions
+    and resumed jobs pick the same sample, and any engine with md5
+    reproduces it. Rows with weight <= 0 are excluded (they'd never be
+    sampled in the limit anyway). The key rounds to 8 (pow is the one
+    op JVM and other engines may differ on by an ulp) and ties break on
+    id, so the top-k cut is total.
+
+    Plan: map-side key computation + TakeOrderedAndProject (each
+    partition keeps k candidates, the driver merges k-sized heaps) — no
+    global sort, no shuffle of the table."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":wrs"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (bucket + 1) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), 8)
+    return (
+        df.filter(w > 0)
+        .select(F.col(id_col), w.alias("weight"), key.alias("key"))
+        .orderBy(F.desc("key"), F.col(id_col))
+        .limit(k)
+    )
