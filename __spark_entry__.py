@@ -2617,6 +2617,32 @@ def q_sample_weighted(spark, sf_dir):
     )
 
 
+def q_graph_ktruss(spark, sf_dir):
+    """k-truss (wbkg/graph_analytics.py k_truss): the 6-truss of the
+    co-purchase graph restricted to every 4th part — support peel where
+    each round recounts per-edge triangle support with the degree-ordered
+    Schank-Wagner shape (3-4 rounds at the tested SFs; the oracle unrolls
+    8 naive-spec rounds, strictly more). Survivors carry their final
+    integer support."""
+    from wbkg.graph_analytics import k_truss
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return k_truss(pairs, k=6)
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2754,6 +2780,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_dwell_time": q_state_dwell_time,
         "rrf_fusion": q_rrf_fusion,
         "sample_weighted": q_sample_weighted,
+        "graph_ktruss": q_graph_ktruss,
     }
 
 
@@ -3965,6 +3992,7 @@ def _oracle_sqls() -> dict[str, str]:
     # positives die in the exact join) — the oracle IS decontam_report's
     sqls["decontam_bloom"] = sqls["decontam_report"]
     sqls["graph_kcore"] = _kcore_oracle_sql(k=6, rounds=16)
+    sqls["graph_ktruss"] = _ktruss_oracle_sql(k=6, rounds=8)
     sqls["graph_modularity"] = """
         WITH ch AS (
           SELECT 'n:' || n_nationkey AS src, 'n:' || nxt AS dst
@@ -4307,6 +4335,44 @@ def _zorder_oracle_sql(bits: int) -> str:
         + " + ".join(terms)
         + ")::BIGINT AS zkey FROM orders"
     )
+
+
+def _ktruss_oracle_sql(k: int, rounds: int) -> str:
+    """Mechanically-unrolled support peel for the k-truss oracle (naive
+    spec formulation: canonical a<b<c triangle join + 3-way edge credit
+    per round). `rounds` strictly exceeds the probed peel depth at every
+    tested SF (3-4 for k=6). MATERIALIZED for the same 3^rounds inlining
+    reason as the k-core oracle."""
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,",
+        "    l_partkey AS p FROM lineitem WHERE l_partkey % 4 = 0),",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(a.p, b.p) AS a,",
+        "    greatest(a.p, b.p) AS b FROM li a JOIN li b",
+        "    ON a.o = b.o AND a.p < b.p)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", t{i} AS MATERIALIZED (SELECT ab.a AS x, ab.b AS y, bc.b AS z"
+            f" FROM e{i} ab JOIN e{i} bc ON ab.b = bc.a"
+            f" JOIN e{i} ac ON ac.a = ab.a AND ac.b = bc.b)"
+        )
+        parts.append(
+            f", s{i} AS MATERIALIZED (SELECT a, b, count(*)::INTEGER AS s FROM ("
+            f"SELECT x AS a, y AS b FROM t{i}"
+            f" UNION ALL SELECT x, z FROM t{i}"
+            f" UNION ALL SELECT y, z FROM t{i}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f", e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e"
+            f" JOIN s{i} ON e.a = s{i}.a AND e.b = s{i}.b"
+            f" AND s{i}.s >= {k - 2})"
+        )
+    parts.append(
+        f"SELECT e.a, e.b, coalesce(s{rounds - 1}.s, 0)::INTEGER AS support"
+        f" FROM e{rounds} e LEFT JOIN s{rounds - 1}"
+        f" ON e.a = s{rounds - 1}.a AND e.b = s{rounds - 1}.b"
+    )
+    return "\n".join(parts)
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:

@@ -473,6 +473,7 @@ def headline(sf_dir: str) -> dict:
         "token_entropy",
         "zorder_key",
         "cohort_retention",
+        "graph_ktruss",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()

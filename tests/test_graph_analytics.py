@@ -266,3 +266,40 @@ def test_link_prediction_common_neighbor_count(spark):
     got = {(r.u, r.v): (r.common, r.adamic_adar) for r in rows}
     aa = round(2.0 / math.log(2.0), 8)
     assert got == {("a", "b"): (2, aa), ("x", "y"): (2, aa)}
+
+
+def test_k_truss_clique_and_pendant_triangle(spark):
+    from wbkg.graph_analytics import k_truss
+
+    # K4 on a,b,c,d (every edge in 2 triangles) + pendant triangle d-e-f
+    # (each of its edges in exactly 1 triangle)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pend = [("d", "e"), ("d", "f"), ("e", "f")]
+    e = _edges(spark, k4 + pend)
+    # 4-truss (support >= 2): exactly the K4
+    got4 = {(r.a, r.b): r.support for r in k_truss(e, k=4).collect()}
+    assert set(got4) == set(k4)
+    assert all(s == 2 for s in got4.values())
+    # 3-truss (support >= 1): everything — the pendant triangle survives
+    assert k_truss(e, k=3).count() == 9
+
+
+def test_k_truss_cascading_collapse(spark):
+    from wbkg.graph_analytics import k_truss
+
+    # two triangles sharing edge (b,c): (b,c) has support 2, the other
+    # four edges support 1. A 4-truss first drops those four, which kills
+    # (b,c)'s triangles -> second round drops it too: empty. Cascade.
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+    )
+    assert k_truss(e, k=4).count() == 0
+    assert k_truss(e, k=3).count() == 5
+
+
+def test_k_truss_path_has_no_triangles(spark):
+    from wbkg.graph_analytics import k_truss
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert k_truss(e, k=3).count() == 0
