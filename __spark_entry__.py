@@ -2643,6 +2643,21 @@ def q_graph_ktruss(spark, sf_dir):
     return k_truss(pairs, k=6)
 
 
+def q_unpivot_measures(spark, sf_dir):
+    """Wide->long unpivot (wbkg/ops/olap.py unpivot_measures): lineitem's
+    four numeric measures melted to (orderkey, linenumber, measure, value)
+    — Spark's native unpivot Expand (map-side row replication, no
+    shuffle); oracle spells the same reshape as UNION ALL."""
+    from wbkg.ops.olap import unpivot_measures
+
+    li = _read(spark, sf_dir, "lineitem")
+    return unpivot_measures(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        measures=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2781,6 +2796,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "sample_weighted": q_sample_weighted,
         "graph_ktruss": q_graph_ktruss,
+        "unpivot_measures": q_unpivot_measures,
     }
 
 
@@ -4318,6 +4334,19 @@ def _oracle_sqls() -> dict[str, str]:
         WHERE n_chars > 0
         ORDER BY key DESC, doc_id
         LIMIT 64
+    """
+    sqls["unpivot_measures"] = """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity::DOUBLE AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               l_extendedprice::DOUBLE FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               l_discount::DOUBLE FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax',
+               l_tax::DOUBLE FROM lineitem
     """
     return sqls
 

@@ -74,3 +74,20 @@ def test_compact_table_partitioned_and_atomic(spark, tmp_path):
     assert {(r.id, r.part, r.v) for r in spark.read.parquet(path).collect()} == before
     siblings = os.listdir(os.path.dirname(path))
     assert not [s for s in siblings if "__compact" in s]  # no leftover tmp/backup
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A long-lived table gains a column: old files lack it, new files
+    carry it — mergeSchema reads both generations with nulls backfilled,
+    and the narrow read (without the new column) still prunes to the old
+    schema. The Iceberg-evolution behavior this layer emulates."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(p + "/gen=1")
+    spark.createDataFrame(
+        [(2, "b", 9.0)], "id long, x string, score double"
+    ).write.parquet(p + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(p + "/gen=*")
+    rows = {r.id: (r.x, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.0)}
+    # column pruning still reaches the scan on the merged schema
+    assert merged.select("id").columns == ["id"]

@@ -1919,3 +1919,19 @@ def test_sample_weighted_zero_weight_excluded_and_heavy_wins(spark):
     got = [r.doc_id for r in sample_weighted(df, k=5, weight_col="w").collect()]
     assert 0 not in got          # zero weight never sampled
     assert got[0] == 1           # u^(1/1e9) ~ 1 dominates everything
+
+
+def test_unpivot_measures_keeps_nulls_and_shape(spark):
+    from wbkg.ops.olap import unpivot_measures
+
+    df = spark.createDataFrame(
+        [(1, 2.0, None), (2, 5.0, 7.0)], "id long, m1 double, m2 double"
+    )
+    got = {
+        (r.id, r.measure): r.value
+        for r in unpivot_measures(df, ids=["id"], measures=["m1", "m2"]).collect()
+    }
+    assert got == {
+        (1, "m1"): 2.0, (1, "m2"): None,
+        (2, "m1"): 5.0, (2, "m2"): 7.0,
+    }

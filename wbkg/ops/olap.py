@@ -51,3 +51,26 @@ def pivot_counts(
         for v in values
     ]
     return df.groupBy(key).agg(*aggs)
+
+
+def unpivot_measures(
+    df: DataFrame, ids: list, measures: list,
+    var_name: str = "measure", value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long reshape (ANSI UNPIVOT / pandas melt): one output row
+    per (id-tuple, measure column), measures cast to double into a single
+    value column — the step before any per-measure groupBy/window when
+    metrics arrive as columns (the inverse of pivot_counts).
+
+    Compiles to Spark's native unpivot (an Expand: each input row is
+    replicated once per measure MAP-SIDE — no shuffle, no join, exactly
+    the rollup lattice's mechanism pointed sideways). NULL measure values
+    are KEPT (Spark's unpivot drops all-null rows only when no id columns
+    are given; with ids it emits them — and so does the oracle's UNION
+    ALL spelling)."""
+    return df.unpivot(
+        [F.col(c) for c in ids],
+        [F.col(c).cast("double").alias(c) for c in measures],
+        var_name,
+        value_name,
+    )
