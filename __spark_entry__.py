@@ -2658,6 +2658,22 @@ def q_unpivot_measures(spark, sf_dir):
     )
 
 
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (wbkg/graph_analytics.py hits) over the
+    per-region nation chain: each node has <= 1 in- and out-edge, so the
+    raw half-step sums are single terms and the oracle unrolls all 10
+    L2-normalized iterations over the 5 chain positions exactly (the
+    norm's 25-node sum collapses to 5x the per-position squares —
+    association differs from Spark's fold by ulps, absorbed by the shared
+    round-8 convention)."""
+    from wbkg.graph_analytics import hits
+
+    chain = _nation_chain_edges(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return hits(chain, iterations=10)
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2797,6 +2813,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
+        "graph_hits": q_graph_hits,
     }
 
 
@@ -4009,6 +4026,7 @@ def _oracle_sqls() -> dict[str, str]:
     sqls["decontam_bloom"] = sqls["decontam_report"]
     sqls["graph_kcore"] = _kcore_oracle_sql(k=6, rounds=16)
     sqls["graph_ktruss"] = _ktruss_oracle_sql(k=6, rounds=8)
+    sqls["graph_hits"] = _hits_oracle_sql(iterations=10)
     sqls["graph_modularity"] = """
         WITH ch AS (
           SELECT 'n:' || n_nationkey AS src, 'n:' || nxt AS dst
@@ -4400,6 +4418,56 @@ def _ktruss_oracle_sql(k: int, rounds: int) -> str:
         f"SELECT e.a, e.b, coalesce(s{rounds - 1}.s, 0)::INTEGER AS support"
         f" FROM e{rounds} e LEFT JOIN s{rounds - 1}"
         f" ON e.a = s{rounds - 1}.a AND e.b = s{rounds - 1}.b"
+    )
+    return "\n".join(parts)
+
+
+def _hits_oracle_sql(iterations: int) -> str:
+    """HITS on the 5-position chain, all iterations unrolled: state =
+    (a0..a4) authorities and (h0..h4) hubs per position; per iteration the
+    authority half-step divides the incoming hub by the 25-node L2 norm
+    (= sqrt(5 * sum of per-position squares)), then the hub half-step does
+    the same with the new authorities."""
+    parts = [
+        "WITH it0 AS (SELECT "
+        + ", ".join(f"1.0::DOUBLE AS h{p}" for p in range(5))
+        + ")"
+    ]
+    for i in range(iterations):
+        parts.append(
+            f", x{i} AS (SELECT *, sqrt(5 * (h0*h0 + h1*h1 + h2*h2 + h3*h3))"
+            f" AS na FROM it{i})"
+        )
+        a_cols = ["0.0::DOUBLE AS a0"] + [
+            f"CASE WHEN na > 0 THEN h{p - 1} / na ELSE 0.0::DOUBLE END AS a{p}"
+            for p in range(1, 5)
+        ]
+        parts.append(f", y{i} AS (SELECT {', '.join(a_cols)} FROM x{i})")
+        parts.append(
+            f", z{i} AS (SELECT *, sqrt(5 * (a1*a1 + a2*a2 + a3*a3 + a4*a4))"
+            f" AS nh FROM y{i})"
+        )
+        h_cols = [
+            f"CASE WHEN nh > 0 THEN a{p + 1} / nh ELSE 0.0::DOUBLE END AS h{p}"
+            for p in range(4)
+        ] + ["0.0::DOUBLE AS h4"]
+        parts.append(
+            f", it{i + 1} AS (SELECT a0, a1, a2, a3, a4, {', '.join(h_cols)}"
+            f" FROM z{i})"
+        )
+    parts.append(
+        """, pos AS (
+          SELECT 'n:' || n_nationkey AS node,
+                 (row_number() OVER (PARTITION BY n_regionkey
+                                     ORDER BY n_nationkey) - 1) AS p
+          FROM nation)
+        SELECT node,
+               round(CASE p WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2
+                            WHEN 3 THEN a3 ELSE a4 END, 8)::DOUBLE AS authority,
+               round(CASE p WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+                            WHEN 3 THEN h3 ELSE h4 END, 8)::DOUBLE AS hub
+        FROM pos, it"""
+        + str(iterations)
     )
     return "\n".join(parts)
 

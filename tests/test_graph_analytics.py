@@ -303,3 +303,45 @@ def test_k_truss_path_has_no_triangles(spark):
 
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
     assert k_truss(e, k=3).count() == 0
+
+
+def test_hits_matches_python_reference(spark):
+    import math
+
+    from wbkg.graph_analytics import hits
+
+    pairs = [("a", "c"), ("b", "c"), ("c", "d"), ("a", "d")]
+    nodes = ["a", "b", "c", "d"]
+    inn = {n: [s for s, t in pairs if t == n] for n in nodes}
+    out = {n: [t for s, t in pairs if s == n] for n in nodes}
+    a = {n: 1.0 for n in nodes}
+    h = {n: 1.0 for n in nodes}
+    for _ in range(10):
+        ra = {n: sum(h[m] for m in inn[n]) for n in nodes}
+        na = math.sqrt(sum(v * v for v in ra.values()))
+        a = {n: (ra[n] / na if na > 0 else 0.0) for n in nodes}
+        rh = {n: sum(a[m] for m in out[n]) for n in nodes}
+        nh = math.sqrt(sum(v * v for v in rh.values()))
+        h = {n: (rh[n] / nh if nh > 0 else 0.0) for n in nodes}
+    got = {
+        r.node: (r.authority, r.hub)
+        for r in hits(_edges(spark, pairs), iterations=10).collect()
+    }
+    for n in nodes:
+        assert abs(got[n][0] - a[n]) < 1e-7, (n, got[n], a[n])
+        assert abs(got[n][1] - h[n]) < 1e-7
+    # structure: c,d are the authorities; a is the best hub
+    assert got["c"][0] > got["a"][0] and got["d"][0] > got["a"][0]
+    assert got["a"][1] > got["c"][1]
+
+
+def test_hits_empty_direction_is_zero(spark):
+    from wbkg.graph_analytics import hits
+
+    got = {
+        r.node: (r.authority, r.hub)
+        for r in hits(_edges(spark, [("a", "b")]), iterations=3).collect()
+    }
+    assert got["a"][0] == 0.0  # nothing points at a
+    assert got["b"][1] == 0.0  # b points at nothing
+    assert got["b"][0] == 1.0 and got["a"][1] == 1.0

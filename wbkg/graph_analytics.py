@@ -673,3 +673,76 @@ def k_truss(
     return cur.join(support, ["a", "b"], "left").select(
         "a", "b", F.coalesce("support", F.lit(0)).cast("int").alias("support")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) -> (node, authority, hub),
+    L2-normalized each half-step, both rounded to 8 — the OTHER classic
+    link-analysis scorer next to pagerank: an authority is pointed at by
+    good hubs, a hub points at good authorities (on a KG: widely-cited
+    entities vs survey-ish documents).
+
+    Simple-digraph semantics (edges deduped). Per iteration: one
+    edge-keyed join + partial-agg sum per direction (the pagerank shuffle
+    shape, twice) and a one-row broadcast L2 norm (the crossJoin(
+    broadcast(1-row agg)) scalar fold — BroadcastNestedLoopJoin in
+    explain, intended); nodes with no in-(out-)edges hold authority (hub)
+    0. Fully lazy between localCheckpoints every `checkpoint_every`
+    rounds. The norm's sum order is engine/partition dependent — the
+    shared round-8 convention absorbs it (ulp-scale per round, linear
+    growth across rounds)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("authority"), F.lit(1.0).alias("hub")
+    )
+    for i in range(iterations):
+        raw_a = (
+            scores.join(e, scores["node"] == e["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("ra"))
+        )
+        na = nodes.join(raw_a, "node", "left").select(
+            "node", F.coalesce("ra", F.lit(0.0)).alias("ra")
+        )
+        norm_a = na.agg(F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("_n"))
+        auth = na.crossJoin(F.broadcast(norm_a)).select(
+            "node",
+            F.when(F.col("_n") > 0, F.col("ra") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias("authority"),
+        )
+        raw_h = (
+            auth.join(e, auth["node"] == e["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("rh"))
+        )
+        nh = nodes.join(raw_h, "node", "left").select(
+            "node", F.coalesce("rh", F.lit(0.0)).alias("rh")
+        )
+        norm_h = nh.agg(F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("_n"))
+        hub = nh.crossJoin(F.broadcast(norm_h)).select(
+            "node",
+            F.when(F.col("_n") > 0, F.col("rh") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias("hub"),
+        )
+        scores = auth.join(hub, "node")
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            scores = scores.localCheckpoint()
+    return scores.select(
+        "node",
+        F.round("authority", 8).alias("authority"),
+        F.round("hub", 8).alias("hub"),
+    )
