@@ -474,6 +474,7 @@ def headline(sf_dir: str) -> dict:
         "zorder_key",
         "cohort_retention",
         "graph_ktruss",
+        "graph_hits",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
