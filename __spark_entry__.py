@@ -2674,6 +2674,54 @@ def q_graph_hits(spark, sf_dir):
     return hits(chain, iterations=10)
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (wbkg/ops/prep.py
+    event_transitions): per-user lead() pairing on (ts, event_id) — the
+    tiebreak totalizes equal timestamps — then a (from, to) partial-agg
+    count and a row-normalized probability. One user-key window shuffle;
+    the oracle replays the identical window + normalization."""
+    from wbkg.ops.prep import event_transitions
+
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
+def q_gapfill_daily(spark, sf_dir):
+    """Calendar gap-fill / resample (wbkg/ops/prep.py gapfill_daily):
+    per-user dense day spine via sequence()+explode, zero-filled counts,
+    forward-filled day values via the engine-portable gaps-and-islands
+    fill (running non-null count -> per-island max). Days are ISO strings
+    — the computed-DATE hash trap. Oracle builds the same spine with
+    generate_series."""
+    from wbkg.ops.prep import gapfill_daily
+
+    return gapfill_daily(_read(spark, sf_dir, "events"))
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Per-user EWMA (wbkg/ops/prep.py ewma_smooth): array_sort-collected
+    values folded by ONE map-side F.aggregate (s_i = a*x_i + (1-a)*s_-1,
+    seeded at x_1). alpha=0.5 so 1-alpha is IEEE-exact in both engines;
+    the oracle's list_reduce folds the identical left-to-right order
+    (DuckDB's ordered list() aggregate supplies the sort)."""
+    from wbkg.ops.prep import ewma_smooth
+
+    return ewma_smooth(_read(spark, sf_dir, "events"), alpha=0.5)
+
+
+def q_profile_columns(spark, sf_dir):
+    """Column profiling (wbkg/ops/prep.py profile_columns): one aggregate
+    pass (exact distincts via the multi-distinct Expand) + stack() unpivot
+    to the long (column, stat) data-quality layout. String/integer columns
+    only — double->string formatting is the one cast engines render
+    differently."""
+    from wbkg.ops.prep import profile_columns
+
+    return profile_columns(
+        _read(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"],
+    )
+
+
 def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Unordered base registry — the public queries() applies the mechanical
     # manifest ordering (registry_order) before the driver sees it.
@@ -2814,6 +2862,10 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "event_transitions": q_event_transitions,
+        "gapfill_daily": q_gapfill_daily,
+        "ewma_smooth": q_ewma_smooth,
+        "profile_columns": q_profile_columns,
     }
 
 
@@ -4365,6 +4417,81 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["event_transitions"] = """
+        WITH p AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+              FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               round(n / (sum(n) OVER (PARTITION BY from_type))::DOUBLE,
+                     8)::DOUBLE AS prob
+        FROM c
+    """
+    sqls["gapfill_daily"] = """
+        WITH daily AS (
+          SELECT user_id AS "user", ts::DATE AS day,
+                 count(*)::INTEGER AS n_events,
+                 round(sum(value), 8)::DOUBLE AS day_value
+          FROM events GROUP BY 1, 2),
+        spine AS (
+          SELECT "user",
+                 unnest(generate_series(min(day), max(day),
+                                        INTERVAL 1 DAY))::DATE AS day
+          FROM daily GROUP BY "user"),
+        j AS (
+          SELECT s."user", s.day,
+                 coalesce(d.n_events, 0)::INTEGER AS n_events, d.day_value
+          FROM spine s
+          LEFT JOIN daily d ON s."user" = d."user" AND s.day = d.day),
+        g AS (
+          SELECT *, sum(CASE WHEN day_value IS NOT NULL THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY "user" ORDER BY day) AS grp
+          FROM j)
+        SELECT "user", day::VARCHAR AS day, n_events, day_value,
+               max(day_value) OVER (PARTITION BY "user", grp) AS carried
+        FROM g
+    """
+    sqls["ewma_smooth"] = """
+        WITH s AS (
+          SELECT user_id AS "user",
+                 list(value ORDER BY ts, event_id) AS vals
+          FROM events GROUP BY 1)
+        SELECT "user", len(vals)::INTEGER AS n_events,
+               round(list_reduce(vals,
+                     (acc, x) -> 0.5::DOUBLE * x + 0.5::DOUBLE * acc),
+                     8)::DOUBLE AS ewma
+        FROM s
+    """
+    sqls["profile_columns"] = """
+        SELECT 'o_orderstatus' AS "column", count(*)::BIGINT AS n_rows,
+               sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_nulls,
+               count(DISTINCT o_orderstatus)::BIGINT AS n_distinct,
+               min(o_orderstatus)::VARCHAR AS min_str,
+               max(o_orderstatus)::VARCHAR AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*)::BIGINT,
+               sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT o_orderpriority)::BIGINT,
+               min(o_orderpriority)::VARCHAR, max(o_orderpriority)::VARCHAR
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*)::BIGINT,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT o_custkey)::BIGINT,
+               min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', count(*)::BIGINT,
+               sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               count(DISTINCT o_orderkey)::BIGINT,
+               min(o_orderkey)::VARCHAR, max(o_orderkey)::VARCHAR
+        FROM orders
     """
     return sqls
 

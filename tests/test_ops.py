@@ -1935,3 +1935,130 @@ def test_unpivot_measures_keeps_nulls_and_shape(spark):
         (1, "m1"): 2.0, (1, "m2"): None,
         (2, "m1"): 5.0, (2, "m2"): 7.0,
     }
+
+
+# ---------------------------------------------------------------- round 6 s4
+
+
+def test_event_transitions(spark):
+    from wbkg.ops.prep import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a -> c   (pairs: a->b, b->a, a->c)
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 1, "2024-01-01 00:03:00", "c"),
+        # user 2: a -> b              (pair: a->b)
+        (5, 2, "2024-01-01 00:00:00", "a"),
+        (6, 2, "2024-01-01 00:05:00", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in event_transitions(df).collect()
+    }
+    assert out[("a", "b")] == (2, 0.66666667)
+    assert out[("a", "c")] == (1, 0.33333333)
+    assert out[("b", "a")] == (1, 1.0)
+    # stream-final events emit no pair; cross-user pairs never form
+    assert ("c", "a") not in out and len(out) == 3
+
+
+def test_event_transitions_tiebreak(spark):
+    """Equal timestamps pair by event_id, deterministically."""
+    from wbkg.ops.prep import event_transitions
+
+    rows = [
+        (10, 1, "2024-01-01 00:00:00", "x"),
+        (11, 1, "2024-01-01 00:00:00", "y"),
+        (12, 1, "2024-01-01 00:00:00", "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.from_type, r.to_type) for r in event_transitions(df).collect()}
+    assert out == {("x", "y"), ("y", "z")}
+
+
+def test_gapfill_daily(spark):
+    from wbkg.ops.prep import gapfill_daily
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", 5.0),
+        (2, 1, "2024-01-01 11:00:00", 3.0),
+        # jan 2-3 silent
+        (3, 1, "2024-01-04 09:00:00", 7.0),
+        (4, 2, "2024-02-10 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.user, r.day): (r.n_events, r.day_value, r.carried)
+        for r in gapfill_daily(df).collect()
+    }
+    # dense spine: user 1 gets 4 days, user 2 gets 1
+    assert len(out) == 5
+    assert out[(1, "2024-01-01")] == (2, 8.0, 8.0)
+    assert out[(1, "2024-01-02")] == (0, None, 8.0)  # zero-filled + carried
+    assert out[(1, "2024-01-03")] == (0, None, 8.0)
+    assert out[(1, "2024-01-04")] == (1, 7.0, 7.0)
+    assert out[(2, "2024-02-10")] == (1, 1.0, 1.0)
+
+
+def test_ewma_smooth(spark):
+    from wbkg.ops.prep import ewma_smooth
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (2, 1, "2024-01-01 00:01:00", 20.0),
+        (3, 1, "2024-01-01 00:02:00", 30.0),
+        (4, 2, "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user: (r.n_events, r.ewma) for r in ewma_smooth(df, alpha=0.5).collect()}
+    # s1=10, s2=.5*20+.5*10=15, s3=.5*30+.5*15=22.5
+    assert out[1] == (3, 22.5)
+    # single event: ewma = the value itself (fold init)
+    assert out[2] == (1, 5.0)
+
+
+def test_ewma_order_is_time_not_insertion(spark):
+    """Rows arriving out of time order fold in TIME order."""
+    from wbkg.ops.prep import ewma_smooth
+
+    rows = [
+        (2, 1, "2024-01-01 00:01:00", 20.0),  # listed first, happens second
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .repartition(4)
+    )
+    out = ewma_smooth(df, alpha=0.5).collect()[0]
+    assert out.ewma == 15.0  # 0.5*20 + 0.5*10, seeded at 10
+
+
+def test_profile_columns(spark):
+    from wbkg.ops.prep import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "b", None), (4, None, 1.5)],
+        "id long, cat string, v double",
+    )
+    out = {r.column: r for r in profile_columns(df, ["cat", "v"]).collect()}
+    assert out["cat"].n_rows == 4
+    assert out["cat"].n_nulls == 1
+    assert out["cat"].n_distinct == 2
+    assert (out["cat"].min_str, out["cat"].max_str) == ("a", "b")
+    assert out["v"].n_nulls == 2
+    assert out["v"].n_distinct == 2
+    assert (out["v"].min_str, out["v"].max_str) == ("1.5", "5.0")

@@ -762,3 +762,186 @@ def sample_weighted(
         .orderBy(F.desc("key"), F.col(id_col))
         .limit(k)
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams ->
+    (from_type, to_type, n, prob): how often event A is immediately
+    followed by event B within the same user's timeline, and the
+    row-normalized transition probability — the "what do users do next"
+    table behind path analysis and next-action models.
+
+    Mechanics: one window per user ordered by (ts, tiebreak) — the
+    tiebreak totalizes equal timestamps so both engines pair the same
+    neighbors — lead() the type, drop stream-final events, then a
+    (from, to) partial-agg count. prob = n / row total via a window on
+    from_type (the event-type domain is tiny — that window's shuffle is
+    trivial), round 8.
+
+    Plan: ONE user-key window shuffle (skew bound = hottest user), then a
+    map-side-combinable groupBy on the pair; never materializes per-pair
+    event lists."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 8).alias("prob"),
+    )
+
+
+def gapfill_daily(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar gap-fill -> (user, day, n_events, day_value, carried):
+    each user's daily activity re-sampled onto a dense per-user day spine
+    (min..max active day), with zero-filled counts and the last observed
+    daily value carried forward across silent days — the resample step
+    every time-series feature pipeline needs before fixed-stride models.
+
+    Days are ISO strings in the output (computed DATE columns round-trip
+    differently through Arrow in different engines; the label is the
+    contract). The forward fill is the engine-portable gaps-and-islands
+    form — grp = running count of non-null observations, carried =
+    max(day_value) within (user, grp) — identical semantics to
+    last_value IGNORE NULLS without depending on either engine's
+    IGNORE NULLS support.
+
+    Plan: the daily rollup is one partial-agg groupBy on (user, day); the
+    spine is sequence()+explode per user (rows out = user's active span in
+    days — no global calendar cross join); the fill is two windows on the
+    user key, co-partitioned with the spine join. Skew bound = longest
+    single-user span."""
+    daily = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).cast("date").alias("day"),
+            F.col(value_col).alias("value"),
+        )
+        .groupBy("user", "day")
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.round(F.sum("value"), 8).alias("day_value"),
+        )
+    )
+    spine = daily.groupBy("user").agg(
+        F.explode(F.sequence(F.min("day"), F.max("day"))).alias("day")
+    )
+    filled = spine.join(daily, ["user", "day"], "left")
+    w = Window.partitionBy("user").orderBy("day")
+    grp = F.sum(
+        F.when(F.col("day_value").isNotNull(), 1).otherwise(0)
+    ).over(w)
+    filled = filled.withColumn("grp", grp)
+    wg = Window.partitionBy("user", "grp")
+    return filled.select(
+        "user",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "day_value",
+        F.max("day_value").over(wg).alias("carried"),
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    alpha: float = 0.3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average -> (user, n_events,
+    ewma): the recursive smooth s_i = alpha*x_i + (1-alpha)*s_{i-1},
+    seeded s_1 = x_1, folded over each user's time-ordered values — the
+    state a streaming anomaly detector would carry, computed batch.
+
+    The recurrence is inherently sequential per key, so the shape is:
+    collect each user's (ts, tiebreak, value) structs, array_sort (a
+    deterministic total order — no collect_list ordering gamble), then
+    ONE map-side F.aggregate fold in the JVM (no UDF, no explode,
+    identical left-to-right IEEE order to the oracle's list_reduce).
+    Round 8 absorbs nothing here — both engines fold the same order —
+    but keeps the column convention.
+
+    Plan: one partial-agg groupBy on the user key; per-user state is the
+    user's event array (skew bound = hottest user, same bound as any
+    sessionization); nothing else shuffles."""
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(tiebreak_col).alias("tb"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("s"),
+    )
+    seq = ev.groupBy("user").agg(
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["v"]
+        ).alias("vals")
+    )
+    a = F.lit(float(alpha))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return seq.select(
+        "user",
+        F.size("vals").alias("n_events"),
+        F.round(ewma, 8).alias("ewma"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: list) -> DataFrame:
+    """Column profiling -> (column, n_rows, n_nulls, n_distinct, min_str,
+    max_str): the data-quality summary a pipeline gate reads before
+    training ingestion (null-rate regressions, cardinality drift,
+    out-of-range values).
+
+    One aggregate pass computes every column's stats (count/nulls via
+    map-side partial aggs; exact distincts — Spark plans the multi-
+    distinct agg with one Expand, rows x n_cols, the standard exact-
+    profile cost; swap count_distinct for approx_count_distinct when
+    profiling at full 100-TB scale), then a stack() unpivot to the long
+    (column, stat) layout. min/max cast to string so heterogeneous column
+    types share one schema."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) as "
+            "(column, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
