@@ -2674,6 +2674,47 @@ def q_graph_hits(spark, sf_dir):
     return hits(chain, iterations=10)
 
 
+def _user_type_bipartite(spark, sf_dir):
+    """Undirected user<->event_type bipartite graph from the event log —
+    the metapath fixture for walk/centrality ops (walks alternate
+    u:/t: nodes)."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    return ev
+
+
+def q_graph_random_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (wbkg/graph_analytics.py
+    random_walks — the DeepWalk/node2vec walk-generation stage): 1 walk of
+    3 steps from every node of the user<->event-type bipartite graph. No
+    RNG — step t follows out-edge md5(walk_id:rw:t) % outdeg in
+    row_number-over-(src ORDER BY dst) slot order, so the oracle replays
+    every hop exactly with the same md5 arithmetic."""
+    from wbkg.graph_analytics import random_walks
+
+    ev = _user_type_bipartite(spark, sf_dir)
+    g = ev.unionByName(
+        ev.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return random_walks(g, walk_len=3, walks_per_node=1)
+
+
+def q_graph_harmonic(spark, sf_dir):
+    """Seed-set harmonic closeness (wbkg/graph_analytics.py
+    harmonic_centrality): per-seed labeled BFS from every event-type node
+    over the undirected user<->type bipartite graph, harmonic(v) =
+    sum 1/d(seed, v) within 4 hops. The oracle is a recursive-CTE BFS
+    taking min(dist) per (seed, node) — identical semantics to the
+    hop-bounded frontier loop."""
+    from wbkg.graph_analytics import harmonic_centrality
+
+    ev = _user_type_bipartite(spark, sf_dir)
+    seeds = ev.select(F.col("dst").alias("node")).distinct()
+    return harmonic_centrality(ev, seeds, max_hops=4)
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix (wbkg/ops/prep.py
     event_transitions): per-user lead() pairing on (ts, event_id) — the
@@ -2862,6 +2903,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "graph_random_walks": q_graph_random_walks,
+        "graph_harmonic": q_graph_harmonic,
         "event_transitions": q_event_transitions,
         "gapfill_daily": q_gapfill_daily,
         "ewma_smooth": q_ewma_smooth,
@@ -4418,6 +4461,24 @@ def _oracle_sqls() -> dict[str, str]:
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
     """
+    sqls["graph_random_walks"] = _walks_oracle_sql(walk_len=3)
+    sqls["graph_harmonic"] = """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT 'u:' || user_id AS src, 't:' || event_type AS dst
+          FROM events
+          UNION
+          SELECT DISTINCT 't:' || event_type, 'u:' || user_id FROM events),
+        seeds AS (SELECT DISTINCT 't:' || event_type AS seed FROM events),
+        r AS (
+          SELECT seed, seed AS node, 0 AS dist FROM seeds
+          UNION
+          SELECT r.seed, e.dst, r.dist + 1
+          FROM r JOIN e ON e.src = r.node WHERE r.dist < 4),
+        d AS (SELECT seed, node, min(dist) AS dist FROM r GROUP BY 1, 2)
+        SELECT node, count(*)::INTEGER AS n_reaching,
+               round(sum(1.0::DOUBLE / dist), 8)::DOUBLE AS harmonic
+        FROM d WHERE dist > 0 GROUP BY node
+    """
     sqls["event_transitions"] = """
         WITH p AS (
           SELECT event_type AS from_type,
@@ -4494,6 +4555,43 @@ def _oracle_sqls() -> dict[str, str]:
         FROM orders
     """
     return sqls
+
+
+def _walks_oracle_sql(walk_len: int) -> str:
+    """Unrolled random-walk replay: one CTE per step, each picking the
+    md5(walk_id:rw:t) % outdeg slot from the row_number-ordered neighbor
+    table — byte-identical hop choices to graph_analytics.random_walks."""
+    steps = []
+    for t in range(1, walk_len + 1):
+        prev = f"s{t - 1}"
+        steps.append(
+            f"""s{t} AS (
+          SELECT s.walk_id, {t} AS step, n.dst AS node
+          FROM {prev} s JOIN nbr n ON n.src = s.node
+           AND n.rn = ('0x' || substr(md5(s.walk_id || ':rw:{t}'), 1, 8))::BIGINT
+                       % n.outdeg)"""
+        )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM s{t}" for t in range(walk_len + 1)
+    )
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT 'u:' || user_id AS src, 't:' || event_type AS dst
+          FROM events
+          UNION
+          SELECT DISTINCT 't:' || event_type, 'u:' || user_id FROM events),
+        nbr AS (
+          SELECT src, dst,
+                 (row_number() OVER (PARTITION BY src ORDER BY dst) - 1)::BIGINT
+                   AS rn,
+                 count(*) OVER (PARTITION BY src) AS outdeg
+          FROM e),
+        s0 AS (
+          SELECT DISTINCT src || '#0' AS walk_id, 0 AS step, src AS node
+          FROM nbr),
+        {",".join(steps)}
+        {unions}
+    """
 
 
 def _zorder_oracle_sql(bits: int) -> str:
@@ -4691,9 +4789,18 @@ def registry_order() -> list[str]:
 
     def key(name: str):
         ent = manifest.get(name)
-        if ent is None or ent.get("hash") != definition_hash(name, fns, sqls):
+        if ent is not None and ent.get("hash") != definition_hash(name, fns, sqls):
+            # A definition the driver previously verified has CHANGED —
+            # silent-drift risk, must re-verify THIS round: first tier.
             return (0, -1, name)
-        return (1, ent.get("round", -1), name)
+        if ent is None:
+            # Brand new, never driver-verified. Second tier: if more than
+            # DRIVER_WINDOW definitions are new+changed in one round, only
+            # new entries may overflow (they are locally oracle-verified by
+            # scripts/check_contract.py and lead the NEXT round's window —
+            # there is no previously-claimed driver verdict to go stale).
+            return (1, -1, name)
+        return (2, ent.get("round", -1), name)
 
     return sorted(fns, key=key)
 

@@ -345,3 +345,76 @@ def test_hits_empty_direction_is_zero(spark):
     assert got["a"][0] == 0.0  # nothing points at a
     assert got["b"][1] == 0.0  # b points at nothing
     assert got["b"][0] == 1.0 and got["a"][1] == 1.0
+
+
+# ---------------------------------------------------------------- round 6 s4
+
+
+def test_random_walks_structure(spark):
+    from wbkg.graph_analytics import random_walks
+
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "b")]
+    out = random_walks(_edges(spark, pairs), walk_len=4, walks_per_node=2)
+    rows = out.collect()
+    byw = {}
+    for r in rows:
+        byw.setdefault(r.walk_id, {})[r.step] = r.node
+    edge_set = set(pairs)
+    for wid, steps in byw.items():
+        # contiguous steps from 0; start node matches the walk id
+        assert sorted(steps) == list(range(len(steps)))
+        assert wid.split("#")[0] == steps[0]
+        # every hop is a real directed edge
+        for t in range(1, len(steps)):
+            assert (steps[t - 1], steps[t]) in edge_set
+    # 3 nodes with out-edges x 2 walks
+    assert len(byw) == 6
+
+
+def test_random_walks_dead_end_and_determinism(spark):
+    from wbkg.graph_analytics import random_walks
+
+    pairs = [("a", "b")]  # b is a dead end
+    out1 = {
+        (r.walk_id, r.step): r.node
+        for r in random_walks(_edges(spark, pairs), walk_len=5).collect()
+    }
+    # walks from a: a -> b, stop (b has no out-edges). 2 walks x 2 rows.
+    assert len(out1) == 4
+    assert out1[("a#0", 1)] == "b" and out1[("a#1", 1)] == "b"
+    out2 = {
+        (r.walk_id, r.step): r.node
+        for r in random_walks(
+            _edges(spark, pairs).repartition(4), walk_len=5
+        ).collect()
+    }
+    assert out1 == out2  # no RNG: partitioning never changes the corpus
+
+
+def test_harmonic_centrality_path(spark):
+    from wbkg.graph_analytics import harmonic_centrality
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {
+        r.node: (r.n_reaching, r.harmonic)
+        for r in harmonic_centrality(e, seeds, max_hops=6).collect()
+    }
+    # undirected path a-b-c-d, seeds {a, d}
+    assert got["b"] == (2, 1.5)        # 1/1 from a + 1/2 from d
+    assert got["c"] == (2, 1.5)
+    assert got["a"] == (1, 0.33333333)  # 1/3 from d (self dist-0 excluded)
+    assert got["d"] == (1, 0.33333333)
+
+
+def test_harmonic_centrality_hop_bound(spark):
+    from wbkg.graph_analytics import harmonic_centrality
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.harmonic
+        for r in harmonic_centrality(e, seeds, max_hops=2).collect()
+    }
+    assert "d" not in got  # beyond the hop budget
+    assert got["c"] == 0.5

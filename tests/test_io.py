@@ -91,3 +91,66 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 9.0)}
     # column pruning still reaches the scan on the merged schema
     assert merged.select("id").columns == ["id"]
+
+
+def test_jsonl_roundtrip_explicit_schema(spark, tmp_path):
+    """JSONL sink/source: content round-trips exactly under the declared
+    schema (no inference pass), including unicode and nulls."""
+    from wbkg.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "héllo wörld", None), (2, None, 3.5), (3, "tab\tnewline\n", -0.0)],
+        "doc_id long, text string, score double",
+    )
+    p = str(tmp_path / "jl")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, "doc_id long, text string, score double")
+    assert back.schema == df.schema
+    a = {r.doc_id: (r.text, r.score) for r in df.collect()}
+    b = {r.doc_id: (r.text, r.score) for r in back.collect()}
+    assert a == b
+
+
+def test_jsonl_corrupt_line_is_permissive(spark, tmp_path):
+    """A malformed line must not fail the read — it lands as nulls with
+    the raw line in _corrupt_record."""
+    import gzip
+    import os
+
+    from wbkg.io import read_jsonl
+
+    p = str(tmp_path / "jl2")
+    os.makedirs(p, exist_ok=True)
+    with gzip.open(p + "/part-0.json.gz", "wt") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("NOT JSON AT ALL\n")
+    back = read_jsonl(
+        spark, p, "doc_id long, text string, _corrupt_record string"
+    ).collect()
+    good = [r for r in back if r.doc_id == 1]
+    bad = [r for r in back if r.doc_id is None]
+    assert good[0].text == "ok" and len(bad) == 1
+    assert bad[0]._corrupt_record.startswith("NOT JSON")
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips the documents table and the scan honors predicate
+    pushdown (PushedFilters in the formatted plan)."""
+    from wbkg.io import read_orc, write_orc
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert back.count() == df.count()
+    assert {f.name: f.dataType for f in back.schema} == {
+        f.name: f.dataType for f in df.schema
+    }
+    plan = (
+        back.filter("n_chars > 100")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "n_chars" in plan

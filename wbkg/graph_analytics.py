@@ -746,3 +746,161 @@ def hits(
         F.round("authority", 8).alias("authority"),
         F.round("hub", 8).alias("hub"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "rw",
+) -> DataFrame:
+    """Deterministic random-walk corpus -> (walk_id, step, node): the walk
+    generation step of DeepWalk/node2vec-style graph-embedding pipelines
+    (walks become "sentences" for a skip-gram trainer). `walks_per_node`
+    walks start at every node with out-edges; each advances `walk_len`
+    steps, stopping early at dead ends.
+
+    There is NO RNG: step t of walk w picks out-edge number
+    md5(walk_id:t) % outdeg, so re-runs, re-partitions and any engine
+    with md5 reproduce the identical corpus (the same no-RNG contract as
+    every sampler here). Neighbor slots are row_number over (src ORDER BY
+    dst) — a deterministic total order.
+
+    Plan: the slotted neighbor table and out-degrees build once (one
+    window + one partial agg on src, co-partitioned) and localCheckpoint;
+    each step is an equi-join of the live frontier on (node, slot) —
+    the slot is computed BEFORE the join so there is no outdeg fan-out —
+    shuffle volume O(live walks), never O(E). Skew bound: walks are keyed
+    by (start, idx) so hot nodes spread across walk ids; the neighbor
+    join key is the current node — AQE skew-split is the second line on
+    power-law graphs."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    nbr = (
+        e.withColumn("rn", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("src")))
+        .localCheckpoint()
+    )
+    starts = (
+        nbr.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("i"),
+        )
+        .select(
+            F.concat(F.col("node"), F.lit("#"), F.col("i").cast("string")).alias(
+                "walk_id"
+            ),
+            F.lit(0).alias("step"),
+            F.col("node"),
+        )
+    )
+    deg = nbr.select(F.col("src").alias("node"), "outdeg").distinct().localCheckpoint()
+    slots = nbr.select(
+        F.col("src").alias("_s"), F.col("rn").alias("_rn"), F.col("dst").alias("_d")
+    ).localCheckpoint()
+    out = starts
+    frontier = starts.localCheckpoint()
+    for t in range(1, walk_len + 1):
+        stepped = frontier.join(deg, "node").select(
+            "walk_id",
+            "node",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("walk_id"), F.lit(f":{salt}:{t}"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("outdeg")
+            ).alias("slot"),
+        )
+        nxt = (
+            stepped.join(
+                slots,
+                (stepped["node"] == slots["_s"]) & (stepped["slot"] == slots["_rn"]),
+            )
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("_d").alias("node"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Seed-set harmonic closeness -> (node, n_reaching, harmonic):
+    for every node reached from the seed set, harmonic(v) =
+    sum over seeds s != v of 1/d(s, v), within `max_hops` — the standard
+    sampled-centrality estimator (exact all-pairs closeness is O(V*E);
+    production practice is a seed sample, which this IS).
+
+    Per-seed labeled BFS: the frontier carries (seed, node) pairs so each
+    seed's distances stay separate (bfs_distances collapses to the
+    nearest seed; this op cannot). State is O(|seeds| * V) — the caller
+    controls |seeds|, that is the sampling knob. Each round joins only
+    the live frontier against the edge list on the node key and
+    anti-joins the settled set on (seed, node); shuffle volume is
+    O(frontier out-edges). The 1/d fold is one partial-agg sum per node
+    (round 8 absorbs sum-order ulps, the shared convention)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if not directed:
+        e = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+    settled = (
+        sources.select(F.col(sources.columns[0]).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(settled, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt)
+        if hop % checkpoint_every == 0:
+            settled = settled.localCheckpoint()
+        frontier = nxt
+    return (
+        settled.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("int").alias("n_reaching"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 8).alias("harmonic"),
+        )
+    )

@@ -121,3 +121,37 @@ def _count_parquet_files(fs, jvm, hpath) -> int:
         if it.next().getPath().getName().endswith(".parquet"):
             n += 1
     return n
+
+
+def write_jsonl(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """JSON-lines sink (one JSON object per line, the interchange format
+    every LLM-data tool reads). Columnar parquet remains the performance
+    path — JSONL is for handoff. gzip-codec'd so 100-TB exports do not
+    10x the storage bill."""
+    w = df.write.mode("overwrite").option("compression", "gzip")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with a REQUIRED explicit schema: schema inference
+    is a full extra pass over the data (at 100 TB, a full extra scan) and
+    silently widens types on dirty rows — production readers declare the
+    contract. Corrupt lines land in _corrupt_record instead of failing
+    the job (PERMISSIVE, Spark's default)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the other columnar format (Hive/Trino ecosystems).
+    Same predicate-pushdown + column-pruning contract as parquet; zlib
+    default codec."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
