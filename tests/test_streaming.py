@@ -370,3 +370,98 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         "doc_id long, text string, ts timestamp",
     ).coalesce(1).write.parquet(src + "/f3")
     assert drain() == [1, 3, 6]
+
+
+def test_stream_running_totals_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState running totals: state accumulates across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file) and the
+    LAST emission per key equals the plain batch groupBy — the state
+    plumbing adds nothing and loses nothing."""
+    from wbkg.streaming import stream_running_totals
+
+    src = str(tmp_path / "rt_in")
+    out = str(tmp_path / "rt_out")
+    ckpt = str(tmp_path / "rt_ck")
+    os.makedirs(src, exist_ok=True)
+
+    b1 = [(1, 10.0), (1, 20.0), (2, 5.0)]
+    b2 = [(1, 30.0), (3, 7.5)]
+    spark.createDataFrame(b1, "user_id long, value double").coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    spark.createDataFrame(b2, "user_id long, value double").coalesce(1).write.parquet(
+        src + "/f2"
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend((batch_id, r.key, r.n_events, r.total_value)
+                       for r in batch_df.collect())
+
+    q = (
+        stream_running_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emission per key == batch aggregate over all files
+    last = {}
+    for bid, key, n, total in sorted(emitted):
+        last[key] = (n, total)
+    assert last == {1: (3, 60.0), 2: (1, 5.0), 3: (1, 7.5)}
+    # state carried: user 1 was updated in BOTH batches, totals monotone
+    u1 = [(n, t) for _, k, n, t in sorted(emitted) if k == 1]
+    assert u1 == [(2, 30.0), (3, 60.0)]
+
+
+def test_stream_running_totals_resume_from_checkpoint(spark, tmp_path):
+    """A restarted query resumes the state store: a third file processed
+    by a NEW query object continues the old totals instead of starting
+    from zero (exactly-once state recovery)."""
+    from wbkg.streaming import stream_running_totals
+
+    src = str(tmp_path / "rs_in")
+    ckpt = str(tmp_path / "rs_ck")
+    os.makedirs(src, exist_ok=True)
+
+    def drain():
+        got = []
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f*")
+        )
+        q = (
+            stream_running_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    (r.key, r.n_events, r.total_value) for r in df.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    spark.createDataFrame([(7, 1.0)], "user_id long, value double").coalesce(
+        1
+    ).write.parquet(src + "/f1")
+    assert drain() == [(7, 1, 1.0)]
+
+    spark.createDataFrame([(7, 2.0)], "user_id long, value double").coalesce(
+        1
+    ).write.parquet(src + "/f2")
+    assert drain() == [(7, 2, 3.0)]  # resumed, not restarted

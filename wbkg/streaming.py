@@ -283,3 +283,49 @@ def stream_dedup_within_watermark(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["h"])
     )
+
+
+def stream_running_totals(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running (n_events, total_value) carried in an explicit
+    GroupState across micro-batches — the arbitrary-stateful-processing
+    surface (SURVEY §2.10) that built-in windowed aggs can't express once
+    the update rule stops being an algebraic aggregate (per-key model
+    state, decaying counters, custom eviction...). This op keeps the rule
+    deliberately simple (count + sum) so the batch groupBy is an exact
+    equivalence oracle for the state plumbing.
+
+    Emits one updated (key, n_events, total_value) row per key per
+    micro-batch that touched it ("update" semantics — pair with an
+    update-capable sink or foreachBatch upsert). State is one fixed-width
+    row per distinct key: at 100 TB the state store shards by the
+    groupBy key across executors (RocksDB-backed in production configs),
+    and the per-batch Arrow transfer carries only touched keys' rows —
+    never the history.
+
+    NoTimeout: totals are forever (that is the op's contract). Callers
+    needing bounded state set a timeout and fold eviction into the
+    update rule — the dedup twins above show both designs."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
