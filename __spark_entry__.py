@@ -2685,6 +2685,40 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_quantized_topk(spark, sf_dir):
+    """Two-stage ANN serving (wbkg/ops/similarity.py quantized_topk):
+    int8 asymmetric-distance shortlist (scale * sum(code*q), half-up codes
+    — quantize_embeddings' exact arithmetic) then exact re-rank, both
+    cuts TakeOrderedAndProject with id tie-breaks. The oracle replays
+    quantization, shortlist and re-rank with the same rounding (6/4 dp)."""
+    from wbkg.ops.similarity import quantized_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, QUERY_VEC, k=10, shortlist=50)
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (wbkg/graph_analytics.py
+    personalized_pagerank) over the per-region nation chain, restarting
+    at the 5 chain HEADS: initial mass 1/5 per head, dangling tails
+    restart to the heads, every other node earns rank only by walk —
+    so position p's rank depends only on p and the oracle replays all
+    10 iterations with one 5-column recursive CTE (same scheme as
+    graph_pagerank, different recurrence: r0' = 0.03 + 0.85*dang/5,
+    rp' = 0.85*r(p-1)). Round 8 absorbs the dangling-fold sum-order
+    ulp."""
+    from wbkg.graph_analytics import personalized_pagerank
+
+    chain = _nation_chain_edges(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    srcs = chain.select(F.col("src").alias("node")).distinct()
+    dsts = chain.select(F.col("dst").alias("node")).distinct()
+    heads = srcs.join(dsts, "node", "left_anti")
+    ppr = personalized_pagerank(chain, heads, iterations=10, damping=0.85)
+    return ppr.select("node", F.round("rank", 8).alias("rank"))
+
+
 def q_graph_random_walks(spark, sf_dir):
     """Deterministic random-walk corpus (wbkg/graph_analytics.py
     random_walks — the DeepWalk/node2vec walk-generation stage): 1 walk of
@@ -2903,6 +2937,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "quantized_topk": q_quantized_topk,
+        "graph_ppr": q_graph_ppr,
         "graph_random_walks": q_graph_random_walks,
         "graph_harmonic": q_graph_harmonic,
         "event_transitions": q_event_transitions,
@@ -4460,6 +4496,54 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["quantized_topk"] = """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 CASE WHEN list_max(list_transform(embedding,
+                                                   x -> abs(x::DOUBLE))) > 0
+                      THEN list_max(list_transform(embedding,
+                                                   x -> abs(x::DOUBLE))) / 127.0
+                      ELSE 1.0 END AS raw_scale
+          FROM embeddings),
+        c AS (
+          SELECT vec_id, embedding, raw_scale,
+                 list_transform(embedding,
+                     x -> floor(x::DOUBLE / raw_scale + 0.5)) AS codes
+          FROM s),
+        cand AS (
+          SELECT vec_id, embedding,
+                 round(raw_scale * list_dot_product(codes::DOUBLE[],
+                                                    {QV}), 6) AS approx_score
+          FROM c
+          ORDER BY approx_score DESC, vec_id LIMIT 50)
+        SELECT vec_id, approx_score,
+               round(list_dot_product(embedding::DOUBLE[], {QV}), 4) AS score
+        FROM cand ORDER BY score DESC, vec_id LIMIT 10
+    """.replace("{QV}", QUERY_VEC_SQL)
+    sqls["graph_ppr"] = """
+        WITH RECURSIVE it AS (
+          SELECT 0 AS t, (1.0::DOUBLE/5) AS r0, 0.0::DOUBLE AS r1,
+                 0.0::DOUBLE AS r2, 0.0::DOUBLE AS r3, 0.0::DOUBLE AS r4
+          UNION ALL
+          SELECT t + 1,
+            ((1.0::DOUBLE - 0.85::DOUBLE)/5)
+              + 0.85::DOUBLE * ((5*r4)/5),
+            0.85::DOUBLE * r0,
+            0.85::DOUBLE * r1,
+            0.85::DOUBLE * r2,
+            0.85::DOUBLE * r3
+          FROM it WHERE t < 10),
+        fin AS (SELECT * FROM it WHERE t = 10),
+        pos AS (
+          SELECT 'n:' || n_nationkey AS node,
+                 (row_number() OVER (PARTITION BY n_regionkey
+                                     ORDER BY n_nationkey) - 1) AS p
+          FROM nation)
+        SELECT node,
+               round(CASE p WHEN 0 THEN r0 WHEN 1 THEN r1 WHEN 2 THEN r2
+                            WHEN 3 THEN r3 ELSE r4 END, 8) AS rank
+        FROM pos, fin
     """
     sqls["graph_random_walks"] = _walks_oracle_sql(walk_len=3)
     sqls["graph_harmonic"] = """

@@ -418,3 +418,34 @@ def test_harmonic_centrality_hop_bound(spark):
     }
     assert "d" not in got  # beyond the hop budget
     assert got["c"] == 0.5
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    from wbkg.graph_analytics import personalized_pagerank
+
+    # two disconnected cycles; seed only in the first
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")],
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.rank for r in personalized_pagerank(e, seeds, 20).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    # all mass stays in the seed's component
+    assert got["x"] == 0.0 and got["y"] == 0.0 and got["z"] == 0.0
+    assert got["a"] > got["b"] > 0 and got["c"] > 0
+
+
+def test_personalized_pagerank_all_seeds_equals_pagerank(spark):
+    from wbkg.graph_analytics import pagerank, personalized_pagerank
+
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]  # d dangles
+    e = _edges(spark, pairs)
+    nodes = spark.createDataFrame([(n,) for n in "abcd"], "node string")
+    pr = {r.node: r.rank for r in pagerank(e, iterations=8).collect()}
+    ppr = {
+        r.node: r.rank
+        for r in personalized_pagerank(e, nodes, iterations=8).collect()
+    }
+    for n in pr:
+        assert abs(pr[n] - ppr[n]) < 1e-12, (n, pr[n], ppr[n])

@@ -2062,3 +2062,32 @@ def test_profile_columns(spark):
     assert out["v"].n_nulls == 2
     assert out["v"].n_distinct == 2
     assert (out["v"].min_str, out["v"].max_str) == ("1.5", "5.0")
+
+
+def test_quantized_topk_recall_and_order(spark):
+    """Two-stage int8 prefilter + exact re-rank: with a full-size
+    shortlist the result must equal exact brute force (quantization only
+    reorders the SHORTLIST, never the final exact scores); with a tight
+    shortlist the output is still exact-scored and k-bounded."""
+    import numpy as np
+
+    from wbkg.ops.similarity import brute_force_topk, quantized_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(x) for x in vecs[7]]
+    exact = [(r.vec_id, r.score) for r in brute_force_topk(emb, qv, k=5).collect()]
+    two_stage = [
+        (r.vec_id, r.score)
+        for r in quantized_topk(emb, qv, k=5, shortlist=40).collect()
+    ]
+    assert two_stage == exact  # full shortlist -> identical to brute force
+    assert two_stage[0][0] == 7  # the query vector itself wins
+    tight = quantized_topk(emb, qv, k=5, shortlist=8).collect()
+    assert len(tight) == 5
+    assert all(r.score <= two_stage[0][1] for r in tight)

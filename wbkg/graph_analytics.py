@@ -904,3 +904,91 @@ def harmonic_centrality(
             F.round(F.sum(F.lit(1.0) / F.col("dist")), 8).alias("harmonic"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 2,
+    weight: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank -> (node, rank): random walk with restart to
+    a SEED set instead of the uniform teleport — "importance relative to
+    these entities", the recommendation / related-entity scorer (on a KG:
+    rank everything w.r.t. one document's entities).
+
+    rank_{t+1}(n) = (1-d) * 1{n in S}/|S|
+                    + d * (sum_{m->n} rank_t(m) * w(m,n)/out_w(m)
+                           + dangling_t/|S| * 1{n in S})
+
+    Initial mass 1/|S| on seeds, 0 elsewhere; dangling mass restarts to
+    the seeds (the standard PPR convention — mass conservation holds, so
+    ranks always sum to 1). With S = all nodes this reduces float-exactly
+    to pagerank above (the unit test pins it). Multigraph semantics and
+    the fully-lazy one-row-broadcast dangling fold are identical to
+    pagerank — same per-iteration shuffle shape: one join vs out-degrees +
+    one partial-agg groupBy, both on the node key."""
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_set = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    n_seeds = seed_set.count()
+    nodes = (
+        nodes.join(seed_set.withColumn("is_seed", F.lit(1.0)), "node", "left")
+        .select("node", F.coalesce("is_seed", F.lit(0.0)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+
+    ranks = nodes.select(
+        "node", "is_seed", (F.col("is_seed") / n_seeds).alias("rank")
+    )
+    base = (1.0 - damping) / n_seeds
+    for i in range(iterations):
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left").select(
+            "node", "rank", "out_w"
+        )
+        dang = with_deg.filter(F.col("out_w").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        contribs = (
+            with_deg.filter(F.col("out_w").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("w") / F.col("out_w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.lit(base) * F.col("is_seed")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("dang") / n_seeds * F.col("is_seed")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")

