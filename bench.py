@@ -475,6 +475,15 @@ def headline(sf_dir: str) -> dict:
         "cohort_retention",
         "graph_ktruss",
         "graph_hits",
+        # round-6 session 4
+        "event_transitions",
+        "gapfill_daily",
+        "ewma_smooth",
+        "profile_columns",
+        "graph_random_walks",
+        "graph_harmonic",
+        "graph_ppr",
+        "quantized_topk",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
@@ -497,6 +506,11 @@ def headline(sf_dir: str) -> dict:
         "bigram_lm",
         "asof_join_events",
         "interval_overlap",
+        # round-6 session 4: the Markov window and the per-user EWMA fold
+        # ride the 10x event log — the fold's skew bound (hottest user's
+        # array) is exactly what 10x disjoint users must NOT grow
+        "event_transitions",
+        "ewma_smooth",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf1_dir).count()
