@@ -2685,6 +2685,18 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-ranking (wbkg/ops/similarity.py mmr_rerank):
+    shortlist-20 by exact cosine, then 4 greedy rounds of
+    0.7*rel - 0.3*max_sim_to_selected (rel round-4, sims round-6 BEFORE
+    the max, score round-6, id tie-breaks — every cut engine-exact). The
+    oracle unrolls the same rounds with MATERIALIZED selected-set CTEs."""
+    from wbkg.ops.similarity import mmr_rerank
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, QUERY_VEC, k=5, shortlist=20, lam=0.7)
+
+
 def q_quantized_topk(spark, sf_dir):
     """Two-stage ANN serving (wbkg/ops/similarity.py quantized_topk):
     int8 asymmetric-distance shortlist (scale * sum(code*q), half-up codes
@@ -2937,6 +2949,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "mmr_rerank": q_mmr_rerank,
         "quantized_topk": q_quantized_topk,
         "graph_ppr": q_graph_ppr,
         "graph_random_walks": q_graph_random_walks,
@@ -4497,6 +4510,7 @@ def _oracle_sqls() -> dict[str, str]:
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
     """
+    sqls["mmr_rerank"] = _mmr_oracle_sql(k=5, shortlist=20, lam=0.7)
     sqls["quantized_topk"] = """
         WITH s AS (
           SELECT vec_id, embedding,
@@ -4639,6 +4653,44 @@ def _oracle_sqls() -> dict[str, str]:
         FROM orders
     """
     return sqls
+
+
+def _mmr_oracle_sql(k: int, shortlist: int, lam: float) -> str:
+    """Unrolled MMR greedy: one (scored, pick, selected) CTE triple per
+    round. selected sets are AS MATERIALIZED — each is referenced three
+    times per round and plain CTEs would inline 3^k-fold."""
+    lam_s = f"{lam}::DOUBLE"
+    om_s = f"{round(1.0 - lam, 10)}::DOUBLE"
+    parts = [
+        f"""
+        WITH cand AS MATERIALIZED (
+          SELECT vec_id, embedding,
+                 round(list_dot_product(embedding::DOUBLE[], {QUERY_VEC_SQL}),
+                       4) AS rel
+          FROM embeddings ORDER BY rel DESC, vec_id LIMIT {shortlist}),
+        r1 AS (SELECT 1 AS rank, vec_id, embedding, rel
+               FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        sel1 AS MATERIALIZED (SELECT * FROM r1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+        s{r} AS MATERIALIZED (
+          SELECT c.vec_id, c.embedding, c.rel,
+                 round({lam_s} * c.rel - {om_s} * (
+                       SELECT max(round(list_dot_product(
+                                    c.embedding::DOUBLE[],
+                                    s.embedding::DOUBLE[]), 6))
+                       FROM sel{r - 1} s), 6) AS score
+          FROM cand c
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})),
+        r{r} AS (SELECT {r} AS rank, vec_id, embedding, rel
+                 FROM s{r} ORDER BY score DESC, vec_id LIMIT 1),
+        sel{r} AS MATERIALIZED (
+          SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM r{r})"""
+        )
+    parts.append(f"\n        SELECT rank, vec_id, rel FROM sel{k}")
+    return "".join(parts)
 
 
 def _walks_oracle_sql(walk_len: int) -> str:

@@ -2091,3 +2091,40 @@ def test_quantized_topk_recall_and_order(spark):
     tight = quantized_topk(emb, qv, k=5, shortlist=8).collect()
     assert len(tight) == 5
     assert all(r.score <= two_stage[0][1] for r in tight)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR must skip a near-duplicate of the top hit in favor of a
+    diverse document, while plain top-k would keep the duplicate."""
+    from wbkg.ops.similarity import mmr_rerank
+
+    # query along e0; v1 is a near-dup of v0 (high mutual sim), v2/v3 are
+    # relevant-but-diverse. Hand math (lam=0.5, sims/scores as the op
+    # rounds them): rank2 scores v1=-0.052, v2=+0.150, v3=-0.063 -> v2;
+    # rank3: v1=-0.052 (still dominated by sim to v0), v3=-0.034 -> v3.
+    rows = [
+        (0, [0.90, 0.43, 0.0, 0.0]),
+        (1, [0.89, 0.45, 0.0, 0.0]),    # near-dup of 0: sim 0.9945
+        (2, [0.85, -0.5, 0.1, 0.0]),    # rel 0.85, sim to 0 only 0.55
+        (3, [0.20, 0.0, 0.97, 0.0]),    # low rel, nearly orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [
+        (r.rank, r.vec_id)
+        for r in mmr_rerank(emb, [1.0, 0.0, 0.0, 0.0], k=3, shortlist=4, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    # plain top-3 by relevance would be [0, 1, 2] — MMR must skip the
+    # near-dup entirely
+    assert out == [(1, 0), (2, 2), (3, 3)]
+
+
+def test_mmr_rerank_k1_equals_top1(spark):
+    from wbkg.ops.similarity import brute_force_topk, mmr_rerank
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = brute_force_topk(emb, [0.0, 1.0, 0.0, 0.0], k=1).collect()[0]
+    got = mmr_rerank(emb, [0.0, 1.0, 0.0, 0.0], k=1, shortlist=4).collect()
+    assert len(got) == 1 and got[0].vec_id == top.vec_id and got[0].rank == 1

@@ -363,3 +363,86 @@ def quantized_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking -> (rank, id, rel): greedily
+    pick the candidate maximizing lam*relevance - (1-lam)*max_sim_to_
+    already_selected — the diversified context-selection step RAG
+    pipelines run between retrieval and the prompt (top-k alone returns k
+    near-duplicates of the best hit; MMR spends the budget on coverage).
+
+    Stage 1 is the distributed shortlist cut (TakeOrderedAndProject, the
+    corpus never shuffles). The greedy loop then runs k-1 rounds of
+    DataFrame ops over the SHORTLIST ONLY — every join in it is
+    shortlist-bounded (<= shortlist^2 rows) BY CONTRACT, same k-bounded
+    reasoning as rrf_fuse; the corpus-scale work ended at stage 1.
+
+    Engine-exact determinism: rel rounds to 4 (the w2 convention),
+    pairwise sims round to 6 BEFORE the max, the MMR score rounds to 6,
+    ties break on id, and lam / (1-lam) are both spelled as literals (so
+    no engine computes 1-lam differently). The oracle unrolls the same k
+    rounds."""
+    cand = (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(_dot_expr(vec_col, query), 4).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.col(id_col))
+        .limit(shortlist)
+        .localCheckpoint()
+    )
+    lam_l, one_minus = F.lit(float(lam)), F.lit(round(1.0 - lam, 10))
+    selected = (
+        cand.orderBy(F.desc("rel"), F.col(id_col))
+        .limit(1)
+        .select(F.lit(1).alias("rank"), id_col, vec_col, "rel")
+        .localCheckpoint()
+    )
+    for r in range(2, k + 1):
+        remaining = cand.join(selected.select(id_col), id_col, "left_anti")
+        sel = selected.select(
+            F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec")
+        )
+        pair_sim = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("_svec"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        scored = (
+            remaining.crossJoin(F.broadcast(sel))
+            .select(id_col, vec_col, "rel", pair_sim.alias("sim"))
+            .groupBy(id_col, vec_col, "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(
+                id_col,
+                vec_col,
+                "rel",
+                F.round(lam_l * F.col("rel") - one_minus * F.col("maxsim"), 6).alias(
+                    "score"
+                ),
+            )
+        )
+        pick = (
+            scored.orderBy(F.desc("score"), F.col(id_col))
+            .limit(1)
+            .select(F.lit(r).alias("rank"), id_col, vec_col, "rel")
+        )
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select("rank", id_col, "rel")
