@@ -2685,6 +2685,29 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_sample_temperature(spark, sf_dir):
+    """sqrt-temperature domain rebalance (wbkg/ops/prep.py
+    sample_temperature): per-source keep rates ~ sqrt(n)/n (sqrt is
+    IEEE-exact cross-engine, unlike pow), rate round-6, accept =
+    md5-bucket MOD 1e6 < integer micro-threshold — the data-derived-rate
+    variant of sample_mixture's integer-exact accept discipline."""
+    from wbkg.ops.prep import sample_temperature
+
+    return sample_temperature(
+        _read(spark, sf_dir, "documents"), target_fraction=0.5
+    )
+
+
+def q_vocab_oov_rate(spark, sf_dir):
+    """Vocabulary coverage / OOV rate (wbkg/ops/prep.py vocab_oov_rate):
+    top-8 corpus vocabulary (tf desc, term tie-break — a deterministic
+    TakeOrderedAndProject cut, no SinglePartition window) then per-doc
+    out-of-vocabulary rate via a broadcast membership join."""
+    from wbkg.ops.prep import vocab_oov_rate
+
+    return vocab_oov_rate(_read(spark, sf_dir, "documents"), vocab_size=8)
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversified re-ranking (wbkg/ops/similarity.py mmr_rerank):
     shortlist-20 by exact cosine, then 4 greedy rounds of
@@ -2949,6 +2972,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "sample_temperature": q_sample_temperature,
+        "vocab_oov_rate": q_vocab_oov_rate,
         "mmr_rerank": q_mmr_rerank,
         "quantized_topk": q_quantized_topk,
         "graph_ppr": q_graph_ppr,
@@ -4509,6 +4534,39 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["sample_temperature"] = """
+        WITH c AS (SELECT source, count(*)::BIGINT AS n
+                   FROM documents GROUP BY 1),
+        t AS (SELECT sum(sqrt(n::DOUBLE)) AS sw,
+                     floor(sum(n) * 0.5::DOUBLE)::BIGINT AS nt
+              FROM c),
+        r AS (SELECT source,
+                     least(1.0::DOUBLE,
+                           round(nt * sqrt(n::DOUBLE) / sw / n, 6)) AS rate
+              FROM c, t),
+        thr AS (SELECT source, round(rate * 1000000.0::DOUBLE)::BIGINT AS thr
+                FROM r)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr ON d.source = thr.source
+        WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+              % 1000000 < thr.thr
+    """
+    sqls["vocab_oov_rate"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\W+'),
+                   x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT term, count(*)::BIGINT AS tf FROM toks GROUP BY 1),
+        vocab AS (SELECT term FROM tf ORDER BY tf DESC, term LIMIT 8)
+        SELECT t.doc_id, count(*)::INTEGER AS n_tokens,
+               sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::INTEGER
+                 AS n_oov,
+               round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 8)::DOUBLE AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
     """
     sqls["mmr_rerank"] = _mmr_oracle_sql(k=5, shortlist=20, lam=0.7)
     sqls["quantized_topk"] = """

@@ -2128,3 +2128,45 @@ def test_mmr_rerank_k1_equals_top1(spark):
     top = brute_force_topk(emb, [0.0, 1.0, 0.0, 0.0], k=1).collect()[0]
     got = mmr_rerank(emb, [0.0, 1.0, 0.0, 0.0], k=1, shortlist=4).collect()
     assert len(got) == 1 and got[0].vec_id == top.vec_id and got[0].rank == 1
+
+
+def test_sample_temperature_rebalances(spark):
+    """sqrt-temperature sampling: the big domain is thinned much harder
+    than the small one, totals land near the target, and the accept set
+    is md5-stable under repartitioning."""
+    from wbkg.ops.prep import sample_temperature
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_temperature(df, target_fraction=0.5)
+    got = out.collect()
+    by = {}
+    for r in got:
+        by[r.source] = by.get(r.source, 0) + 1
+    # rates: sqrt(900)=30, sqrt(100)=10, sum=40, N=500
+    # big: 500*30/40/900 = 0.416667 ; small: 500*10/40/100 = 1.25 -> capped 1
+    assert by["small"] == 100           # small domain kept whole
+    assert 300 < by["big"] < 480        # ~0.4167 of 900, md5 jitter
+    again = {
+        (r.doc_id, r.source)
+        for r in sample_temperature(df.repartition(7), target_fraction=0.5).collect()
+    }
+    assert again == {(r.doc_id, r.source) for r in got}
+
+
+def test_vocab_oov_rate(spark):
+    from wbkg.ops.prep import vocab_oov_rate
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog xylophone quux"),
+        ],
+        "doc_id long, text string",
+    )
+    # vocab_size=3 -> top terms by tf then name: the(3), cat/dog/mat/on/sat/
+    # xylophone/quux all tf=1 -> ties on term: cat, dog
+    out = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate) for r in vocab_oov_rate(
+        df, vocab_size=3).collect()}
+    assert out[1] == (6, 3, 0.5)         # on, sat, mat OOV
+    assert out[2] == (4, 2, 0.5)         # xylophone, quux OOV

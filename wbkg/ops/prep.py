@@ -945,3 +945,113 @@ def profile_columns(df: DataFrame, cols: list) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def sample_temperature(
+    df: DataFrame,
+    target_fraction: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-rebalanced domain sampling (alpha = 0.5, the classic
+    multilingual-pretraining sqrt rebalance: big domains shrink, small
+    domains keep relatively more — mBERT/XLM-R's exponent): sample the
+    corpus down to ~target_fraction of its rows with per-domain keep
+    rates proportional to sqrt(n_d)/n_d.
+
+        rate_d = min(1, round(N_target * sqrt(n_d)/sum_sqrt / n_d, 6))
+
+    sqrt is IEEE-correctly-rounded in every engine (unlike pow), the rate
+    rounds to 6 decimals, and acceptance compares the doc's md5 bucket
+    MOD 1e6 against the integer micro-threshold round(rate*1e6) — so the
+    accept set is integer-exact cross-engine (the sample_mixture
+    discipline, micro-units instead of 2^32 because the rate here is
+    data-derived float math, not a caller literal). No RNG anywhere:
+    re-runs and re-partitions keep the same documents.
+
+    Plan: one domain-cardinality partial-agg groupBy + a one-row
+    broadcast total; the corpus is filtered in a single map-side pass
+    with the broadcast rate map — never shuffled."""
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("_n").cast("double"))).alias("_sw"),
+        F.floor(F.sum("_n") * F.lit(float(target_fraction)))
+        .cast("long")
+        .alias("_nt"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.col("_nt")
+                * F.sqrt(F.col("_n").cast("double"))
+                / F.col("_sw")
+                / F.col("_n"),
+                6,
+            ),
+        ).alias("_rate"),
+    )
+    thr = rates.select(
+        domain_col,
+        F.round(F.col("_rate") * F.lit(1000000.0), 0).cast("long").alias("_thr"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000000
+    )
+    return (
+        df.join(F.broadcast(thr), domain_col)
+        .filter(bucket < F.col("_thr"))
+        .select(F.col(id_col), F.col(domain_col))
+    )
+
+
+def vocab_oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary coverage -> (id, n_tokens, n_oov,
+    oov_rate): build the top-`vocab_size` term vocabulary by corpus
+    frequency (ties on term) and measure each document's out-of-
+    vocabulary rate — the feasibility check run before committing a
+    tokenizer vocab (high OOV = wasted UNK mass).
+
+    Plan: explode -> term partial-agg count (the token_freq_score shuffle
+    shape); the vocab cut is TakeOrderedAndProject (top-V per partition,
+    driver merge — no global sort, no SinglePartition window); membership
+    is a broadcast left join of the token stream against the V-row vocab;
+    the per-doc fold is one partial-agg groupBy on the doc key."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    vocab = (
+        tf.orderBy(F.desc("tf"), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_inv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 8).alias("oov_rate"),
+        )
+    )
