@@ -484,6 +484,9 @@ def headline(sf_dir: str) -> dict:
         "graph_harmonic",
         "graph_ppr",
         "quantized_topk",
+        "mmr_rerank",
+        "sample_temperature",
+        "vocab_oov_rate",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
