@@ -2685,6 +2685,35 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient (wbkg/graph_analytics.py
+    clustering_coefficient) over the part co-purchase graph — the
+    degree-ordered wedge enumeration attributing each triangle to its
+    three corners; the oracle counts each node's closed neighbor pairs
+    naively (spec form) at sf scale."""
+    from wbkg.graph_analytics import clustering_coefficient
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    return clustering_coefficient(pairs)
+
+
+def q_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrases (wbkg/ops/textops.py rake_keyphrases): stopword-
+    island candidate phrases, per-doc degree/frequency word scores,
+    phrase = sum of word scores, top-3 per doc with (score, phrase)
+    tie-breaks. The oracle replays the islands windows, the deg/freq
+    join and the ordered string_agg phrase assembly."""
+    from wbkg.ops.textops import rake_keyphrases
+
+    return rake_keyphrases(_read(spark, sf_dir, "documents"), top_k=3)
+
+
 def q_sample_temperature(spark, sf_dir):
     """sqrt-temperature domain rebalance (wbkg/ops/prep.py
     sample_temperature): per-source keep rates ~ sqrt(n)/n (sqrt is
@@ -2972,6 +3001,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "graph_clustering": q_graph_clustering,
+        "rake_keyphrases": q_rake_keyphrases,
         "sample_temperature": q_sample_temperature,
         "vocab_oov_rate": q_vocab_oov_rate,
         "mmr_rerank": q_mmr_rerank,
@@ -4534,6 +4565,68 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["graph_clustering"] = """
+        WITH und AS (
+          SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+          JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        nb AS (SELECT a AS v, b AS x FROM und
+               UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT v AS node, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+        tri AS (
+          SELECT p.v AS node, count(*)::BIGINT AS triangles
+          FROM nb p JOIN nb q ON p.v = q.v AND p.x < q.x
+          JOIN und e ON e.a = p.x AND e.b = q.x
+          GROUP BY 1)
+        SELECT d.node, d.deg,
+               coalesce(t.triangles, 0)::BIGINT AS triangles,
+               round(coalesce(t.triangles, 0) * 2
+                     / (d.deg * (d.deg - 1))::DOUBLE, 8)::DOUBLE AS coeff
+        FROM deg d LEFT JOIN tri t ON d.node = t.node
+        WHERE d.deg >= 2
+    """
+    sqls["rake_keyphrases"] = r"""
+        WITH t AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                                                           '\W+'),
+                                     x -> x <> '') AS ws
+          FROM documents),
+        w0 AS (
+          SELECT doc_id, u.i AS pos, t.ws[u.i] AS word
+          FROM t, unnest(generate_series(1, len(t.ws))) u(i)),
+        w1 AS (
+          SELECT doc_id, pos, word,
+                 word IN ('the','and','of','to','a','in','is','for')
+                   AS is_stop
+          FROM w0),
+        w2 AS (
+          SELECT doc_id, pos, word, is_stop,
+                 sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM w1),
+        w3 AS (SELECT doc_id, pos, word, grp FROM w2 WHERE NOT is_stop),
+        w4 AS (SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS plen
+               FROM w3),
+        wsc AS (SELECT doc_id, word,
+                       sum(plen)::BIGINT / count(*)::DOUBLE AS wscore
+                FROM w4 GROUP BY 1, 2),
+        ph AS (SELECT doc_id, grp,
+                      string_agg(word, ' ' ORDER BY pos) AS phrase
+               FROM w4 GROUP BY 1, 2),
+        sc AS (SELECT w4.doc_id, w4.grp,
+                      round(sum(wsc.wscore), 8)::DOUBLE AS score
+               FROM w4 JOIN wsc ON w4.doc_id = wsc.doc_id
+                               AND w4.word = wsc.word
+               GROUP BY 1, 2),
+        fin AS (
+          SELECT sc.doc_id, ph.phrase, sc.score,
+                 row_number() OVER (PARTITION BY sc.doc_id
+                                    ORDER BY sc.score DESC, ph.phrase)
+                   ::INTEGER AS rank
+          FROM sc JOIN ph ON sc.doc_id = ph.doc_id AND sc.grp = ph.grp)
+        SELECT doc_id, phrase, score, rank FROM fin WHERE rank <= 3
     """
     sqls["sample_temperature"] = """
         WITH c AS (SELECT source, count(*)::BIGINT AS n

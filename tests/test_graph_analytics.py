@@ -449,3 +449,31 @@ def test_personalized_pagerank_all_seeds_equals_pagerank(spark):
     }
     for n in pr:
         assert abs(pr[n] - ppr[n]) < 1e-12, (n, pr[n], ppr[n])
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    from wbkg.graph_analytics import clustering_coefficient
+
+    # triangle a-b-c plus pendant d on a, plus star center e -> f,g
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+             ("e", "f"), ("e", "g")]
+    got = {
+        r.node: (r.deg, r.triangles, r.coeff)
+        for r in clustering_coefficient(_edges(spark, pairs)).collect()
+    }
+    assert got["a"] == (3, 1, 0.33333333)  # one of three neighbor pairs closed
+    assert got["b"] == (2, 1, 1.0)
+    assert got["c"] == (2, 1, 1.0)
+    assert got["e"] == (2, 0, 0.0)         # star: neighbors not connected
+    assert "d" not in got and "f" not in got  # deg < 2 excluded
+
+
+def test_clustering_coefficient_clique_is_one(spark):
+    from itertools import combinations
+
+    from wbkg.graph_analytics import clustering_coefficient
+
+    pairs = [(a, b) for a, b in combinations("abcde", 2)]
+    got = clustering_coefficient(_edges(spark, pairs)).collect()
+    assert len(got) == 5
+    assert all(r.coeff == 1.0 and r.deg == 4 and r.triangles == 6 for r in got)

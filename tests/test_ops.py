@@ -2170,3 +2170,43 @@ def test_vocab_oov_rate(spark):
         df, vocab_size=3).collect()}
     assert out[1] == (6, 3, 0.5)         # on, sat, mat OOV
     assert out[2] == (4, 2, 0.5)         # xylophone, quux OOV
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    """RAKE on the canonical-style example: multi-word phrases outscore
+    frequent single words because degree rewards co-membership."""
+    from wbkg.ops.textops import rake_keyphrases
+
+    # phrases after stop-splitting: [deep learning systems], [deep learning],
+    # [training data] -> per-doc stats:
+    # deep: freq 2, deg 3+2=5, score 2.5 ; learning: 2, 5, 2.5
+    # systems: 1, 3, 3.0 ; training: 1, 2, 2.0 ; data: 1, 2, 2.0
+    # scores: "deep learning systems" = 8.0, "deep learning" = 5.0,
+    #         "training data" = 4.0
+    df = spark.createDataFrame(
+        [(1, "deep learning systems and deep learning for training data")],
+        "doc_id long, text string",
+    )
+    out = [(r.rank, r.phrase, r.score) for r in rake_keyphrases(df, top_k=3)
+           .orderBy("rank").collect()]
+    assert out == [
+        (1, "deep learning systems", 8.0),
+        (2, "deep learning", 5.0),
+        (3, "training data", 4.0),
+    ]
+
+
+def test_rake_keyphrases_stopword_islands(spark):
+    """Consecutive stopwords and leading/trailing stopwords produce clean
+    phrase islands; a doc of only stopwords yields no rows."""
+    from wbkg.ops.textops import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "the of to quick fox in the and lazy dog to"),
+         (2, "the and of is")],
+        "doc_id long, text string",
+    )
+    got = rake_keyphrases(df, top_k=5).collect()
+    phrases = {r.phrase for r in got if r.doc_id == 1}
+    assert phrases == {"quick fox", "lazy dog"}
+    assert not [r for r in got if r.doc_id == 2]

@@ -992,3 +992,75 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient -> (node, deg, triangles, coeff) for
+    every node with degree >= 2: coeff = 2*T_v / (deg_v*(deg_v-1)) — how
+    close each node's neighborhood is to a clique (the per-node companion
+    to triangle_count's global number; on a KG it separates hub entities
+    whose neighbors interconnect from pure star centers).
+
+    Same degree-ordered Schank-Wagner wedge enumeration as triangle_count
+    (Σ outdeg² wedge bound — the formulation that survives dense graphs),
+    but the closing semi-join becomes an inner join so each triangle
+    materializes once as (u, v1, v2); a 3-way explode then attributes it
+    to each corner and one partial-agg groupBy counts per node. Triangle
+    volume (not wedge volume) is the only extra cost over the global
+    count."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
+    )
+    ann = und.join(
+        deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a"
+    ).join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ann.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.coalesce("triangles", F.lit(0))
+                * 2
+                / (F.col("deg") * (F.col("deg") - 1)),
+                8,
+            ).alias("coeff"),
+        )
+    )

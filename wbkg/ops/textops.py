@@ -943,3 +943,69 @@ def rrf_fuse(
     if top_k is not None:
         fused = fused.orderBy(F.desc("rrf"), F.col(id_col)).limit(top_k)
     return fused
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    top_k: int = 3,
+    stopwords: list | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction -> (id, phrase, score, rank): the classic
+    degree/frequency keyword scorer (Rose et al. 2010) — candidate phrases
+    are maximal stopword-free word runs; word_score = deg(w)/freq(w) where
+    deg counts co-membership (phrase length) and freq counts occurrences,
+    both PER DOCUMENT; phrase_score = sum of its words' scores. The second
+    extractor next to tfidf_topk: TF-IDF needs the corpus, RAKE scores a
+    document in isolation (the streaming-friendly variant).
+
+    Fully relational islands formulation (no UDF): posexplode words, flag
+    stopwords, phrase id = running stopword count (one per-doc window),
+    then word stats / phrase assembly / scoring are partial-agg groupBys
+    and a word-key join, all inside the doc key — ONE shuffle family.
+    concat_ws over collect_list ordered by (pos) via array_sort on
+    (pos, word) structs keeps phrase text deterministic. Ties on
+    (score, phrase) totalize the top-k cut; scores round 8."""
+    stops = stopwords if stopwords is not None else EN_STOPWORDS
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+            )
+        ).alias("pos", "word"),
+    ).withColumn("is_stop", F.array_contains(stop_arr, F.col("word")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    words = words.withColumn(
+        "grp", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(w)
+    ).filter(~F.col("is_stop"))
+    # phrase length per (doc, grp); word carries its phrase's length
+    wl = Window.partitionBy(id_col, "grp")
+    words = words.withColumn("plen", F.count("*").over(wl))
+    wstats = words.groupBy(id_col, "word").agg(
+        (F.sum("plen") / F.count("*")).alias("wscore")
+    )
+    phrases = words.groupBy(id_col, "grp").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("phrase")
+    )
+    scored = (
+        words.join(wstats, [id_col, "word"])
+        .groupBy(id_col, "grp")
+        .agg(F.round(F.sum("wscore"), 8).alias("score"))
+        .join(phrases, [id_col, "grp"])
+    )
+    rw = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("phrase"))
+    return (
+        scored.select(
+            id_col, "phrase", "score", F.row_number().over(rw).alias("rank")
+        )
+        .filter(F.col("rank") <= top_k)
+    )
