@@ -487,6 +487,8 @@ def headline(sf_dir: str) -> dict:
         "mmr_rerank",
         "sample_temperature",
         "vocab_oov_rate",
+        "rake_keyphrases",
+        "graph_clustering",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
