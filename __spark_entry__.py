@@ -2685,6 +2685,39 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components (wbkg/graph_analytics.py
+    strongly_connected_components, Orzan coloring) on the nation chains
+    CLOSED into per-region cycles (tail->head back edge) plus one-way
+    tail->next-region-head bridges: five 5-cycles chained by DAG edges —
+    coloring floods the global min everywhere, so exactly one cycle peels
+    per round and the multi-round path runs for real. The oracle is
+    algorithm-independent: recursive-CTE closure + mutual-reachability
+    pairs, scc_id = min member (lexicographic on both sides)."""
+    from wbkg.graph_analytics import strongly_connected_components
+
+    chain = _nation_chain_edges(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    n = _read(spark, sf_dir, "nation")
+    hd = n.groupBy("n_regionkey").agg(
+        F.min("n_nationkey").alias("h"), F.max("n_nationkey").alias("t")
+    )
+    back = hd.select(
+        F.concat(F.lit("n:"), F.col("t").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("h").cast("string")).alias("dst"),
+    )
+    a, b = hd.alias("a"), hd.alias("b")
+    bridges = a.join(
+        b, F.col("b.n_regionkey") == F.col("a.n_regionkey") + 1
+    ).select(
+        F.concat(F.lit("n:"), F.col("a.t").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("b.h").cast("string")).alias("dst"),
+    )
+    e = chain.unionByName(back).unionByName(bridges)
+    return strongly_connected_components(e)
+
+
 def q_graph_clustering(spark, sf_dir):
     """Local clustering coefficient (wbkg/graph_analytics.py
     clustering_coefficient) over the part co-purchase graph — the
@@ -3001,6 +3034,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "graph_scc": q_graph_scc,
         "graph_clustering": q_graph_clustering,
         "rake_keyphrases": q_rake_keyphrases,
         "sample_temperature": q_sample_temperature,
@@ -4565,6 +4599,37 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["graph_scc"] = """
+        WITH RECURSIVE pos AS (
+          SELECT n_nationkey AS k, n_regionkey AS r,
+                 row_number() OVER (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey) AS p
+          FROM nation),
+        chain AS (
+          SELECT 'n:' || a.k AS src, 'n:' || b.k AS dst
+          FROM pos a JOIN pos b ON a.r = b.r AND b.p = a.p + 1),
+        hd AS (SELECT n_regionkey AS r, min(n_nationkey) AS h,
+                      max(n_nationkey) AS t
+               FROM nation GROUP BY 1),
+        e AS (
+          SELECT src, dst FROM chain
+          UNION
+          SELECT 'n:' || t, 'n:' || h FROM hd
+          UNION
+          SELECT 'n:' || a.t, 'n:' || b.h
+          FROM hd a JOIN hd b ON b.r = a.r + 1),
+        reach AS (
+          SELECT src AS a, dst AS b FROM e
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+        m AS (
+          SELECT r1.a AS v, r1.b AS u
+          FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+        nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        aug AS (SELECT v, v AS u FROM nodes
+                UNION ALL SELECT v, u FROM m)
+        SELECT v AS member, min(u) AS scc_id FROM aug GROUP BY v
     """
     sqls["graph_clustering"] = """
         WITH und AS (

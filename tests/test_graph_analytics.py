@@ -477,3 +477,46 @@ def test_clustering_coefficient_clique_is_one(spark):
     got = clustering_coefficient(_edges(spark, pairs)).collect()
     assert len(got) == 5
     assert all(r.coeff == 1.0 and r.deg == 4 and r.triangles == 6 for r in got)
+
+
+def test_scc_cycles_and_dag(spark):
+    from wbkg.graph_analytics import strongly_connected_components
+
+    # cycle {a,b,c}; cycle {x,y}; DAG edges c->x and c->q (q singleton)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "x"), ("c", "x"), ("c", "q")]
+    got = {
+        r.member: r.scc_id
+        for r in strongly_connected_components(_edges(spark, pairs)).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x",
+        "q": "q",
+    }
+
+
+def test_scc_pure_dag_is_all_singletons(spark):
+    from wbkg.graph_analytics import strongly_connected_components
+
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = {
+        r.member: r.scc_id
+        for r in strongly_connected_components(_edges(spark, pairs)).collect()
+    }
+    assert got == {n: n for n in "abcd"}
+
+
+def test_scc_chain_of_cycles_needs_multiple_rounds(spark):
+    from wbkg.graph_analytics import strongly_connected_components
+
+    # cycle {a,b} -> cycle {c,d} -> cycle {e,f}: coloring floods 'a'
+    # everywhere in round 1, so only {a,b} peels first — the multi-round
+    # path is exercised for real
+    pairs = [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"),
+             ("e", "f"), ("f", "e"), ("b", "c"), ("d", "e")]
+    got = {
+        r.member: r.scc_id
+        for r in strongly_connected_components(_edges(spark, pairs)).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e", "f": "e"}

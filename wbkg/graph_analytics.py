@@ -1064,3 +1064,124 @@ def clustering_coefficient(
             ).alias("coeff"),
         )
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph -> (member,
+    scc_id) with scc_id = the minimum node id of the component — the
+    directed counterpart of g4's connected components (mutual
+    reachability: cycles collapse, DAG edges don't).
+
+    Orzan-style coloring, the standard distributed SCC scheme: each round
+    (1) colors every remaining node with the MINIMUM id that can reach it
+    (forward min-label propagation to fixpoint), (2) inside each color
+    class, propagates the minimum within-class id reachable FROM each
+    node (backward propagation on color-matched edges — correctness: any
+    v->*c path stays inside c's class, provable from color minimality);
+    nodes where the two labels agree are exactly the SCC of their class's
+    minimal node, get labeled, and leave the graph. Every round removes
+    at least each minimal color's SCC, so rounds <= #SCC (in practice a
+    handful: every singleton whose color is itself peels immediately).
+
+    Plan shape per fixpoint iteration: one edge-keyed join + one
+    partial-agg min groupBy on the node key (the pagerank family);
+    fixpoints run to CONVERGENCE (changed-count action per iteration,
+    localCheckpoint lineage cuts) — iteration count tracks the remaining
+    subgraph's diameter, not V. State is (node, label) pairs only."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = nodes
+    out = None
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            break
+        re = (
+            e.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        # (1) color(v) = min id reaching v: propagate src's color to dst
+        color = remaining.select("node", F.col("node").alias("color")).localCheckpoint()
+        while True:
+            cand = (
+                re.join(color, re["src"] == color["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("color").alias("c2"))
+            )
+            nxt = (
+                color.join(cand, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("color"), F.coalesce("c2", F.col("color"))).alias(
+                        "color"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                nxt.join(color.withColumnRenamed("color", "old"), "node")
+                .filter(F.col("color") != F.col("old"))
+                .count()
+            )
+            color = nxt
+            if changed == 0:
+                break
+        # (2) within each color class, f(v) = min same-class id reachable
+        # FROM v: propagate dst's label to src on color-matched edges
+        ec = (
+            re.join(color.withColumnRenamed("node", "src").withColumnRenamed("color", "cs"), "src")
+            .join(color.withColumnRenamed("node", "dst").withColumnRenamed("color", "cd"), "dst")
+            .filter(F.col("cs") == F.col("cd"))
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        f = remaining.select("node", F.col("node").alias("f")).localCheckpoint()
+        while True:
+            cand = (
+                ec.join(f, ec["dst"] == f["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("f").alias("f2"))
+            )
+            nxt = (
+                f.join(cand, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("f"), F.coalesce("f2", F.col("f"))).alias("f"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                nxt.join(f.withColumnRenamed("f", "old"), "node")
+                .filter(F.col("f") != F.col("old"))
+                .count()
+            )
+            f = nxt
+            if changed == 0:
+                break
+        labeled = (
+            color.join(f, "node")
+            .filter(F.col("color") == F.col("f"))
+            .select(F.col("node").alias("member"), F.col("color").alias("scc_id"))
+            .localCheckpoint()
+        )
+        out = labeled if out is None else out.unionByName(labeled).localCheckpoint()
+        remaining = (
+            remaining.join(
+                labeled.select(F.col("member").alias("node")), "node", "left_anti"
+            ).localCheckpoint()
+        )
+    if out is None:
+        return nodes.select(
+            F.col("node").alias("member"), F.col("node").alias("scc_id")
+        ).limit(0)
+    return out
