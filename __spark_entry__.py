@@ -2688,10 +2688,11 @@ def _user_type_bipartite(spark, sf_dir):
 def q_graph_scc(spark, sf_dir):
     """Strongly connected components (wbkg/graph_analytics.py
     strongly_connected_components, Orzan coloring) on the nation chains
-    CLOSED into per-region cycles (tail->head back edge) plus one-way
-    tail->next-region-head bridges: five 5-cycles chained by DAG edges —
-    coloring floods the global min everywhere, so exactly one cycle peels
-    per round and the multi-round path runs for real. The oracle is
+    CLOSED into per-region cycles (tail->head back edge) plus ONE one-way
+    region-0-tail -> region-1-head bridge: five 5-cycles, two DAG-linked —
+    coloring floods region 0's min into region 1, so region 1 peels only
+    in round 2 (the multi-round path runs for real; the other cycles peel
+    immediately, keeping the query's job count bounded). The oracle is
     algorithm-independent: recursive-CTE closure + mutual-reachability
     pairs, scc_id = min member (lexicographic on both sides)."""
     from wbkg.graph_analytics import strongly_connected_components
@@ -2709,7 +2710,9 @@ def q_graph_scc(spark, sf_dir):
     )
     a, b = hd.alias("a"), hd.alias("b")
     bridges = a.join(
-        b, F.col("b.n_regionkey") == F.col("a.n_regionkey") + 1
+        b,
+        (F.col("b.n_regionkey") == F.col("a.n_regionkey") + 1)
+        & (F.col("a.n_regionkey") == 0),
     ).select(
         F.concat(F.lit("n:"), F.col("a.t").cast("string")).alias("src"),
         F.concat(F.lit("n:"), F.col("b.h").cast("string")).alias("dst"),
@@ -4618,7 +4621,7 @@ def _oracle_sqls() -> dict[str, str]:
           SELECT 'n:' || t, 'n:' || h FROM hd
           UNION
           SELECT 'n:' || a.t, 'n:' || b.h
-          FROM hd a JOIN hd b ON b.r = a.r + 1),
+          FROM hd a JOIN hd b ON b.r = a.r + 1 AND a.r = 0),
         reach AS (
           SELECT src AS a, dst AS b FROM e
           UNION

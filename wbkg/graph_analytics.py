@@ -1066,6 +1066,46 @@ def clustering_coefficient(
     )
 
 
+def _min_label_fixpoint(
+    nodes: DataFrame, e: DataFrame, from_col: str, to_col: str, label_alias: str
+) -> DataFrame:
+    """Min-label propagation to convergence over directed edges (labels
+    flow from `from_col`'s endpoint to `to_col`'s) -> (node, <label>).
+    Runs TWO propagation steps per convergence probe: the changed-count
+    action is a full job, and a converged step is idempotent, so probing
+    every other step halves the job count for the same fixpoint."""
+    lbl = nodes.select("node", F.col("node").alias(label_alias)).localCheckpoint()
+    while True:
+        cur = lbl
+        for _ in range(2):
+            cand = (
+                e.join(cur, e[from_col] == cur["node"])
+                .groupBy(F.col(to_col).alias("node"))
+                .agg(F.min(label_alias).alias("_c2"))
+            )
+            cur = (
+                cur.join(cand, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col(label_alias), F.coalesce("_c2", F.col(label_alias))
+                    ).alias(label_alias),
+                )
+                .localCheckpoint()
+            )
+        changed = (
+            cur.join(
+                lbl.withColumnRenamed(label_alias, "_old"), "node"
+            )
+            .filter(F.col(label_alias) != F.col("_old"))
+            .count()
+        )
+        lbl = cur
+        if changed == 0:
+            break
+    return lbl
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 20,
@@ -1111,31 +1151,9 @@ def strongly_connected_components(
             .localCheckpoint()
         )
         # (1) color(v) = min id reaching v: propagate src's color to dst
-        color = remaining.select("node", F.col("node").alias("color")).localCheckpoint()
-        while True:
-            cand = (
-                re.join(color, re["src"] == color["node"])
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("color").alias("c2"))
-            )
-            nxt = (
-                color.join(cand, "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("color"), F.coalesce("c2", F.col("color"))).alias(
-                        "color"
-                    ),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                nxt.join(color.withColumnRenamed("color", "old"), "node")
-                .filter(F.col("color") != F.col("old"))
-                .count()
-            )
-            color = nxt
-            if changed == 0:
-                break
+        color = _min_label_fixpoint(
+            remaining, re, "src", "dst", label_alias="color"
+        )
         # (2) within each color class, f(v) = min same-class id reachable
         # FROM v: propagate dst's label to src on color-matched edges
         ec = (
@@ -1145,29 +1163,7 @@ def strongly_connected_components(
             .select("src", "dst")
             .localCheckpoint()
         )
-        f = remaining.select("node", F.col("node").alias("f")).localCheckpoint()
-        while True:
-            cand = (
-                ec.join(f, ec["dst"] == f["node"])
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.min("f").alias("f2"))
-            )
-            nxt = (
-                f.join(cand, "node", "left")
-                .select(
-                    "node",
-                    F.least(F.col("f"), F.coalesce("f2", F.col("f"))).alias("f"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                nxt.join(f.withColumnRenamed("f", "old"), "node")
-                .filter(F.col("f") != F.col("old"))
-                .count()
-            )
-            f = nxt
-            if changed == 0:
-                break
+        f = _min_label_fixpoint(remaining, ec, "dst", "src", label_alias="f")
         labeled = (
             color.join(f, "node")
             .filter(F.col("color") == F.col("f"))
