@@ -2685,6 +2685,28 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff / change-data-feed (wbkg/ops/table.py table_diff):
+    two synthetic versions of orders (v1 drops every 3rd key, v2 drops
+    every 5th and doubles even keys' totals) classified I/D/U via ONE
+    full-outer key join with map-side value hashing. The oracle states
+    the diff relationally (IS DISTINCT FROM per column) — algorithm-
+    independent of the hash."""
+    from wbkg.ops.table import table_diff
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 3 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
 def q_graph_scc(spark, sf_dir):
     """Strongly connected components (wbkg/graph_analytics.py
     strongly_connected_components, Orzan coloring) on the nation chains
@@ -3037,6 +3059,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "table_diff": q_table_diff,
         "graph_scc": q_graph_scc,
         "graph_clustering": q_graph_clustering,
         "rake_keyphrases": q_rake_keyphrases,
@@ -4602,6 +4625,23 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["table_diff"] = """
+        WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+                   FROM orders WHERE o_orderkey % 3 <> 0),
+        n AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+                     CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS p
+              FROM orders WHERE o_orderkey % 5 <> 0),
+        j AS (
+          SELECT coalesce(o.k, n.k) AS o_orderkey,
+                 CASE WHEN o.k IS NULL THEN 'I'
+                      WHEN n.k IS NULL THEN 'D'
+                      WHEN (o.s IS DISTINCT FROM n.s)
+                           OR (o.p IS DISTINCT FROM n.p) THEN 'U'
+                 END AS op
+          FROM o FULL OUTER JOIN n ON o.k = n.k)
+        SELECT o_orderkey, op FROM j WHERE op IS NOT NULL
     """
     sqls["graph_scc"] = """
         WITH RECURSIVE pos AS (

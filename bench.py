@@ -489,6 +489,8 @@ def headline(sf_dir: str) -> dict:
         "vocab_oov_rate",
         "rake_keyphrases",
         "graph_clustering",
+        "table_diff",
+        "graph_scc",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()

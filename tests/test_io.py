@@ -154,3 +154,25 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "n_chars" in plan
+
+
+def test_snapshot_time_travel_and_rollback(spark, tmp_path):
+    from wbkg.io import read_snapshot, rollback_snapshot, write_snapshot
+
+    t = str(tmp_path / "snap")
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, x string"), t
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, x string"), t
+    )
+    assert (v1, v2) == (1, 2)
+    assert read_snapshot(spark, t).count() == 2          # latest
+    assert read_snapshot(spark, t, version=1).count() == 1  # VERSION AS OF
+    rollback_snapshot(t, 1)
+    assert read_snapshot(spark, t).count() == 1          # pointer flipped
+    assert read_snapshot(spark, t, version=2).count() == 2  # data immutable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rollback_snapshot(t, 99)

@@ -2210,3 +2210,27 @@ def test_rake_keyphrases_stopword_islands(spark):
     phrases = {r.phrase for r in got if r.doc_id == 1}
     assert phrases == {"quick fox", "lazy dog"}
     assert not [r for r in got if r.doc_id == 2]
+
+
+def test_table_diff_classifies_iud(spark):
+    from wbkg.ops.table import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None)],
+        "id long, x string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "id long, x string, v double",
+    )
+    got = {r.id: r.op for r in table_diff(old, new, ["id"]).collect()}
+    # 1 deleted, 2 unchanged (absent), 3 updated (NULL -> 3.0), 4 inserted
+    assert got == {1: "D", 3: "U", 4: "I"}
+
+
+def test_table_diff_null_vs_empty_not_aliased(spark):
+    from wbkg.ops.table import table_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, x string")
+    new = spark.createDataFrame([(1, "")], "id long, x string")
+    assert [r.op for r in table_diff(old, new, ["id"]).collect()] == ["U"]

@@ -155,3 +155,51 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Versioned snapshot write (the time-travel half of the Iceberg
+    emulation): data lands in `v=<N>/` (next integer version), then a
+    `_latest` pointer file flips — readers never see a half-written
+    version because the pointer is the commit (same atomicity discipline
+    as compact_table's staged rename). Returns the new version number."""
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    v = max(versions, default=0) + 1
+    df.write.mode("overwrite").parquet(f"{table_dir}/v={v}")
+    tmp = f"{table_dir}/_latest.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, f"{table_dir}/_latest")
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: `version=None` follows the `_latest` pointer;
+    an explicit version reads that snapshot regardless of later writes
+    (the `VERSION AS OF` surface)."""
+    if version is None:
+        with open(f"{table_dir}/_latest") as f:
+            version = int(f.read().strip())
+    return spark.read.parquet(f"{table_dir}/v={version}")
+
+
+def rollback_snapshot(table_dir: str, version: int) -> None:
+    """Point `_latest` back at an old version (data is immutable; rollback
+    is a pointer flip, exactly like Iceberg's snapshot rollback)."""
+    import os
+
+    if not os.path.isdir(f"{table_dir}/v={version}"):
+        raise ValueError(f"no such version: {version}")
+    tmp = f"{table_dir}/_latest.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, f"{table_dir}/_latest")

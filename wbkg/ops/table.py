@@ -76,3 +76,46 @@ def zorder_key(
         z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
         z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
     return df.withColumn("zkey", z)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list,
+) -> DataFrame:
+    """Snapshot diff / change-data-feed -> (keys..., op): classify every
+    key across two table versions as 'I' (inserted), 'D' (deleted) or 'U'
+    (updated — present in both with any non-key column changed) — the
+    CDF an Iceberg/Delta reader serves between snapshots, computed
+    relationally from two snapshots of any table.
+
+    Change detection hashes the non-key columns (md5 over a unit-separator
+    concat with a null sentinel, so NULL vs 'empty string' differ and
+    column boundaries can't alias); unchanged keys drop out. Plan: ONE
+    full-outer equi-join on the key (both sides shuffle once on the same
+    key — co-partitioned; bucket both snapshots by the key and even that
+    exchange disappears), hash computed map-side."""
+    val_cols = [c for c in old.columns if c not in keys]
+    if [c for c in new.columns if c not in keys] != val_cols:
+        raise ValueError("old/new schemas differ")
+    sep, nul = "\x1f", "\x00<null>"
+
+    def h(df):
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit(nul)) for c in val_cols]
+        return df.select(
+            *keys, F.md5(F.concat_ws(sep, *parts)).alias("_h")
+        )
+
+    o = h(old).withColumnRenamed("_h", "_ho")
+    n = h(new).withColumnRenamed("_h", "_hn")
+    j = o.join(n, keys, "full_outer")
+    return (
+        j.select(
+            *keys,
+            F.when(F.col("_ho").isNull(), F.lit("I"))
+            .when(F.col("_hn").isNull(), F.lit("D"))
+            .when(F.col("_ho") != F.col("_hn"), F.lit("U"))
+            .alias("op"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
