@@ -520,3 +520,18 @@ def test_scc_chain_of_cycles_needs_multiple_rounds(spark):
         for r in strongly_connected_components(_edges(spark, pairs)).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e", "f": "e"}
+
+
+def test_degenerate_inputs_rejected(spark):
+    import pytest as _pytest
+
+    from wbkg.graph_analytics import personalized_pagerank, random_walks
+
+    e = _edges(spark, [("a", "b")])
+    with _pytest.raises(ValueError):
+        random_walks(e, walk_len=0)
+    with _pytest.raises(ValueError):
+        random_walks(e, walks_per_node=0)
+    empty_seeds = spark.createDataFrame([], "node string")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(e, empty_seeds)

@@ -778,6 +778,10 @@ def random_walks(
     power-law graphs."""
     from pyspark.sql import Window
 
+    if walk_len < 1 or walks_per_node < 1:
+        # sequence(0, walks_per_node-1) would COUNT DOWN for 0 (Spark's
+        # default step is -1 when start > stop) — reject instead
+        raise ValueError("walk_len and walks_per_node must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     w = Window.partitionBy("src").orderBy("dst")
     nbr = (
@@ -945,6 +949,8 @@ def personalized_pagerank(
     )
     seed_set = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     n_seeds = seed_set.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
     nodes = (
         nodes.join(seed_set.withColumn("is_seed", F.lit(1.0)), "node", "left")
         .select("node", F.coalesce("is_seed", F.lit(0.0)).alias("is_seed"))
