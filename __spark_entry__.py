@@ -2685,6 +2685,38 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_winsorize(spark, sf_dir):
+    """Percentile winsorization (wbkg/ops/prep.py winsorize): order totals
+    clipped into each priority class's exact [p01, p99] band — Spark
+    percentile() and DuckDB quantile_cont share the linear-interpolation
+    definition; thresholds round 6 so the clip comparisons are
+    engine-stable."""
+    from wbkg.ops.prep import winsorize
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return winsorize(
+        o, "o_totalprice", group_col="o_orderpriority", lower=0.01, upper=0.99
+    )
+
+
+def q_graph_katz(spark, sf_dir):
+    """Katz centrality (wbkg/graph_analytics.py katz_centrality) over the
+    per-region nation chain: <=1 in-edge per node makes each update a
+    single-term recurrence, so the oracle replays all 10 truncated-series
+    iterations with the same 5-column recursive CTE scheme as
+    graph_pagerank (k_p' = 1 + 0.1*k_{p-1}, heads pinned at 1). Round 8
+    output convention."""
+    from wbkg.graph_analytics import katz_centrality
+
+    chain = _nation_chain_edges(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    k = katz_centrality(chain, iterations=10, alpha=0.1)
+    return k.select("node", F.round("katz", 8).alias("katz"))
+
+
 def q_table_diff(spark, sf_dir):
     """Snapshot diff / change-data-feed (wbkg/ops/table.py table_diff):
     two synthetic versions of orders (v1 drops every 3rd key, v2 drops
@@ -3059,6 +3091,8 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "winsorize": q_winsorize,
+        "graph_katz": q_graph_katz,
         "table_diff": q_table_diff,
         "graph_scc": q_graph_scc,
         "graph_clustering": q_graph_clustering,
@@ -4625,6 +4659,40 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["winsorize"] = """
+        WITH pct AS (
+          SELECT o_orderpriority AS grp,
+                 round(quantile_cont(o_totalprice, 0.01), 6) AS lo,
+                 round(quantile_cont(o_totalprice, 0.99), 6) AS hi
+          FROM orders GROUP BY 1)
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+               p.lo, p.hi,
+               least(greatest(o.o_totalprice, p.lo), p.hi) AS clipped
+        FROM orders o JOIN pct p ON o.o_orderpriority = p.grp
+    """
+    sqls["graph_katz"] = """
+        WITH RECURSIVE it AS (
+          SELECT 0 AS t, 1.0::DOUBLE AS r0, 1.0::DOUBLE AS r1,
+                 1.0::DOUBLE AS r2, 1.0::DOUBLE AS r3, 1.0::DOUBLE AS r4
+          UNION ALL
+          SELECT t + 1,
+            1.0::DOUBLE,
+            1.0::DOUBLE + 0.1::DOUBLE * r0,
+            1.0::DOUBLE + 0.1::DOUBLE * r1,
+            1.0::DOUBLE + 0.1::DOUBLE * r2,
+            1.0::DOUBLE + 0.1::DOUBLE * r3
+          FROM it WHERE t < 10),
+        fin AS (SELECT * FROM it WHERE t = 10),
+        pos AS (
+          SELECT 'n:' || n_nationkey AS node,
+                 (row_number() OVER (PARTITION BY n_regionkey
+                                     ORDER BY n_nationkey) - 1) AS p
+          FROM nation)
+        SELECT node,
+               round(CASE p WHEN 0 THEN r0 WHEN 1 THEN r1 WHEN 2 THEN r2
+                            WHEN 3 THEN r3 ELSE r4 END, 8) AS katz
+        FROM pos, fin
     """
     sqls["table_diff"] = """
         WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p

@@ -491,6 +491,8 @@ def headline(sf_dir: str) -> dict:
         "graph_clustering",
         "table_diff",
         "graph_scc",
+        "graph_katz",
+        "winsorize",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()

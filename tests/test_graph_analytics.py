@@ -535,3 +535,27 @@ def test_degenerate_inputs_rejected(spark):
     empty_seeds = spark.createDataFrame([], "node string")
     with _pytest.raises(ValueError):
         personalized_pagerank(e, empty_seeds)
+
+
+def test_katz_centrality_path(spark):
+    from wbkg.graph_analytics import katz_centrality
+
+    # path a->b->c, alpha=0.5, truncated series:
+    # katz(a)=1; katz(b)=1+0.5*katz(a)=1.5; katz(c)=1+0.5*katz(b)=1.75
+    got = {
+        r.node: r.katz
+        for r in katz_centrality(
+            _edges(spark, [("a", "b"), ("b", "c")]), iterations=10, alpha=0.5
+        ).collect()
+    }
+    assert got["a"] == 1.0
+    assert got["b"] == 1.5
+    assert abs(got["c"] - 1.75) < 1e-12
+
+
+def test_katz_more_inlinks_scores_higher(spark):
+    from wbkg.graph_analytics import katz_centrality
+
+    e = _edges(spark, [("a", "x"), ("b", "x"), ("c", "x"), ("a", "y")])
+    got = {r.node: r.katz for r in katz_centrality(e, 5, alpha=0.2).collect()}
+    assert got["x"] > got["y"] > got["a"]

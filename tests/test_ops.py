@@ -2234,3 +2234,30 @@ def test_table_diff_null_vs_empty_not_aliased(spark):
     old = spark.createDataFrame([(1, None)], "id long, x string")
     new = spark.createDataFrame([(1, "")], "id long, x string")
     assert [r.op for r in table_diff(old, new, ["id"]).collect()] == ["U"]
+
+
+def test_winsorize_clips_tails(spark):
+    from wbkg.ops.prep import winsorize
+
+    rows = [(i, float(i)) for i in range(1, 100)] + [(100, 10000.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = {r.id: (r.lo, r.hi, r.clipped) for r in winsorize(
+        df, "v", lower=0.05, upper=0.95).collect()}
+    lo, hi, _ = out[1]
+    assert out[1][2] == lo          # bottom tail clipped up
+    assert out[100][2] == hi        # the 10000 outlier clipped down
+    assert out[50] == (lo, hi, 50.0)  # middle untouched
+    assert lo < 10 and hi < 10000
+
+
+def test_winsorize_per_group_independent(spark):
+    from wbkg.ops.prep import winsorize
+
+    rows = [("a", float(i)) for i in range(10)] + [("b", float(1000 + i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp_col string, v double")
+    out = winsorize(df, "v", group_col="grp_col", lower=0.1, upper=0.9).collect()
+    for r in out:
+        if r.grp_col == "a":
+            assert r.hi < 10          # group a's band ignores group b
+        else:
+            assert r.lo >= 1000

@@ -1055,3 +1055,43 @@ def vocab_oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 8).alias("oov_rate"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Winsorization -> (group, id cols..., value, lo, hi, clipped): clip
+    each value into its group's [p_lower, p_upper] percentile band — the
+    outlier-taming step feature pipelines run before scaling (a fat-tail
+    value no longer dominates a mean or a normalizer).
+
+    Thresholds are EXACT linear-interpolated percentiles (Spark
+    percentile() == DuckDB quantile_cont definition), rounded to 6 so the
+    clip comparisons are engine-stable. Exact percentile buffers each
+    group's values — right for bounded groups (the fixture's priority
+    classes); at full 100-TB scale swap percentile for approx_percentile
+    and keep the identical clip plan (documented trade, the
+    profile_columns discipline).
+
+    Plan: one tiny per-group aggregate, broadcast back onto the table,
+    clip map-side — the corpus never shuffles."""
+    g = (F.col(group_col) if group_col else F.lit("all")).alias("grp")
+    pct = df.groupBy(g).agg(
+        F.round(F.expr(f"percentile({value_col}, {lower})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile({value_col}, {upper})"), 6).alias("hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.select("*", g)
+        .join(F.broadcast(pct), "grp")
+        .select(
+            *df.columns,
+            "lo",
+            "hi",
+            F.least(F.greatest(v, F.col("lo")), F.col("hi")).alias("clipped"),
+        )
+    )
