@@ -2685,6 +2685,28 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_prep_pipeline(spark, sf_dir):
+    """Composed training-data prep chain — the ops are individually
+    oracle-checked elsewhere; this entry pins their COMPOSITION (the
+    thing a real corpus build runs): keep English docs in a length band,
+    exact-dedup by content (min-id survivor), then md5-stable 90/5/5
+    split. One groupBy shuffle (the dedup) end to end; the filters and
+    the split are map-side. Output (doc_id, n_chars, split)."""
+    from wbkg.ops.prep import split_assign
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & F.col("n_chars").between(50, 400))
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return split_assign(deduped).select("doc_id", "n_chars", "split")
+
+
 def q_winsorize(spark, sf_dir):
     """Percentile winsorization (wbkg/ops/prep.py winsorize): order totals
     clipped into each priority class's exact [p01, p99] band — Spark
@@ -3091,6 +3113,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "prep_pipeline": q_prep_pipeline,
         "winsorize": q_winsorize,
         "graph_katz": q_graph_katz,
         "table_diff": q_table_diff,
@@ -4659,6 +4682,25 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["prep_pipeline"] = """
+        WITH kept AS (
+          SELECT doc_id, text, n_chars
+          FROM documents
+          WHERE lang = 'en' AND n_chars BETWEEN 50 AND 400),
+        dd AS (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM kept)
+        SELECT doc_id, n_chars,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, n_chars,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 100 AS b
+              FROM dd WHERE rn = 1)
     """
     sqls["winsorize"] = """
         WITH pct AS (

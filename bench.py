@@ -493,6 +493,7 @@ def headline(sf_dir: str) -> dict:
         "graph_scc",
         "graph_katz",
         "winsorize",
+        "prep_pipeline",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()
