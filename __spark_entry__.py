@@ -2685,6 +2685,40 @@ def _user_type_bipartite(spark, sf_dir):
     return ev
 
 
+def q_sparql_numeric_fns(spark, sf_dir):
+    """SPARQL numeric value functions (wbkg/sparql.py ABS/ROUND/CEIL/
+    FLOOR, §17.4.4): BINDs over order totals (strings, as this graph
+    stores) and a negative integer key — FLOOR/CEIL restringify as
+    integral longs, ROUND/ABS as doubles; the oracle casts to the same
+    shapes (floor(x)::BIGINT vs DuckDB's native DOUBLE floor)."""
+    from wbkg.sparql import sparql_select
+
+    o = _read(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("urn:p:total").alias("pred"),
+        F.col("o_totalprice").cast("string").alias("obj"),
+    ).unionByName(
+        o.select(
+            F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("urn:p:negkey").alias("pred"),
+            (-F.col("o_custkey")).cast("string").alias("obj"),
+        )
+    )
+    return sparql_select(
+        edges,
+        """
+        SELECT ?o ?f ?c ?r ?a WHERE {
+          ?o <urn:p:total> ?t . ?o <urn:p:negkey> ?k .
+          BIND(FLOOR(?t) AS ?f) BIND(CEIL(?t) AS ?c)
+          BIND(ROUND(?t) AS ?r) BIND(ABS(?k) AS ?a)
+        }
+        """,
+    )
+
+
 def q_prep_pipeline(spark, sf_dir):
     """Composed training-data prep chain — the ops are individually
     oracle-checked elsewhere; this entry pins their COMPOSITION (the
@@ -3113,6 +3147,7 @@ def _query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "unpivot_measures": q_unpivot_measures,
         "graph_hits": q_graph_hits,
+        "sparql_numeric_fns": q_sparql_numeric_fns,
         "prep_pipeline": q_prep_pipeline,
         "winsorize": q_winsorize,
         "graph_katz": q_graph_katz,
@@ -4682,6 +4717,14 @@ def _oracle_sqls() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                l_tax::DOUBLE FROM lineitem
+    """
+    sqls["sparql_numeric_fns"] = """
+        SELECT 'o:' || o_orderkey AS o,
+               floor(o_totalprice)::BIGINT::VARCHAR AS f,
+               ceil(o_totalprice)::BIGINT::VARCHAR AS c,
+               round(o_totalprice)::DOUBLE::VARCHAR AS r,
+               abs((-o_custkey)::DOUBLE)::VARCHAR AS a
+        FROM orders
     """
     sqls["prep_pipeline"] = """
         WITH kept AS (

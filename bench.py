@@ -494,6 +494,7 @@ def headline(sf_dir: str) -> dict:
         "graph_katz",
         "winsorize",
         "prep_pipeline",
+        "sparql_numeric_fns",
     ]:
         t0 = time.time()
         n = qmap[name](spark, sf_dir).count()

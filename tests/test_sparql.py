@@ -1350,3 +1350,42 @@ def test_update_without_lang_column(spark):
     out = sparql_update(g, "INSERT DATA { <c> <p:x> <d> } ; DELETE DATA { <a> <p:x> <b> }")
     assert {(r.subj, r.obj) for r in out.collect()} == {("c", "d")}
     assert out.columns == ["subj", "pred", "obj"]
+
+
+def test_numeric_value_fns(spark):
+    from wbkg.sparql import sparql_select
+
+    edges = spark.createDataFrame(
+        [("a", "urn:p:v", "2.5"), ("b", "urn:p:v", "-3.7")],
+        "subj string, pred string, obj string",
+    )
+    out = {
+        r.s: (r.f, r.c, r.r, r.a)
+        for r in sparql_select(
+            edges,
+            """
+            SELECT ?s ?f ?c ?r ?a WHERE {
+              ?s <urn:p:v> ?v .
+              BIND(FLOOR(?v) AS ?f) BIND(CEIL(?v) AS ?c)
+              BIND(ROUND(?v) AS ?r) BIND(ABS(?v) AS ?a)
+            }
+            """,
+        ).collect()
+    }
+    assert out["a"] == ("2", "3", "3.0", "2.5")
+    # ROUND half-away-from-zero: -3.7 -> -4; ABS restringifies the double
+    assert out["b"] == ("-4", "-3", "-4.0", "3.7")
+
+
+def test_numeric_fns_in_filter(spark):
+    from wbkg.sparql import sparql_select
+
+    edges = spark.createDataFrame(
+        [("a", "urn:p:v", "2.5"), ("b", "urn:p:v", "9.9")],
+        "subj string, pred string, obj string",
+    )
+    got = sparql_select(
+        edges,
+        'SELECT ?s WHERE { ?s <urn:p:v> ?v . FILTER(FLOOR(?v) > 5) }',
+    ).collect()
+    assert [r.s for r in got] == ["b"]

@@ -198,7 +198,7 @@ _FILTER_TOKEN = re.compile(
       | "(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*)?
       | -?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?
       | [A-Za-z_][\w-]*:[A-Za-z_][\w.-]*
-      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STRBEFORE|STRAFTER|SUBSTR|STR|NOT|IN|IF|COALESCE|LANG|DATATYPE)\b
+      | (?i:REGEX|BOUND|CONTAINS|STRSTARTS|STRENDS|STRLEN|CONCAT|REPLACE|UCASE|LCASE|STRBEFORE|STRAFTER|SUBSTR|STR|NOT|IN|IF|COALESCE|LANG|DATATYPE|ABS|ROUND|CEIL|FLOOR)\b
       | !=|<=|>=|&&|\|\||[=<>!(),]""",
     re.X,
 )
@@ -219,6 +219,14 @@ _VALUE_FNS = {
     "SUBSTR": (2, 3),
     "STRBEFORE": (2, 2),
     "STRAFTER": (2, 2),
+    # numeric fns (SPARQL 1.1 §17.4.4): operate on the string value cast
+    # to double, restringify. ROUND is half-away-from-zero (Spark/DuckDB
+    # round) — deviates from fn:round's toward-positive-infinity tie rule
+    # for NEGATIVE halves only (fn:round(-0.5)=0, here -1); documented.
+    "ABS": (1, 1),
+    "ROUND": (1, 1),
+    "CEIL": (1, 1),
+    "FLOOR": (1, 1),
 }
 
 # hidden companion column prefix carrying the language tag of an
@@ -410,6 +418,15 @@ class _FilterParser:
                 return F.lower(args[0])
             if fn == "STRLEN":
                 return F.length(args[0]).cast("string")
+            if fn == "ABS":
+                return F.abs(args[0].cast("double")).cast("string")
+            if fn == "ROUND":
+                return F.round(args[0].cast("double"), 0).cast("string")
+            if fn == "CEIL":
+                # integral long, not "x.0": CEIL/FLOOR are integer-valued
+                return F.ceil(args[0].cast("double")).cast("string")
+            if fn == "FLOOR":
+                return F.floor(args[0].cast("double")).cast("string")
             if fn == "SUBSTR":
                 # SPARQL SUBSTR is 1-based (xpath fn:substring); omitted
                 # length = to end of string
