@@ -64,10 +64,15 @@ def pagerank(
     convergence job); every `checkpoint_every` rounds the rank table is
     localCheckpoint-ed so lineage stays flat. Returns ranks summing to 1."""
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # the weighted edge list and out-degrees are STATIC across iterations;
+    # checkpoint both once so no iteration's lineage re-aggregates the raw
+    # edge table (previously every checkpoint window re-ran the groupBy
+    # from source — the dominant cost on multi-million-edge graphs)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w"))
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -76,7 +81,9 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    out_deg = (
+        e.groupBy("src").agg(F.sum("w").alias("out_w")).localCheckpoint(eager=False)
+    )
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
@@ -117,7 +124,11 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint()
+            # LAZY checkpoint: the logical plan is truncated immediately
+            # (bounded plan size) but no job launches — the caller's first
+            # action executes the whole iteration chain as ONE job, and
+            # the persisted blocks serve every later action
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -127,14 +138,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
     DEGREE-ORDERED counting (Schank–Wagner / compact-forward — the
     formulation that survives dense graphs): orient every undirected edge
-    from its lower-(degree, id) endpoint to the higher one, build wedges by
-    self-joining the oriented list on the source, and close each wedge
-    against the oriented edges. Every vertex's out-degree is then
-    O(sqrt(m))-bounded, so the wedge count is Σ outdeg² — orders of
-    magnitude below the naive ordered three-way join's Σ deg² on
-    skewed/dense graphs (a co-purchase graph with hub parts melts the
-    naive plan; this one finishes). Each triangle is counted exactly once:
-    its three vertices appear in (degree, id) order."""
+    from its lower-(degree, id) endpoint to the higher one, so every
+    vertex's out-degree is O(sqrt(m))-bounded, then count per oriented
+    edge (u, v) the size of N+(u) ∩ N+(v) — each triangle's three
+    vertices appear in (degree, id) order, so it is counted exactly once,
+    at its (source, middle) edge.
+
+    The intersection runs over COLLECTED out-neighbor arrays
+    (array_intersect in whole-stage codegen), not a wedge self-join: the
+    r06 shape materialized Σ outdeg² wedge ROWS and shuffled them again
+    for the closing semi-join; here the only heavy exchange ships each
+    edge's source adjacency array once (Σ outdeg² array ELEMENTS, no
+    per-wedge row overhead, no second wedge-sized shuffle)."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -159,17 +174,18 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     oriented = ann.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
     )
-    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
-    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
-    wedges = o1.join(o2, "u").filter(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    tri_per_edge = (
+        oriented.join(adj, "u")
+        .join(
+            adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")), "v"
+        )
+        .select(F.size(F.array_intersect("nb", "nb_v")).alias("t"))
     )
-    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tri = wedges.join(closing, ["v1", "v2"], "left_semi")
-    return tri.agg(F.count("*").alias("n_triangles"))
+    return tri_per_edge.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles")
+    )
 
 
 def bfs_distances(
@@ -204,29 +220,31 @@ def bfs_distances(
                 e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     settled = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
         .select("node", F.lit(0).alias("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = settled
     for hop in range(1, max_hops + 1):
+        # lazy checkpoint + the emptiness probe in ONE job per hop (the
+        # r06 eager checkpoint cost a second job per hop)
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(settled, "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
         settled = settled.unionByName(nxt)
         if hop % checkpoint_every == 0:
-            settled = settled.localCheckpoint()
+            settled = settled.localCheckpoint(eager=False)
         frontier = nxt
     return settled
 
@@ -284,13 +302,22 @@ def neighbor_jaccard(
             .select("dst")
         )
         adj = e.join(hot, "dst", "left_anti")
-    a, b = adj.alias("a"), adj.alias("b")
+    # wedge pairs generated MAP-SIDE from each center's sorted adjacency
+    # array (posexplode + slice) instead of the r06 adjacency self-join:
+    # same Σ deg(center)² pair population, but no sort-merge join and the
+    # (u, v) fold is partial-aggregated before its one shuffle
+    grouped = (
+        adj.groupBy("dst")
+        .agg(F.sort_array(F.collect_list("src")).alias("_ns"))
+        .filter(F.size("_ns") >= 2)  # single-source centers pair nothing
+    )
+    lhs = grouped.select("_ns", F.posexplode("_ns").alias("_i", "u"))
     common = (
-        a.join(
-            b,
-            (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")),
+        lhs.select(
+            "u",
+            F.explode(F.slice("_ns", F.col("_i") + 2, F.size("_ns"))).alias("v"),
         )
-        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .groupBy("u", "v")
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= min_common)
     )
@@ -341,7 +368,7 @@ def sssp(
     )
     dist = sources.select(
         F.col(sources.columns[0]).alias("node"), F.lit(0.0).alias("dist")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     frontier = dist
     for it in range(max_iters):
         offers = (
@@ -354,7 +381,7 @@ def sssp(
             offers.join(dist, "node", "left")
             .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
             .select("node", F.col("cand").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # one probe job per round
         )
         if improved.isEmpty():
             break
@@ -364,7 +391,7 @@ def sssp(
             .agg(F.min("dist").alias("dist"))
         )
         if it % checkpoint_every == checkpoint_every - 1:
-            dist = dist.localCheckpoint()
+            dist = dist.localCheckpoint(eager=False)
         frontier = improved
     return dist
 
@@ -403,7 +430,7 @@ def k_core(
     cur = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = cur.count()
     for it in range(max_iters):
@@ -413,11 +440,14 @@ def k_core(
             .filter(F.col("_deg") >= k)
             .select("src")
         )
+        # EVERY round: lazy checkpoint + the fixpoint count in ONE job —
+        # the count materializes the persisted blocks, so no round's
+        # semi-joins are ever recomputed (the r06 every-other-round eager
+        # checkpoint cost an extra job per window AND re-executed the
+        # un-checkpointed rounds' work)
         nxt = cur.join(keep, "src", "left_semi").join(
             keep.select(F.col("src").alias("dst")), "dst", "left_semi"
-        )
-        if it % checkpoint_every == checkpoint_every - 1:
-            nxt = nxt.localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_next = nxt.count()
         if n_next == n_edges:
             cur = nxt
@@ -548,18 +578,32 @@ def link_prediction(
             "center",
             "left_anti",
         )
-    a = adj.alias("a")
-    b = adj.select(F.col("center"), F.col("node").alias("node_b")).alias("b")
-    wedges = (
-        a.join(b, "center")
-        .filter(F.col("a.node") < F.col("b.node_b"))
+    # wedge pairs generated MAP-SIDE from each center's sorted adjacency
+    # array (posexplode + slice — same rewrite as neighbor_jaccard): the
+    # r06 adjacency self-join materialized Σ deg² wedge rows through a
+    # sort-merge join; here the pairs stream out of two Generate operators
+    # with the per-center 1/ln(cdeg) weight attached, and the (u, v) fold
+    # is partial-aggregated before its one shuffle
+    grouped = (
+        adj.groupBy("center")
+        .agg(F.sort_array(F.collect_list("node")).alias("_ns"))
+        # single-neighbor centers generate no pairs; dropping them first
+        # also keeps 1/ln(cdeg) well-defined (cdeg >= |_ns| >= 2)
+        .filter(F.size("_ns") >= 2)
         .join(deg, "center")
+        .select("_ns", (1.0 / F.log(F.col("cdeg"))).alias("_w"))
     )
+    lhs = grouped.select("_ns", "_w", F.posexplode("_ns").alias("_i", "u"))
     scored = (
-        wedges.groupBy(F.col("a.node").alias("u"), F.col("b.node_b").alias("v"))
+        lhs.select(
+            "u",
+            "_w",
+            F.explode(F.slice("_ns", F.col("_i") + 2, F.size("_ns"))).alias("v"),
+        )
+        .groupBy("u", "v")
         .agg(
             F.count("*").alias("common"),
-            F.round(F.sum(1.0 / F.log(F.col("cdeg"))), 8).alias("adamic_adar"),
+            F.round(F.sum("_w"), 8).alias("adamic_adar"),
         )
         .filter(F.col("common") >= min_common)
     )
@@ -591,27 +635,21 @@ def k_truss(
     self-loops dropped.
 
     Iterative support peel. Each round counts per-edge triangle support
-    with the SAME degree-ordered Schank-Wagner shape triangle_count uses
-    — orient by (degree, id), wedge self-join on the source (Σ outdeg²
-    wedges, outdeg O(sqrt m)-bounded), close against oriented edges, then
-    credit all three canonical edges of each found triangle (one explode
-    of a 3-element array) and fold support in one partial-agg groupBy.
-    Edges under k-2 drop; repeat until the edge count is stable (the
-    count is the loop's fixpoint test; localCheckpoint every
-    `checkpoint_every` rounds cuts lineage). Peel depth is bounded by the
-    triangle-density profile, not V — same argument as k_core."""
-    cur = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    n_edges = cur.count()
-    support = None
-    for it in range(max_iters):
+    with the SAME degree-ordered orientation triangle_count uses, via
+    adjacency-array intersection (orient by (degree, id), collect
+    out-neighbor arrays, explode N+(u) ∩ N+(v) per oriented edge — each
+    triangle materializes ONCE, never Σ outdeg² wedge rows), then credit
+    all three canonical edges of each triangle (one explode of a
+    3-element array) and fold support in one partial-agg groupBy. Edges
+    under k-2 drop; repeat until the edge count is stable. The fixpoint
+    count rides a LAZY localCheckpoint every round (one job per round,
+    nothing recomputed). Peel depth is bounded by the triangle-density
+    profile, not V — same argument as k_core. If the loop exhausts
+    max_iters without converging, support is recomputed on the FINAL
+    edge set so reported supports never count triangles through removed
+    edges."""
+
+    def _support(cur: DataFrame) -> DataFrame:
         deg = (
             cur.select(F.col("a").alias("node"))
             .unionByName(cur.select(F.col("b").alias("node")))
@@ -629,47 +667,64 @@ def k_truss(
         oriented = ann.select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
         )
-        o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
-        o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
-        wedges = o1.join(o2, "u").filter(
-            (F.col("d1") < F.col("d2"))
-            | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+        adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
+        tris = (
+            oriented.join(adj, "u")
+            .join(adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")), "v")
+            .select(
+                "u", "v", F.explode(F.array_intersect("nb", "nb_v")).alias("w")
+            )
         )
-        closer = oriented.select(
-            F.col("u").alias("v1"), F.col("v").alias("v2")
-        )
-        tris = wedges.join(closer, ["v1", "v2"], "left_semi")
         credit = tris.select(
             F.explode(
                 F.array(
                     F.struct(
-                        F.least("u", "v1").alias("a"), F.greatest("u", "v1").alias("b")
+                        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
                     ),
                     F.struct(
-                        F.least("u", "v2").alias("a"), F.greatest("u", "v2").alias("b")
+                        F.least("u", "w").alias("a"), F.greatest("u", "w").alias("b")
                     ),
                     F.struct(
-                        F.least("v1", "v2").alias("a"),
-                        F.greatest("v1", "v2").alias("b"),
+                        F.least("v", "w").alias("a"), F.greatest("v", "w").alias("b")
                     ),
                 )
             ).alias("e")
         ).select("e.a", "e.b")
-        support = credit.groupBy("a", "b").agg(F.count("*").cast("int").alias("support"))
+        return credit.groupBy("a", "b").agg(
+            F.count("*").cast("int").alias("support")
+        )
+
+    cur = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = cur.count()
+    support = None
+    converged = n_edges == 0
+    for it in range(max_iters):
+        support = _support(cur)
         nxt = cur.join(
             support.filter(F.col("support") >= k - 2).select("a", "b"),
             ["a", "b"],
             "left_semi",
-        )
-        if it % checkpoint_every == checkpoint_every - 1:
-            nxt = nxt.localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_next = nxt.count()
         if n_next == n_edges:
             cur = nxt
+            converged = True
             break
         cur, n_edges = nxt, n_next
+    if support is None or not converged:
+        # max_iters exhausted (or empty input): supports from the last
+        # in-loop computation could count triangles through edges no
+        # longer present — recompute on the final edge set
+        support = _support(cur)
     return cur.join(support, ["a", "b"], "left").select(
         "a", "b", F.coalesce("support", F.lit(0)).cast("int").alias("support")
     )
@@ -692,32 +747,43 @@ def hits(
     edge-keyed join + partial-agg sum per direction (the pagerank shuffle
     shape, twice) and a one-row broadcast L2 norm (the crossJoin(
     broadcast(1-row agg)) scalar fold — BroadcastNestedLoopJoin in
-    explain, intended); nodes with no in-(out-)edges hold authority (hub)
-    0. Fully lazy between localCheckpoints every `checkpoint_every`
-    rounds. The norm's sum order is engine/partition dependent — the
-    shared round-8 convention absorbs it (ulp-scale per round, linear
-    growth across rounds)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    explain, intended). Zero-score nodes (no in-/out-edges) contribute
+    nothing to the sums OR the norms, so the loop carries only the
+    NONZERO rows and the all-node zero-fill happens once at the end —
+    that drops two outer joins per iteration from the r06 shape.
+    Checkpoints are lazy (plan truncated, no per-window job; the
+    caller's first action runs the whole chain once). The norm's sum
+    order is engine/partition dependent — the shared round-8 convention
+    absorbs it (ulp-scale per round, linear growth across rounds)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    scores = nodes.select(
-        "node", F.lit(1.0).alias("authority"), F.lit(1.0).alias("hub")
-    )
+    # hub scores start at 1.0 on every node; only rows that stay nonzero
+    # matter inside the loop (see docstring)
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    if iterations <= 0:
+        return nodes.select(
+            "node",
+            F.lit(1.0).alias("authority"),
+            F.lit(1.0).alias("hub"),
+        )
+    auth = None
     for i in range(iterations):
         raw_a = (
-            scores.join(e, scores["node"] == e["src"])
+            hub.join(e, hub["node"] == e["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("ra"))
         )
-        na = nodes.join(raw_a, "node", "left").select(
-            "node", F.coalesce("ra", F.lit(0.0)).alias("ra")
-        )
-        norm_a = na.agg(F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("_n"))
-        auth = na.crossJoin(F.broadcast(norm_a)).select(
+        norm_a = raw_a.agg(F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("_n"))
+        auth = raw_a.crossJoin(F.broadcast(norm_a)).select(
             "node",
             F.when(F.col("_n") > 0, F.col("ra") / F.col("_n"))
             .otherwise(F.lit(0.0))
@@ -728,23 +794,24 @@ def hits(
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("rh"))
         )
-        nh = nodes.join(raw_h, "node", "left").select(
-            "node", F.coalesce("rh", F.lit(0.0)).alias("rh")
-        )
-        norm_h = nh.agg(F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("_n"))
-        hub = nh.crossJoin(F.broadcast(norm_h)).select(
+        norm_h = raw_h.agg(F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("_n"))
+        hub = raw_h.crossJoin(F.broadcast(norm_h)).select(
             "node",
             F.when(F.col("_n") > 0, F.col("rh") / F.col("_n"))
             .otherwise(F.lit(0.0))
             .alias("hub"),
         )
-        scores = auth.join(hub, "node")
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            scores = scores.localCheckpoint()
-    return scores.select(
-        "node",
-        F.round("authority", 8).alias("authority"),
-        F.round("hub", 8).alias("hub"),
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce("authority", F.lit(0.0)), 8).alias("authority"),
+            F.round(F.coalesce("hub", F.lit(0.0)), 8).alias("hub"),
+        )
     )
 
 
@@ -787,7 +854,7 @@ def random_walks(
     nbr = (
         e.withColumn("rn", (F.row_number().over(w) - 1).cast("long"))
         .withColumn("outdeg", F.count("*").over(Window.partitionBy("src")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     starts = (
         nbr.select("src")
@@ -804,12 +871,16 @@ def random_walks(
             F.col("node"),
         )
     )
-    deg = nbr.select(F.col("src").alias("node"), "outdeg").distinct().localCheckpoint()
+    deg = (
+        nbr.select(F.col("src").alias("node"), "outdeg")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     slots = nbr.select(
         F.col("src").alias("_s"), F.col("rn").alias("_rn"), F.col("dst").alias("_d")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     out = starts
-    frontier = starts.localCheckpoint()
+    frontier = starts.localCheckpoint(eager=False)
     for t in range(1, walk_len + 1):
         stepped = frontier.join(deg, "node").select(
             "walk_id",
@@ -837,7 +908,7 @@ def random_walks(
                 F.lit(t).alias("step"),
                 F.col("_d").alias("node"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # one probe job per step
         )
         if nxt.isEmpty():
             break
@@ -876,13 +947,13 @@ def harmonic_centrality(
                 e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     settled = (
         sources.select(F.col(sources.columns[0]).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     frontier = settled
     for hop in range(1, max_hops + 1):
@@ -892,13 +963,13 @@ def harmonic_centrality(
             .distinct()
             .join(settled, ["seed", "node"], "left_anti")
             .select("seed", "node", F.lit(hop).alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # one probe job per hop
         )
         if nxt.isEmpty():
             break
         settled = settled.unionByName(nxt)
         if hop % checkpoint_every == 0:
-            settled = settled.localCheckpoint()
+            settled = settled.localCheckpoint(eager=False)
         frontier = nxt
     return (
         settled.filter(F.col("dist") > 0)
@@ -937,10 +1008,12 @@ def personalized_pagerank(
     pagerank — same per-iteration shuffle shape: one join vs out-degrees +
     one partial-agg groupBy, both on the node key."""
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # static across iterations — checkpoint once (see pagerank)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w"))
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -954,9 +1027,11 @@ def personalized_pagerank(
     nodes = (
         nodes.join(seed_set.withColumn("is_seed", F.lit(1.0)), "node", "left")
         .select("node", F.coalesce("is_seed", F.lit(0.0)).alias("is_seed"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    out_deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    out_deg = (
+        e.groupBy("src").agg(F.sum("w").alias("out_w")).localCheckpoint(eager=False)
+    )
 
     ranks = nodes.select(
         "node", "is_seed", (F.col("is_seed") / n_seeds).alias("rank")
@@ -996,7 +1071,8 @@ def personalized_pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint()
+            # lazy: one caller-action job for the whole chain (see pagerank)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
@@ -1009,13 +1085,13 @@ def clustering_coefficient(
     to triangle_count's global number; on a KG it separates hub entities
     whose neighbors interconnect from pure star centers).
 
-    Same degree-ordered Schank-Wagner wedge enumeration as triangle_count
-    (Σ outdeg² wedge bound — the formulation that survives dense graphs),
-    but the closing semi-join becomes an inner join so each triangle
-    materializes once as (u, v1, v2); a 3-way explode then attributes it
-    to each corner and one partial-agg groupBy counts per node. Triangle
-    volume (not wedge volume) is the only extra cost over the global
-    count."""
+    Same degree-ordered orientation as triangle_count, and the same
+    adjacency-array intersection instead of a wedge self-join: each
+    oriented edge (u, v) intersects N+(u) with N+(v); EXPLODING the
+    intersection materializes each triangle once as (u, v, w), a 3-way
+    explode attributes it to each corner, and one partial-agg groupBy
+    counts per node. Triangle volume (not Σ outdeg² wedge volume) is the
+    only row population beyond the edge list."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -1029,7 +1105,7 @@ def clustering_coefficient(
         .unionByName(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ann = und.join(
         deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a"
@@ -1040,18 +1116,19 @@ def clustering_coefficient(
     oriented = ann.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
     )
-    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("d1"))
-    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("d2"))
-    wedges = o1.join(o2, "u").filter(
-        (F.col("d1") < F.col("d2"))
-        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    tri = (
+        oriented.join(adj, "u")
+        .join(adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")), "v")
+        .select(
+            "u",
+            "v",
+            F.explode(F.array_intersect("nb", "nb_v")).alias("w"),
+        )
     )
-    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
     per_node = (
-        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
@@ -1079,8 +1156,12 @@ def _min_label_fixpoint(
     flow from `from_col`'s endpoint to `to_col`'s) -> (node, <label>).
     Runs TWO propagation steps per convergence probe: the changed-count
     action is a full job, and a converged step is idempotent, so probing
-    every other step halves the job count for the same fixpoint."""
-    lbl = nodes.select("node", F.col("node").alias(label_alias)).localCheckpoint()
+    every other step halves the job count for the same fixpoint. The
+    step checkpoints are LAZY, so each probe is exactly ONE job that
+    materializes both steps and folds the changed count."""
+    lbl = nodes.select("node", F.col("node").alias(label_alias)).localCheckpoint(
+        eager=False
+    )
     while True:
         cur = lbl
         for _ in range(2):
@@ -1097,7 +1178,7 @@ def _min_label_fixpoint(
                         F.col(label_alias), F.coalesce("_c2", F.col(label_alias))
                     ).alias(label_alias),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         changed = (
             cur.join(
@@ -1144,17 +1225,20 @@ def strongly_connected_components(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     remaining = nodes
     out = None
-    for _ in range(max_rounds):
-        if remaining.isEmpty():
-            break
+    while not remaining.isEmpty():
+        # every round peels at least the minimal color's SCC, so this
+        # terminates; we run to FIXPOINT rather than silently dropping
+        # still-unlabeled nodes after max_rounds (a >20-singleton-SCC
+        # chain previously returned an incomplete result) — max_rounds
+        # stays in the signature for compatibility but no longer truncates
         re = (
             e.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # (1) color(v) = min id reaching v: propagate src's color to dst
         color = _min_label_fixpoint(
@@ -1167,20 +1251,24 @@ def strongly_connected_components(
             .join(color.withColumnRenamed("node", "dst").withColumnRenamed("color", "cd"), "dst")
             .filter(F.col("cs") == F.col("cd"))
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         f = _min_label_fixpoint(remaining, ec, "dst", "src", label_alias="f")
         labeled = (
             color.join(f, "node")
             .filter(F.col("color") == F.col("f"))
             .select(F.col("node").alias("member"), F.col("color").alias("scc_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        out = labeled if out is None else out.unionByName(labeled).localCheckpoint()
+        out = (
+            labeled
+            if out is None
+            else out.unionByName(labeled).localCheckpoint(eager=False)
+        )
         remaining = (
             remaining.join(
                 labeled.select(F.col("member").alias("node")), "node", "left_anti"
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
         )
     if out is None:
         return nodes.select(
@@ -1208,13 +1296,18 @@ def katz_centrality(
     Simple-digraph semantics (edges deduped). Per iteration: ONE
     edge-keyed join + one partial-agg sum on the node key — the pagerank
     shuffle shape minus the degree join and the dangling fold (Katz needs
-    neither). Fully lazy between localCheckpoints."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    neither). Fully lazy between localCheckpoints; the deduped edge list
+    is checkpointed once (static across iterations)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = F.lit(float(alpha))
     katz = nodes.select("node", F.lit(1.0).alias("katz"))
@@ -1229,5 +1322,6 @@ def katz_centrality(
             (F.lit(1.0) + a * F.coalesce("s", F.lit(0.0))).alias("katz"),
         )
         if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            katz = katz.localCheckpoint()
+            # lazy: one caller-action job for the whole chain (see pagerank)
+            katz = katz.localCheckpoint(eager=False)
     return katz

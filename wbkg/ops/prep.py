@@ -918,33 +918,46 @@ def profile_columns(df: DataFrame, cols: list) -> DataFrame:
     training ingestion (null-rate regressions, cardinality drift,
     out-of-range values).
 
-    One aggregate pass computes every column's stats (count/nulls via
-    map-side partial aggs; exact distincts — Spark plans the multi-
-    distinct agg with one Expand, rows x n_cols, the standard exact-
-    profile cost; swap count_distinct for approx_count_distinct when
-    profiling at full 100-TB scale), then a stack() unpivot to the long
-    (column, stat) layout. min/max cast to string so heterogeneous column
-    types share one schema."""
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    Per column: ONE partial-aggregated groupBy on the column's values
+    (map-side dedup+count) feeding a one-row fold — n_rows is the sum of
+    value counts, nulls the null bucket, the exact distinct a count of
+    the non-null groups, min/max ride the same tiny table. The per-column
+    branches union into the long layout. This replaces the r06
+    single-pass multi-distinct aggregate, whose Expand replicated every
+    row (4 x n_cols + 1) times before the hash aggregate — the per-column
+    scans each read ONE pruned column and their shuffles carry only
+    distinct values (still exact; swap in approx_count_distinct when
+    profiling at full 100-TB scale). min/max cast to string so
+    heterogeneous column types share one schema."""
+    parts = []
     for c in cols:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
-        for c in cols
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(cols)}, {stack}) as "
-            "(column, n_nulls, n_distinct, min_str, max_str)"
-        ),
-        F.col("__n").alias("n_rows"),
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+        vals = (
+            df.select(F.col(c).alias("_v"))
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        parts.append(
+            vals.agg(
+                F.coalesce(F.sum("_cnt"), F.lit(0)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_v").isNull(), F.col("_cnt"))), F.lit(0)
+                ).alias("n_nulls"),
+                F.count(F.col("_v")).alias("n_distinct"),
+                F.min("_v").cast("string").alias("min_str"),
+                F.max("_v").cast("string").alias("max_str"),
+            ).select(
+                F.lit(c).alias("column"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_str",
+                "max_str",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def sample_temperature(

@@ -536,49 +536,63 @@ def bigram_lm_score(
     avg_logp = mean ln P over the doc's bigrams (docs with <2 tokens drop
     out, matching the oracle).
 
-    Plan: bigrams come from arrays_zip over the filtered token array —
-    map-side, NO window/self-join for adjacency; corpus counts are two
-    partial-agg shuffles (bigram, prefix); V is a one-row broadcast; the
-    scoring join is bigram-keyed (AQE broadcasts small vocabularies,
-    skew-splits Zipf-heavy heads). Integer counts keep the probability
-    ratio exact; only the ln and the per-doc mean are floating (round 8,
-    the shared ulp-absorption convention)."""
+    Plan: the regex tokenization runs ONCE — the per-doc token array is
+    lazily localCheckpoint-ed and bigrams/unigrams derive from it with
+    cheap array ops (the r06 shape re-tokenized the corpus four times,
+    once per consumer of the token stream); bigrams come from arrays_zip
+    (map-side, NO window/self-join for adjacency); the prefix count folds
+    from the bigram count table (C(w1 as prefix) = Σ_w2 C(w1,w2) — a
+    vocabulary-sized partial agg instead of a second corpus-sized
+    shuffle); V is a one-row broadcast; per-bigram log-probs attach to
+    the bigram table BEFORE the single corpus-sized scoring join (AQE
+    broadcasts small vocabularies, skew-splits Zipf-heavy heads).
+    Integer counts keep the probability ratio exact; only the ln and the
+    per-doc mean are floating (round 8, the shared ulp-absorption
+    convention)."""
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
     )
-    n = F.size(arr)
+    tok_arr = df.select(F.col(id_col), arr.alias("_toks")).localCheckpoint(
+        eager=False
+    )
+    n = F.size(F.col("_toks"))
     # CASE WHEN guards the n<2 rows (slice with a negative length throws);
     # explode drops the null branch, so short docs simply emit no bigrams
-    bg = df.select(
+    bg = tok_arr.select(
         F.col(id_col),
         F.explode(
             F.when(
                 n >= 2,
                 F.arrays_zip(
-                    F.slice(arr, 1, n - 1).alias("w1"),
-                    F.slice(arr, 2, n - 1).alias("w2"),
+                    F.slice("_toks", 1, n - 1).alias("w1"),
+                    F.slice("_toks", 2, n - 1).alias("w2"),
                 ),
             )
         ).alias("_bg"),
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    toks = df.select(
-        F.explode(arr).alias("term")
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = tok_arr.select(F.explode("_toks").alias("term")).agg(
+        F.countDistinct("term").alias("_v")
     )
-    v = toks.agg(F.countDistinct("term").alias("_v"))
-    scored = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+    per_bigram = (
+        c12.join(c1, "w1")
         .crossJoin(F.broadcast(v))
-        .withColumn(
-            "_lp",
-            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("_v")).cast("double")),
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12") + 1) / (F.col("c1") + F.col("_v")).cast("double")
+            ).alias("_lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
-        F.count("*").cast("int").alias("n_bigrams"),
-        F.round(F.avg("_lp"), 8).alias("avg_logp"),
+    return (
+        bg.join(per_bigram, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg("_lp"), 8).alias("avg_logp"),
+        )
     )
 
 
@@ -755,14 +769,18 @@ def pmi_collocations(
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
     )
-    n = F.size(arr)
-    bg = df.select(
+    # tokenize ONCE (lazy checkpoint of the per-doc arrays); bigrams and
+    # unigrams derive with cheap array ops, and the total token count
+    # folds from the unigram table instead of a third corpus pass
+    tok_arr = df.select(arr.alias("_toks")).localCheckpoint(eager=False)
+    n = F.size(F.col("_toks"))
+    bg = tok_arr.select(
         F.explode(
             F.when(
                 n >= 2,
                 F.arrays_zip(
-                    F.slice(arr, 1, n - 1).alias("w1"),
-                    F.slice(arr, 2, n - 1).alias("w2"),
+                    F.slice("_toks", 1, n - 1).alias("w1"),
+                    F.slice("_toks", 2, n - 1).alias("w2"),
                 ),
             )
         ).alias("_bg")
@@ -772,9 +790,10 @@ def pmi_collocations(
         .agg(F.count("*").alias("c12"))
         .filter(F.col("c12") >= min_count)
     )
-    toks = df.select(F.explode(arr).alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
-    tot = toks.agg(F.count("*").alias("_t"))
+    uni = tok_arr.select(F.explode("_toks").alias("term")).groupBy("term").agg(
+        F.count("*").alias("c")
+    )
+    tot = uni.agg(F.sum("c").alias("_t"))
     scored = (
         c12.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2")), "w2")
@@ -981,9 +1000,14 @@ def rake_keyphrases(
     words = words.withColumn(
         "grp", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(w)
     ).filter(~F.col("is_stop"))
-    # phrase length per (doc, grp); word carries its phrase's length
+    # phrase length per (doc, grp); word carries its phrase's length.
+    # Lazily checkpointed: three consumers (word stats, phrase assembly,
+    # the scoring join) read this table — without the checkpoint each one
+    # re-ran the explode + both windows from the raw text
     wl = Window.partitionBy(id_col, "grp")
-    words = words.withColumn("plen", F.count("*").over(wl))
+    words = words.withColumn("plen", F.count("*").over(wl)).localCheckpoint(
+        eager=False
+    )
     wstats = words.groupBy(id_col, "word").agg(
         (F.sum("plen") / F.count("*")).alias("wscore")
     )
