@@ -150,14 +150,26 @@ def q_a1_dedup_latest(spark, sf_dir):
 
 
 def q_a5_cooccurrence(spark, sf_dir):
-    """A5 — co-occurrence self-join + weight count (ref src/summarize.py:134-143);
-    parts co-ordered within an order."""
+    """A5 — co-occurrence pair weights (ref src/summarize.py:134-143);
+    parts co-ordered within an order. Same solution set as the r06
+    self-join formulation, but the ordered pairs are generated MAP-SIDE
+    from each order's sorted part array (posexplode + slice — the
+    wbkg/graph_analytics wedge rewrite), so the pair fold
+    partial-aggregates before its one shuffle instead of sort-merge
+    joining the incidence list against itself."""
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("_ps")
+    )
+    lhs = grouped.select("_ps", F.posexplode("_ps").alias("_i", "part_a"))
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        lhs.select(
+            "part_a",
+            F.explode(F.slice("_ps", F.col("_i") + 2, F.size("_ps"))).alias(
+                "part_b"
+            ),
+        )
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("weight"))
     )
 

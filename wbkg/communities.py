@@ -36,17 +36,23 @@ def cooccurrence_edges(
     pairs = linked.select(
         "chunk_id", F.coalesce("qid_c", "rdf_safe_c").alias("ent")
     ).distinct()
-    w = Window.partitionBy("ent").orderBy("chunk_id")
-    capped = (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= entity_chunk_cap)
-        .drop("_rn")
+    # per-entity chunk list, sorted and capped (same first-`cap`-by-
+    # chunk_id semantics as the r06 row_number window); ordered pairs
+    # then generate MAP-SIDE via posexplode + slice, so the (src, dst)
+    # weight fold partial-aggregates before its one shuffle instead of
+    # sort-merge self-joining the incidence list
+    grouped = pairs.groupBy("ent").agg(
+        F.slice(
+            F.sort_array(F.collect_list("chunk_id")), 1, entity_chunk_cap
+        ).alias("_cs")
     )
-    a, b = capped.alias("a"), capped.alias("b")
+    lhs = grouped.select("_cs", F.posexplode("_cs").alias("_i", "src"))
     return (
-        a.join(b, "ent")
-        .filter(F.col("a.chunk_id") < F.col("b.chunk_id"))
-        .groupBy(F.col("a.chunk_id").alias("src"), F.col("b.chunk_id").alias("dst"))
+        lhs.select(
+            "src",
+            F.explode(F.slice("_cs", F.col("_i") + 2, F.size("_cs"))).alias("dst"),
+        )
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("weight"))
     )
 

@@ -414,49 +414,57 @@ def k_core(
     Undirected simple-graph semantics: the edge list is symmetrized and
     deduped, self-loops dropped, so degree = distinct-neighbor count.
 
-    Plan: iterative peel. Each round computes degrees (one partial-agg
-    shuffle on the node key) and left-semi-joins the edge list against
-    the keep-set on BOTH endpoints — all three shuffles share the node
-    key, so a cluster co-partitions them and AQE broadcasts the keep-set
-    once peeling has shrunk it. The fixpoint test rides the count() the
-    loop needs anyway; localCheckpoint every `checkpoint_every` rounds
-    truncates lineage exactly like the CC/LP/SSSP loops. Peel depth is
-    the graph's degeneracy-ordering depth, not O(V) — tens of rounds on
-    power-law graphs regardless of scale."""
-    e = (
+    Plan: INCREMENTAL peel (the textbook delta formulation). The
+    symmetrized edge list is checkpointed ONCE and never rewritten; the
+    loop maintains only the node-sized degree table. Per round: nodes
+    under k drop; each dropped node decrements its still-alive neighbors
+    by one partial-agg count over the static edge list semi-joined
+    against the (small, AQE-broadcast) drop set. deg_{t+1}(v) =
+    deg_t(v) - |N(v) ∩ drop_t| is exactly the degree of v in the peeled
+    subgraph, so the round-by-round state — and the fixpoint — is
+    identical to the r06 re-materialize-the-edges peel, which rebuilt
+    and re-persisted the full edge list every round. Each round is ONE
+    job (lazy checkpoints; the emptiness probe on the drop set
+    materializes the new degree table). Peel depth is the graph's
+    degeneracy-ordering depth, not O(V) — tens of rounds on power-law
+    graphs regardless of scale."""
+    e0 = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
     )
-    cur = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n_edges = cur.count()
-    for it in range(max_iters):
-        keep = (
-            cur.groupBy("src")
-            .agg(F.count("*").alias("_deg"))
-            .filter(F.col("_deg") >= k)
-            .select("src")
-        )
-        # EVERY round: lazy checkpoint + the fixpoint count in ONE job —
-        # the count materializes the persisted blocks, so no round's
-        # semi-joins are ever recomputed (the r06 every-other-round eager
-        # checkpoint cost an extra job per window AND re-executed the
-        # un-checkpointed rounds' work)
-        nxt = cur.join(keep, "src", "left_semi").join(
-            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
-        ).localCheckpoint(eager=False)
-        n_next = nxt.count()
-        if n_next == n_edges:
-            cur = nxt
-            break
-        cur, n_edges = nxt, n_next
-    return (
-        cur.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").cast("int").alias("degree"))
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("_deg"))
+        .localCheckpoint(eager=False)
     )
+    for it in range(max_iters):
+        drop = deg.filter(F.col("_deg") < k).select("node").localCheckpoint(
+            eager=False
+        )
+        if drop.isEmpty():
+            break
+        dec = (
+            e.join(drop.withColumnRenamed("node", "src"), "src", "left_semi")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.count("*").alias("_dec"))
+        )
+        deg = (
+            deg.join(drop, "node", "left_anti")
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("_deg") - F.coalesce("_dec", F.lit(0))).alias("_deg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return deg.select("node", F.col("_deg").cast("int").alias("degree"))
 
 
 def modularity(

@@ -177,7 +177,9 @@ def ngram_jaccard_pairs_prefiltered(
     broadcasts that side when it is small, which it is everywhere except
     pathological corpora), so the capped jaccard matches the exact
     operator's definition bit-for-bit on every candidate pair."""
-    sh = shingles_df(df, text_col, id_col, n)
+    # lazily checkpointed: the df-cap statistic AND the kept-set anti-join
+    # both read the shingle table — without it the regex shingling ran twice
+    sh = shingles_df(df, text_col, id_col, n).localCheckpoint(eager=False)
     over_df = (
         sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
         .filter(F.col("df_cnt") > max_df)

@@ -319,24 +319,17 @@ def inverted_index(
     sink bucket by term. `max_df` drops terms in more than that many docs
     (stop-word cap — the same bounded-hot-key discipline as the dedup
     band caps); dropped terms are gone from the index entirely."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.lower(F.col(text_col)), r"\W+")).alias(
-                "pos", "term"
-            ),
-        )
-        # posexplode numbers RAW split slots; renumber non-empty tokens so
-        # positions are true token offsets (leading punctuation yields an
-        # empty slot 0)
-        .filter(F.col("term") != "")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("pos")
+    # posexplode the FILTERED token array, so positions are true token
+    # offsets directly — map-side, replacing the r06 per-doc row_number
+    # renumbering window (a full exchange + sort of the token stream just
+    # to skip empty split slots)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
             )
-            - 1,
-        )
+        ).alias("pos", "term"),
     )
     postings = toks.groupBy("term", "doc_id").agg(
         F.concat_ws(
@@ -484,7 +477,17 @@ def bm25_rank(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("term"),
     ).filter(F.col("term") != "")
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # per-doc length map-side from the filtered token array — no explode
+    # + aggregate pass; docs with zero tokens are absent, matching the
+    # r06 groupBy-over-exploded-tokens population
+    dl = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+            )
+        ).cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
     )
