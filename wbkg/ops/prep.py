@@ -539,8 +539,16 @@ def ntile_buckets(
     ranks into exact global ranks; the ANSI fill rule (first N mod n
     buckets take one extra row) maps rank -> bucket in closed form."""
     order = [F.col(c) for c in (order_cols if order_cols else [value_col])]
-    ranged = df.repartitionByRange(num_partitions, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint PINS the range partitioning before the two reads:
+    # Spark's range partitioner samples with an execution-dependent seed,
+    # so without the pin the second execution (the rank pass) could draw
+    # different partition boundaries than the collected sizes — duplicated
+    # or skipped global ranks at scale (ADVICE r06). The checkpoint also
+    # means the sort-sampled shuffle runs once, not twice.
+    ranged = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     sizes = {
         r._pid: r.cnt

@@ -322,9 +322,12 @@ def stream_running_totals(
             {"key": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
+    # the key field's type follows the actual key column (ADVICE r06: a
+    # hardcoded `key long` failed or miscast string user ids)
+    key_type = events_stream.schema[key_col].dataType.simpleString()
     return events_stream.groupBy(key_col).applyInPandasWithState(
         update,
-        outputStructType="key long, n_events long, total_value double",
+        outputStructType=f"key {key_type}, n_events long, total_value double",
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
