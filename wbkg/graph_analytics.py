@@ -88,13 +88,18 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
     for i in range(iterations):
-        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left").select(
-            "node", "rank", "out_w"
+        # checkpointed (lazily) BEFORE the dangling-mass scalar: the
+        # scalar's broadcast sub-job then materializes exactly one join
+        # from persisted ranks, and the contribs chain reuses the same
+        # blocks — without this every iteration's broadcast re-executed
+        # the chain since the last checkpoint
+        with_deg = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+            .select("node", "rank", "out_w")
+            .localCheckpoint(eager=False)
         )
         # dangling nodes (no out-edges) leak their mass; fold the scalar
-        # back in as a one-row broadcast cross join so the whole iteration
-        # stays LAZY — no per-round driver action (the only jobs are the
-        # localCheckpoints every `checkpoint_every` rounds)
+        # back in as a one-row broadcast cross join
         dang = with_deg.filter(F.col("out_w").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
@@ -785,10 +790,18 @@ def hits(
         )
     auth = None
     for i in range(iterations):
+        # the RAW half-step sums are checkpointed (lazily) BEFORE the norm
+        # scalar: the norm's broadcast sub-job then materializes exactly
+        # one join+agg from persisted input, and the normalized scores are
+        # a map-side projection over the same persisted blocks — without
+        # this, every norm broadcast re-executed the whole chain since the
+        # last checkpoint (quadratic within the window; profiled as ~10s
+        # of scheduler-and-recompute on a 25-node fixture)
         raw_a = (
             hub.join(e, hub["node"] == e["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("ra"))
+            .localCheckpoint(eager=False)
         )
         norm_a = raw_a.agg(F.sqrt(F.sum(F.col("ra") * F.col("ra"))).alias("_n"))
         auth = raw_a.crossJoin(F.broadcast(norm_a)).select(
@@ -801,6 +814,7 @@ def hits(
             auth.join(e, auth["node"] == e["dst"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("rh"))
+            .localCheckpoint(eager=False)
         )
         norm_h = raw_h.agg(F.sqrt(F.sum(F.col("rh") * F.col("rh"))).alias("_n"))
         hub = raw_h.crossJoin(F.broadcast(norm_h)).select(
@@ -809,9 +823,6 @@ def hits(
             .otherwise(F.lit(0.0))
             .alias("hub"),
         )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            auth = auth.localCheckpoint(eager=False)
-            hub = hub.localCheckpoint(eager=False)
     return (
         nodes.join(auth, "node", "left")
         .join(hub, "node", "left")
@@ -1046,8 +1057,11 @@ def personalized_pagerank(
     )
     base = (1.0 - damping) / n_seeds
     for i in range(iterations):
-        with_deg = ranks.join(out_deg, ranks["node"] == out_deg["src"], "left").select(
-            "node", "rank", "out_w"
+        # lazy checkpoint before the dangling scalar — see pagerank
+        with_deg = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+            .select("node", "rank", "out_w")
+            .localCheckpoint(eager=False)
         )
         dang = with_deg.filter(F.col("out_w").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")

@@ -587,9 +587,12 @@ def repeated_passages(
             F.md5(F.array_join(F.slice("_w", i * stride + 1, w), " ")).alias("phash"),
         ),
     )
+    # lazily checkpointed: the distinct-doc count AND the occurrence
+    # rejoin both read the window table — without it the md5-per-window
+    # explode ran twice over the corpus
     occ = base.select("doc_id", F.explode(win).alias("p")).select(
         "doc_id", "p.start_word", "p.phash"
-    )
+    ).localCheckpoint(eager=False)
     counts = occ.groupBy("phash").agg(
         F.count_distinct("doc_id").alias("n_docs")
     ).filter(F.col("n_docs") >= min_docs)

@@ -455,10 +455,18 @@ def event_rate_anomaly(
     Plan: two partial-agg shuffles on the user key ((user,hour) count,
     then per-user moment fold) + one user-keyed join back — co-partitioned
     end to end; no window over unbounded history, no driver state."""
-    hours = df.select(
-        F.col(user_col).alias("user"),
-        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
-    ).groupBy("user", "hour").agg(F.count("*").alias("n"))
+    # lazily checkpointed: the moment fold and the z-score join both read
+    # the hourly counts — without it the event scan + (user, hour) agg ran
+    # twice
+    hours = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .groupBy("user", "hour")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     moments = hours.groupBy("user").agg(
         F.count("*").alias("k"),
         F.sum("n").alias("sx"),
@@ -1046,14 +1054,15 @@ def vocab_oov_rate(
     driver merge — no global sort, no SinglePartition window); membership
     is a broadcast left join of the token stream against the V-row vocab;
     the per-doc fold is one partial-agg groupBy on the doc key."""
-    toks = df.select(
+    # tokenize once (lazy checkpoint of the per-doc arrays): the corpus
+    # frequency pass and the membership join both read the token stream
+    tok_arr = df.select(
         F.col(id_col),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
-            )
-        ).alias("term"),
-    )
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
+        ).alias("_toks"),
+    ).localCheckpoint(eager=False)
+    toks = tok_arr.select(id_col, F.explode("_toks").alias("term"))
     tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
     vocab = (
         tf.orderBy(F.desc("tf"), F.col("term"))
