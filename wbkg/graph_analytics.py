@@ -16,10 +16,12 @@ graph algorithms expressed as DataFrame plans:
   (wbkg/canonicalize.py). Dangling mass is redistributed uniformly (the
   standard correction) so ranks stay a probability distribution.
 - triangle_count: degree-ordered Schank–Wagner (compact-forward): orient
-  each undirected edge from its lower-(degree, id) endpoint, self-join the
-  oriented list on the source to build wedges, left-semi close against the
-  oriented edges. Out-degrees are O(sqrt(m))-bounded, so the wedge volume
-  is Σ outdeg² — the naive ordered three-way self-join (Σ deg²) never
+  each undirected edge from its lower-(degree, id) endpoint, collect each
+  source's out-neighbor array, and intersect the two endpoint arrays per
+  oriented edge (array_intersect; r07 — previously a wedge self-join +
+  closing semi-join that materialized Σ outdeg² rows). Out-degrees are
+  O(sqrt(m))-bounded, so the shipped intersection volume is Σ outdeg²
+  ELEMENTS — the naive ordered three-way self-join (Σ deg²) never
   finished on the bench's co-purchase graph and was replaced before
   shipping (BENCH/PLANS.md round-5 section).
 - degree_stats: one partial-aggregated groupBy per direction.
@@ -407,7 +409,9 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 100,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 2,  # unused since r07 (every round is one
+    #                             lazily-checkpointed job); kept for API
+    #                             compatibility
 ) -> DataFrame:
     """k-core -> (node, degree): the maximal subgraph in which every node
     has degree >= k, with each surviving node's degree INSIDE the core.
@@ -1262,6 +1266,10 @@ def strongly_connected_components(
             .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=False)
         )
+        # (Considered and rejected: an FW-BW-style TRIM prefilter for
+        # trivial SCCs — on cycle-dominated graphs like the bench fixture
+        # it never fires and costs an extra probe job per round; measured
+        # 7.2s -> 8.7s. The coloring rounds already peel singletons.)
         # (1) color(v) = min id reaching v: propagate src's color to dst
         color = _min_label_fixpoint(
             remaining, re, "src", "dst", label_alias="color"

@@ -99,40 +99,36 @@ def ngram_jaccard_pairs(
     Sizes and intersections are BOTH computed on the df-capped shingle set
     (`kept`), so the jaccard is the exact jaccard of the capped sets — no
     asymmetric bias from mixing capped intersections with uncapped sizes.
+    No persist: the df-cap is a count() window over the shingle partition,
+    so `kept` is already hash-partitioned on `shingle` and BOTH sides of the
+    self-join reuse that one exchange (ReusedExchange); only the doc-sizes
+    branch recomputes the shingle scan (pure whole-stage codegen — cheaper
+    than pinning doc_count x shingles rows in executor memory at 100 TB).
+    Measured at sf0.1/local[32]: 10.2s vs 13.9s for the r01
+    persist+aggregate-join formulation. (r07 also tried the map-side
+    sorted-doc-array pair fold that a5/link_prediction use: identical
+    output, 13.2s -> 12.2s warm on the 10x near-dup tiling — marginal, and
+    its shingle-table checkpoint broke the op's pinned no-persist-leak
+    contract, so the window formulation stays.)"""
+    from pyspark.sql import Window
 
-    r07 shape: the df cap is a partial-aggregated groupBy + anti-join
-    (over-df shingles are vocabulary-rare, AQE broadcasts them), then each
-    surviving shingle's doc list collects ONCE (bounded by max_df, so no
-    giant rows) and the ordered doc pairs generate MAP-SIDE from the
-    sorted array (posexplode + slice) straight into a partial-aggregated
-    (doc_a, doc_b) fold — replacing the r06 window df-count + sort-merge
-    self-join, which materialized every shared-shingle pair as a join row
-    before aggregating (same-data A/B on the 10x near-dup tiling: 16.1s
-    -> 4.9s warm, identical output)."""
-    sh = shingles_df(df, text_col, id_col, n).localCheckpoint(eager=False)
+    sh = shingles_df(df, text_col, id_col, n)
     # skew guard: drop shingles shared by too many docs (they contribute
     # pairs quadratically but little discriminative signal)
-    over_df = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df_cnt"))
-        .filter(F.col("df_cnt") > max_df)
-        .select("shingle")
+    w = Window.partitionBy("shingle")
+    kept = (
+        sh.withColumn("df_cnt", F.count("*").over(w))
+        .filter(F.col("df_cnt") <= max_df)
+        .drop("df_cnt")
     )
-    kept = sh.join(over_df, "shingle", "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
-    grouped = kept.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("_ds")
-    )
-    lhs = grouped.select("_ds", F.posexplode("_ds").alias("_i", "doc_a"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
-        lhs.select(
-            "doc_a",
-            F.explode(F.slice("_ds", F.col("_i") + 2, F.size("_ds"))).alias(
-                "doc_b"
-            ),
-        )
-        .groupBy("doc_a", "doc_b")
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
     out = (

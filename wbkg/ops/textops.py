@@ -546,12 +546,14 @@ def bigram_lm_score(
     (map-side, NO window/self-join for adjacency); the prefix count folds
     from the bigram count table (C(w1 as prefix) = Σ_w2 C(w1,w2) — a
     vocabulary-sized partial agg instead of a second corpus-sized
-    shuffle); V is a one-row broadcast; per-bigram log-probs attach to
-    the bigram table BEFORE the single corpus-sized scoring join (AQE
-    broadcasts small vocabularies, skew-splits Zipf-heavy heads).
-    Integer counts keep the probability ratio exact; only the ln and the
-    per-doc mean are floating (round 8, the shared ulp-absorption
-    convention)."""
+    shuffle); V is a one-row broadcast; the scoring joins keep the
+    bg ⋈ c12 ⋈ c1 shape so AQE broadcasts each (small) count table
+    against the streaming bigram table — pre-joining c12 ⋈ c1 into one
+    enriched table measured 2-3x SLOWER at 10x rows because the join
+    output's size estimate defeats the broadcast and forces a sort-merge
+    of the corpus-sized bg. Integer counts keep the probability ratio
+    exact; only the ln and the per-doc mean are floating (round 8, the
+    shared ulp-absorption convention)."""
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\W+"), lambda x: x != ""
     )
@@ -578,24 +580,18 @@ def bigram_lm_score(
     v = tok_arr.select(F.explode("_toks").alias("term")).agg(
         F.countDistinct("term").alias("_v")
     )
-    per_bigram = (
-        c12.join(c1, "w1")
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
         .crossJoin(F.broadcast(v))
-        .select(
-            "w1",
-            "w2",
-            F.log(
-                (F.col("c12") + 1) / (F.col("c1") + F.col("_v")).cast("double")
-            ).alias("_lp"),
+        .withColumn(
+            "_lp",
+            F.log((F.col("c12") + 1) / (F.col("c1") + F.col("_v")).cast("double")),
         )
     )
-    return (
-        bg.join(per_bigram, ["w1", "w2"])
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("int").alias("n_bigrams"),
-            F.round(F.avg("_lp"), 8).alias("avg_logp"),
-        )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.round(F.avg("_lp"), 8).alias("avg_logp"),
     )
 
 
